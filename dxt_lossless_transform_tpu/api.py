@@ -1,0 +1,117 @@
+"""Stable per-format builder API.
+
+Analog of the reference's L2 API crates (``bc1-api/src/transform/auto_transform_builder.rs:36-141``,
+``manual_transform_builder.rs:18-144``): an auto builder that searches for the best
+settings with a pluggable estimator and hands back the untransform recipe as a manual
+builder, plus manual builders for explicit settings. Unlike the reference (whose
+bc3-api/bc7-api crates are empty stubs), BC3 gets the full builder surface here.
+"""
+
+from __future__ import annotations
+
+from typing import Generic, Optional, TypeVar
+
+from .estimate.base import NoEstimation, SizeEstimation
+from .ops import auto as ops_auto, bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3
+from .settings import (
+    Bc1TransformSettings,
+    Bc2TransformSettings,
+    Bc3TransformSettings,
+    YCoCgVariant,
+)
+
+E = TypeVar("E", bound=SizeEstimation)
+
+
+class _AutoBuilderBase(Generic[E]):
+    _auto_fn = None
+    _manual_cls = None
+
+    def __init__(self, estimator: Optional[SizeEstimation] = None):
+        self._estimator = estimator if estimator is not None else NoEstimation()
+        self._use_all = False
+
+    @classmethod
+    def new_ultra(cls, estimator: SizeEstimation):
+        """Like the reference's ``new_ultra``: brute-force every decorrelation mode
+        (<0.1% size gain over fast mode; ``transform_auto.rs:60-62``)."""
+        b = cls(estimator)
+        b._use_all = True
+        return b
+
+    def use_all_decorrelation_modes(self, flag: bool):
+        self._use_all = bool(flag)
+        return self
+
+    def transform(self, data: bytes):
+        """Search, transform, and return ``(transformed, manual_builder)`` where the
+        manual builder is the untransform recipe."""
+        out, settings = type(self)._auto_fn(data, self._estimator, self._use_all)
+        return out, type(self)._manual_cls(settings)
+
+
+class _ManualBuilderBase:
+    _settings_cls = None
+    _transform = None
+    _untransform = None
+
+    def __init__(self, settings=None):
+        self._settings = settings if settings is not None else type(self)._settings_cls()
+
+    def decorrelation_mode(self, variant: YCoCgVariant):
+        self._settings = type(self._settings)(**{**self._settings.__dict__,
+                                                 "decorrelation_mode": YCoCgVariant(variant)})
+        return self
+
+    def split_colour_endpoints(self, flag: bool):
+        self._settings = type(self._settings)(**{**self._settings.__dict__,
+                                                 "split_colour_endpoints": bool(flag)})
+        return self
+
+    def get_settings(self):
+        return self._settings
+
+    def transform(self, data: bytes) -> bytes:
+        return type(self)._transform(data, self._settings)
+
+    def untransform(self, data: bytes) -> bytes:
+        return type(self)._untransform(data, self._settings)
+
+
+class Bc1ManualTransformBuilder(_ManualBuilderBase):
+    _settings_cls = Bc1TransformSettings
+    _transform = staticmethod(ops_bc1.transform)
+    _untransform = staticmethod(ops_bc1.untransform)
+
+
+class Bc1AutoTransformBuilder(_AutoBuilderBase):
+    _auto_fn = staticmethod(ops_auto.transform_bc1_auto)
+    _manual_cls = Bc1ManualTransformBuilder
+
+
+class Bc2ManualTransformBuilder(_ManualBuilderBase):
+    _settings_cls = Bc2TransformSettings
+    _transform = staticmethod(ops_bc2.transform)
+    _untransform = staticmethod(ops_bc2.untransform)
+
+
+class Bc2AutoTransformBuilder(_AutoBuilderBase):
+    _auto_fn = staticmethod(ops_auto.transform_bc2_auto)
+    _manual_cls = Bc2ManualTransformBuilder
+
+
+class Bc3ManualTransformBuilder(_ManualBuilderBase):
+    _settings_cls = Bc3TransformSettings
+    _transform = staticmethod(ops_bc3.transform)
+    _untransform = staticmethod(ops_bc3.untransform)
+
+    def split_alpha_endpoints(self, flag: bool):
+        self._settings = Bc3TransformSettings(
+            self._settings.decorrelation_mode, bool(flag),
+            self._settings.split_colour_endpoints)
+        return self
+
+
+class Bc3AutoTransformBuilder(_AutoBuilderBase):
+    _auto_fn = staticmethod(ops_auto.transform_bc3_auto)
+    _manual_cls = Bc3ManualTransformBuilder

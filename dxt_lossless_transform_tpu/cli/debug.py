@@ -1,0 +1,157 @@
+"""Debug subcommands: roundtrip validation, compression stats, benchmarks.
+
+Analog of the reference CLI's ``debug-bcN`` suite
+(``commands/debug_bc1/{roundtrip,calc_compression_stats,benchmark}.rs``).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+from ..estimate import ZstdEstimation
+from ..formats.dds import BLOCK_SIZES, DdsFormat, parse_dds
+from ..oracle import decode as odecode
+from ..ops import auto as ops_auto, bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3
+from ..settings import (
+    Bc1TransformSettings, Bc2TransformSettings, Bc3TransformSettings,
+)
+from ..utils.cache import CompressionSizeCache
+from ..utils.throughput import format_bytes, format_throughput
+
+_FMT = {
+    "bc1": (DdsFormat.BC1, Bc1TransformSettings, ops_bc1, odecode.decode_bc1,
+            ops_auto.transform_bc1_auto),
+    "bc2": (DdsFormat.BC2, Bc2TransformSettings, ops_bc2, odecode.decode_bc2,
+            ops_auto.transform_bc2_auto),
+    "bc3": (DdsFormat.BC3, Bc3TransformSettings, ops_bc3, odecode.decode_bc3,
+            ops_auto.transform_bc3_auto),
+}
+
+
+def _payloads(root: Path, want: DdsFormat):
+    from .main import find_all_files
+    for f in find_all_files(root):
+        try:
+            data = f.read_bytes()
+        except OSError:
+            continue
+        info = parse_dds(data)
+        if info is None or info.format != want:
+            continue
+        payload = data[info.data_offset:info.data_offset + info.data_length]
+        bs = BLOCK_SIZES[want]
+        yield f, payload[: len(payload) // bs * bs]
+
+
+def cmd_roundtrip(args):
+    """For EVERY settings combination: transform -> untransform -> decode every block
+    and compare all 16 pixels against the original (``roundtrip.rs:53-126``)."""
+    import numpy as np
+
+    fmt, settings_cls, ops, decode, _ = _FMT[args.format]
+    checked = 0
+    for f, payload in _payloads(Path(args.input), fmt):
+        base = decode(payload)
+        for s in settings_cls.all_combinations():
+            rt = ops.untransform(ops.transform(payload, s), s)
+            if rt != payload:
+                print(f"FAIL (bytes) {f} {s}")
+                return 1
+            if not np.array_equal(decode(rt), base):
+                print(f"FAIL (pixels) {f} {s}")
+                return 1
+        checked += 1
+        print(f"ok {f}")
+    print(f"roundtrip ok: {checked} files x {len(list(settings_cls.all_combinations()))} "
+          f"settings combos")
+    return 0 if checked else 1
+
+
+def cmd_compression_stats(args):
+    """All-settings brute force vs API-recommended vs default compressed sizes
+    (``calc_compression_stats.rs:29-100``)."""
+    fmt, settings_cls, ops, _, auto_fn = _FMT[args.format]
+    est = ZstdEstimation(args.level)
+    cache = CompressionSizeCache()
+    totals = {"original": 0, "default": 0, "api": 0, "best": 0}
+    files = 0
+    for f, payload in _payloads(Path(args.input), fmt):
+        if not payload:
+            continue
+        files += 1
+
+        def csize(blob: bytes) -> int:
+            return cache.get_or_compute(blob, args.level, "zstd",
+                                        lambda: len(est.compress(blob)))
+
+        totals["original"] += csize(payload)
+        totals["default"] += csize(ops.transform(payload, settings_cls()))
+        api_out, _ = auto_fn(payload, est, use_all_decorrelation_modes=True)
+        totals["api"] += csize(api_out)
+        totals["best"] += min(csize(ops.transform(payload, s))
+                              for s in settings_cls.all_combinations())
+    cache.save()
+    if not files:
+        print("no matching files", file=sys.stderr)
+        return 1
+    orig = totals["original"]
+    print(f"files: {files}  (zstd level {args.level})")
+    for k in ("original", "default", "api", "best"):
+        ratio = 100.0 * totals[k] / orig if orig else 0.0
+        print(f"  {k:9s} {format_bytes(totals[k]):>12s}  ({ratio:6.2f}% of original)")
+    return 0
+
+
+def cmd_benchmark(args):
+    """Decompress+untransform timing vs plain decompress (``benchmark.rs:31-120``)."""
+    fmt, settings_cls, ops, _, _ = _FMT[args.format]
+    est = ZstdEstimation(args.level)
+    settings = settings_cls()
+    rows = []
+    for f, payload in _payloads(Path(args.input), fmt):
+        if not payload:
+            continue
+        transformed = ops.transform(payload, settings)
+        blob_plain = est.compress(payload)
+        blob_t = est.compress(transformed)
+        # warmup
+        for _ in range(args.warmup):
+            est.decompress(blob_plain, len(payload))
+            ops.untransform(est.decompress(blob_t, len(payload)), settings)
+        t0 = time.perf_counter()
+        for _ in range(args.iterations):
+            est.decompress(blob_plain, len(payload))
+        t_plain = (time.perf_counter() - t0) / args.iterations
+        t0 = time.perf_counter()
+        for _ in range(args.iterations):
+            ops.untransform(est.decompress(blob_t, len(payload)), settings)
+        t_both = (time.perf_counter() - t0) / args.iterations
+        rows.append((f, len(payload), t_plain, t_both, len(blob_plain), len(blob_t)))
+    for f, n, t_plain, t_both, sp, st in rows:
+        print(f"{f}: {format_bytes(n)} plain {format_throughput(n, t_plain)} "
+              f"({sp} B) | decompress+untransform {format_throughput(n, t_both)} ({st} B)")
+    return 0 if rows else 1
+
+
+def register(sub):
+    for fmt in ("bc1", "bc2", "bc3"):
+        p = sub.add_parser(f"debug-{fmt}", help=f"debug commands for {fmt.upper()}")
+        dsub = p.add_subparsers(dest="debug_command", required=True)
+
+        p_r = dsub.add_parser("roundtrip", help="validate all settings combos bit+pixel exact")
+        p_r.add_argument("input")
+        p_r.set_defaults(fn=cmd_roundtrip, format=fmt)
+
+        p_s = dsub.add_parser("calc-compression-stats")
+        p_s.add_argument("input")
+        p_s.add_argument("--level", type=int, default=16)
+        p_s.set_defaults(fn=cmd_compression_stats, format=fmt)
+
+        p_b = dsub.add_parser("benchmark")
+        p_b.add_argument("input")
+        p_b.add_argument("--level", type=int, default=16)
+        p_b.add_argument("--warmup", type=int, default=1)
+        p_b.add_argument("--iterations", type=int, default=5)
+        p_b.set_defaults(fn=cmd_benchmark, format=fmt)

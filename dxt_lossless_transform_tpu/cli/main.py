@@ -1,0 +1,151 @@
+"""CLI entry point.
+
+Analog of the reference CLI (``tools/dxt-lossless-transform-cli/src/main.rs:12-88``,
+``commands/transform/mod.rs:16-199``): ``transform`` / ``untransform`` over files or
+directory trees with the four presets, plus ``debug-*`` subcommands.
+
+Presets (``commands/transform/mod.rs:113-151``):
+  low     -- manual default settings, no estimation (fastest)
+  medium  -- auto-search with the device LTU estimator
+  optimal -- auto-search with the zstd level-1 estimator
+  max     -- zstd level-1 estimator, all decorrelation modes (ultra)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+from ..api import (
+    Bc1AutoTransformBuilder, Bc2AutoTransformBuilder, Bc3AutoTransformBuilder,
+)
+from ..estimate import LtuEstimation, ZstdEstimation
+from ..formats import TransformBundle, file_io
+from ..formats.handlers import DdsHandler
+from ..utils.throughput import format_bytes, format_throughput
+
+
+def _enable_persistent_compile_cache():
+    """Persist XLA compilations across CLI invocations (analog of the reference CLI's
+    on-disk caches); first-run compile costs are paid once per shape bucket."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "DLT_COMPILE_CACHE",
+        os.path.join(os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                     "dxt-lossless-transform-tpu", "xla-cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+def all_handlers():
+    """Every registered container handler (``util/handlers.rs``)."""
+    return [DdsHandler()]
+
+
+def make_preset_bundle(preset: str) -> TransformBundle:
+    if preset == "low":
+        return TransformBundle.default_all()
+    if preset == "medium":
+        est = LtuEstimation()
+        ultra = False
+    elif preset == "optimal":
+        est = ZstdEstimation(1)
+        ultra = False
+    elif preset == "max":
+        est = ZstdEstimation(1)
+        ultra = True
+    else:
+        raise ValueError(f"unknown preset {preset!r}")
+    mk = (lambda cls: cls.new_ultra(est) if ultra else cls(est))
+    return TransformBundle(bc1=mk(Bc1AutoTransformBuilder),
+                           bc2=mk(Bc2AutoTransformBuilder),
+                           bc3=mk(Bc3AutoTransformBuilder))
+
+
+def find_all_files(root: Path):
+    """Recursive file walk (``util/core.rs:19``)."""
+    if root.is_file():
+        return [root]
+    return sorted(p for p in root.rglob("*") if p.is_file())
+
+
+def _process_tree(args, work_fn, verb: str):
+    src, dst = Path(args.input), Path(args.output)
+    files = find_all_files(src)
+    if not files:
+        print(f"no files found under {src}", file=sys.stderr)
+        return 1
+    total = 0
+    failures = 0
+    t0 = time.perf_counter()
+    for f in files:
+        rel = f.relative_to(src) if src.is_dir() else f.name
+        out = dst / rel if src.is_dir() else dst
+        out.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            total += work_fn(f, out)
+        except Exception as e:  # per-file error isolation (util/core.rs:44)
+            failures += 1
+            print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+    dt = time.perf_counter() - t0
+    print(f"{verb} {len(files) - failures}/{len(files)} files, "
+          f"{format_bytes(total)} in {dt:.2f}s ({format_throughput(total, dt)})")
+    return 1 if failures else 0
+
+
+def cmd_transform(args):
+    bundle = make_preset_bundle(args.preset)
+    handlers = all_handlers()
+
+    def work(f, out):
+        return file_io.transform_file_with_multiple_handlers(
+            handlers, bundle, f, out, f.suffix)
+
+    return _process_tree(args, work, "transformed")
+
+
+def cmd_untransform(args):
+    handlers = all_handlers()
+
+    def work(f, out):
+        return file_io.untransform_file_with_multiple_handlers(handlers, f, out, f.suffix)
+
+    return _process_tree(args, work, "untransformed")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="dxt-lossless-transform-tpu",
+        description="TPU-native lossless transforms for block-compressed DDS textures")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_t = sub.add_parser("transform", help="transform files for better compression")
+    p_t.add_argument("input", help="input file or directory")
+    p_t.add_argument("output", help="output file or directory")
+    p_t.add_argument("--preset", default="optimal",
+                     choices=["low", "medium", "optimal", "max"])
+    p_t.set_defaults(fn=cmd_transform)
+
+    p_u = sub.add_parser("untransform", help="restore original files byte-for-byte")
+    p_u.add_argument("input")
+    p_u.add_argument("output")
+    p_u.set_defaults(fn=cmd_untransform)
+
+    from . import debug as _debug
+    _debug.register(sub)
+
+    args = parser.parse_args(argv)
+    _enable_persistent_compile_cache()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""Device LZ-match size estimation (the fast on-TPU estimator).
+
+Role analog: the reference's LTU estimator
+(``dxt-lossless-transform-ltu/src/lib.rs:48-117``) scores a candidate as
+``len - estimate_num_lz_matches_fast(data)``; only relative ordering matters.
+Its hash-table match counter is inherently sequential, so this build replaces it with
+a TPU-native *sampled-offset match model*: a position is covered if its 3-byte gram
+equals the gram at any of a fixed ladder of backward offsets (dense short range +
+geometric long range, mirroring where matches actually occur in block-stream data --
+stream element strides and texture row strides). The score is
+
+    score = valid_len - sum_i any_k( gram[i] == gram[i - k] )
+
+which is pure shift/compare/reduce -- one fused, HBM-bandwidth-bound XLA kernel,
+batched over all candidate layouts at once (the whole auto-search estimates in a
+single device call, vs the reference's per-candidate sequential loop).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import SizeEstimation
+
+# Backward offsets probed for gram matches: dense short range catches
+# RLE/neighbor-block redundancy; the geometric tail catches periodic structure
+# (stream strides, mip rows). Tuned on BC1/BC3 corpora -- see tests/test_estimate.py.
+DEFAULT_OFFSETS = (1, 2, 3, 4, 5, 6, 7, 8, 12, 16, 24, 32, 48, 64, 96, 128,
+                   192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
+@partial(jax.jit, static_argnames=("offsets",))
+def _coverage_scores(regions, valid_len, offsets: tuple):
+    """(C, L) uint8 candidate regions -> (C,) float32 scores (lower = compresses better)."""
+    b = regions.astype(jnp.int32)
+    # 3-byte grams at every position i (i in [0, L-2))
+    g = b[:, :-2] | (b[:, 1:-1] << 8) | (b[:, 2:] << 16)
+    length = g.shape[1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, length), 1)
+    valid = pos < (valid_len - 2)
+
+    covered = jnp.zeros_like(g, dtype=jnp.bool_)
+    for k in offsets:
+        if k >= length:
+            break
+        eq = g[:, k:] == g[:, :-k]
+        covered = covered.at[:, k:].set(covered[:, k:] | eq)
+    matches = jnp.sum(jnp.where(valid, covered, False), axis=1)
+    return (valid_len - matches).astype(jnp.float32)
+
+
+class LtuEstimation(SizeEstimation):
+    """Fast device estimator: length minus sampled-offset gram-match coverage."""
+
+    def __init__(self, offsets=DEFAULT_OFFSETS):
+        self.offsets = tuple(offsets)
+
+    def max_compressed_size(self, len_bytes: int) -> int:
+        return 0  # no compression buffer needed (ltu/lib.rs:92-95)
+
+    def estimate(self, data) -> int:
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            data = np.frombuffer(data, np.uint8)
+        if data.size == 0:
+            return 0
+        arr = jnp.asarray(np.ascontiguousarray(data, np.uint8))[None, :]
+        score = _coverage_scores(arr, jnp.int32(arr.shape[1]), self.offsets)
+        return int(score[0])
+
+    def estimate_batch_device(self, regions, valid_len):
+        return _coverage_scores(regions, jnp.asarray(valid_len, jnp.int32), self.offsets)

@@ -1,0 +1,137 @@
+"""4-byte transform-header embedding.
+
+On-disk format (behavioral reference ``file-formats-api/src/embed/mod.rs:37-122``):
+a u32 little-endian word written over the container magic --
+
+    bits 0-3:  transform format tag (u4; ids per ``embed/transform_format.rs:10-31``)
+    bits 4-31: format-specific data (u28), fields packed from the low bits up
+
+There is deliberately no magic: context must say "this buffer is transformed".
+
+Per-format bitfields (within the 28-bit data field):
+
+  BC1 / BC2 (``embed/formats/bc1.rs:34-56``, ``bc2.rs:30-51``):
+    bits 0-1: header version (0 = initial)
+    bit 2:    split colour endpoints
+    bits 3-4: decorrelation variant (0=Variant1, 1=Variant2, 2=Variant3, 3=None)
+    rest:     reserved (must be zero)
+
+  BC3: the reference reserves a version-only header and leaves BC3 unwired through
+  the file-format layer (``embed/formats/bc3.rs``, ``handlers/dispatch.rs:119-140``).
+  This build wires BC3 fully; its version-0 bitfield extends the BC1 layout with a
+  split-alpha bit:
+    bits 0-1: header version (0)
+    bit 2:    split colour endpoints
+    bits 3-4: decorrelation variant (same encoding)
+    bit 5:    split alpha endpoints
+    rest:     reserved
+
+BC7 needs 48 extra bytes and BC6H 80 beyond the header once implemented
+(``embed/mod.rs:97-103``); the constants are reserved here.
+"""
+
+from __future__ import annotations
+
+import enum
+import struct
+from dataclasses import dataclass
+
+from ..settings import (
+    Bc1TransformSettings,
+    Bc2TransformSettings,
+    Bc3TransformSettings,
+    YCoCgVariant,
+)
+from .errors import CorruptedEmbeddedData, UnknownTransformFormat
+
+TRANSFORM_HEADER_SIZE = 4
+BC7_ADDITIONAL_SPACE = 48
+BC6H_ADDITIONAL_SPACE = 80
+
+
+class TransformFormat(enum.IntEnum):
+    """u4 format tags (``embed/transform_format.rs:10-31``)."""
+
+    BC1 = 0x00
+    BC2 = 0x01
+    BC3 = 0x02
+    BC7 = 0x03
+    BC6H = 0x04
+    RGBA8888 = 0x05
+    BGRA8888 = 0x06
+    BGR888 = 0x07
+    BC4 = 0x08
+    BC5 = 0x09
+
+
+# YCoCgVariant <-> packed 2-bit representation (bc1.rs:59-80; NOT the enum values)
+_VARIANT_TO_BITS = {
+    YCoCgVariant.VARIANT1: 0,
+    YCoCgVariant.VARIANT2: 1,
+    YCoCgVariant.VARIANT3: 2,
+    YCoCgVariant.NONE: 3,
+}
+_BITS_TO_VARIANT = {v: k for k, v in _VARIANT_TO_BITS.items()}
+
+
+def _pack_bc1_like(settings) -> int:
+    return ((0)  # version
+            | (int(settings.split_colour_endpoints) << 2)
+            | (_VARIANT_TO_BITS[YCoCgVariant(settings.decorrelation_mode)] << 3))
+
+
+def _unpack_bc1_like(data: int):
+    if data & 0x3:
+        raise CorruptedEmbeddedData(f"unsupported header version {data & 0x3}")
+    variant = _BITS_TO_VARIANT[(data >> 3) & 0x3]
+    return variant, bool((data >> 2) & 1)
+
+
+@dataclass(frozen=True)
+class TransformHeader:
+    """A parsed 4-byte transform header."""
+
+    format: TransformFormat
+    data: int  # 28-bit format-specific field
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<I", (int(self.format) & 0xF) | ((self.data & 0x0FFFFFFF) << 4))
+
+    @staticmethod
+    def from_bytes(raw: bytes) -> "TransformHeader":
+        if len(raw) < TRANSFORM_HEADER_SIZE:
+            raise UnknownTransformFormat(raw)
+        (word,) = struct.unpack("<I", raw[:4])
+        tag = word & 0xF
+        try:
+            fmt = TransformFormat(tag)
+        except ValueError:
+            raise UnknownTransformFormat(tag) from None
+        return TransformHeader(fmt, word >> 4)
+
+    # --- per-format constructors / accessors -----------------------------------------
+
+    @staticmethod
+    def for_bc1(settings: Bc1TransformSettings) -> "TransformHeader":
+        return TransformHeader(TransformFormat.BC1, _pack_bc1_like(settings))
+
+    @staticmethod
+    def for_bc2(settings: Bc2TransformSettings) -> "TransformHeader":
+        return TransformHeader(TransformFormat.BC2, _pack_bc1_like(settings))
+
+    @staticmethod
+    def for_bc3(settings: Bc3TransformSettings) -> "TransformHeader":
+        data = _pack_bc1_like(settings) | (int(settings.split_alpha_endpoints) << 5)
+        return TransformHeader(TransformFormat.BC3, data)
+
+    def bc1_settings(self) -> Bc1TransformSettings:
+        variant, split = _unpack_bc1_like(self.data)
+        return Bc1TransformSettings(variant, split)
+
+    def bc2_settings(self) -> Bc2TransformSettings:
+        variant, split = _unpack_bc1_like(self.data)
+        return Bc2TransformSettings(variant, split)
+
+    def bc3_settings(self) -> Bc3TransformSettings:
+        variant, split_colour = _unpack_bc1_like(self.data)
+        return Bc3TransformSettings(variant, bool((self.data >> 5) & 1), split_colour)

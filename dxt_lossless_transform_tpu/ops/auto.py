@@ -1,0 +1,148 @@
+"""Batched auto-search for the best transform settings.
+
+The reference brute-forces candidates *sequentially*, transforming the full buffer per
+candidate and estimating the compressible regions
+(``bc1/src/transform/transform_auto.rs:200-270``, ``bc3 .. :230-300``). On TPU we do it
+the data-parallel way: one jitted call materializes the estimation regions of ALL
+candidates as a stacked ``(C, L)`` uint8 array (shared decorrelation work is CSE'd by
+XLA), the estimator scores every candidate in a single device call, and only the
+argmin winner is transformed for real.
+
+Estimation regions follow the reference exactly:
+- BC1: the colors half only (first len/2 bytes) -- indices have ~7.0 bits/byte entropy
+  and no LZ matches (``transform_auto.rs:248-256``).
+- BC2: the 4-byte color endpoints only (at len/2, size len/4) (``bc2 ..:252-254``).
+- BC3: alpha endpoints (2B/block) + color endpoints (4B/block), estimated separately
+  and summed (``bc3 ..:253-280``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..estimate.base import SizeEstimation
+from ..settings import (
+    BC1_COMPREHENSIVE_CANDIDATES, BC1_FAST_CANDIDATES,
+    BC2_COMPREHENSIVE_CANDIDATES, BC2_FAST_CANDIDATES,
+    BC3_COMPREHENSIVE_CANDIDATES, BC3_FAST_CANDIDATES,
+    Bc1TransformSettings, Bc2TransformSettings, Bc3TransformSettings,
+)
+from . import bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3, lanes, ycocg
+
+
+def _decorrelated_pairs(colors_u32, variants):
+    """Decorrelate the (c0, c1) lanes once per distinct variant (static unroll)."""
+    c0, c1 = lanes.split_u32(colors_u32)
+    both = jnp.stack([c0, c1])
+    fns = {0: lambda x: x, 1: ycocg.decorrelate_var1,
+           2: ycocg.decorrelate_var2, 3: ycocg.decorrelate_var3}
+    return {v: fns[v](both) for v in sorted(set(variants))}
+
+
+def _colour_region_row(d, split: bool):
+    """One candidate's colour-region bytes: split -> [c0 stream][c1 stream], else interleaved."""
+    if split:
+        return lanes.u16_to_bytes(jnp.concatenate([d[0], d[1]]))
+    return lanes.u32_to_bytes(lanes.join_u32(d[0], d[1]))
+
+
+@partial(jax.jit, static_argnames=("candidates",))
+def bc1_candidate_regions(words, candidates: Tuple[Tuple[int, bool], ...]):
+    """uint32[N,2] -> uint8[C, 4N] stacked colour regions for each (variant, split)."""
+    dec = _decorrelated_pairs(words[:, 0], [v for v, _ in candidates])
+    return jnp.stack([_colour_region_row(dec[v], split) for v, split in candidates])
+
+
+@partial(jax.jit, static_argnames=("candidates",))
+def bc2_candidate_regions(words, candidates: Tuple[Tuple[int, bool], ...]):
+    """uint32[N,4] -> uint8[C, 4N] colour regions (alpha and indices are excluded)."""
+    dec = _decorrelated_pairs(words[:, 2], [v for v, _ in candidates])
+    return jnp.stack([_colour_region_row(dec[v], split) for v, split in candidates])
+
+
+@partial(jax.jit, static_argnames=("candidates",))
+def bc3_candidate_regions(words, candidates: Tuple[Tuple[int, bool, bool], ...]):
+    """uint32[N,4] -> (uint8[C, 2N] alpha regions, uint8[C, 4N] colour regions)."""
+    ep = (words[:, 0] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    dec = _decorrelated_pairs(words[:, 2], [v for v, _, _ in candidates])
+    alpha_interleaved = lanes.u16_to_bytes(ep)
+    a_bytes = jnp.stack([ep & 0xFF, ep >> 8])
+    alpha_split = jnp.concatenate([a_bytes[0], a_bytes[1]]).astype(jnp.uint8)
+    alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
+                            for _, sa, _ in candidates])
+    colour_rows = jnp.stack([_colour_region_row(dec[v], sc)
+                             for v, _, sc in candidates])
+    return alpha_rows, colour_rows
+
+
+# --- host-side drivers ----------------------------------------------------------------
+
+def _score_regions(estimator: SizeEstimation, regions, valid_len: int) -> np.ndarray:
+    """Score a (C, Lpad) device array with ``valid_len`` real bytes per row."""
+    scores = estimator.estimate_batch_device(regions, valid_len)
+    if scores is not None:
+        return np.asarray(jax.device_get(scores))
+    rows = np.asarray(jax.device_get(regions))[:, :valid_len]
+    return np.asarray(estimator.estimate_batch(list(rows)), np.float64)
+
+
+def transform_bc1_auto(data, estimator: SizeEstimation,
+                       use_all_decorrelation_modes: bool = False,
+                       candidates: Optional[Sequence[Bc1TransformSettings]] = None):
+    """Pick the best BC1 settings by batched search; returns (transformed, settings)."""
+    cand = tuple(candidates if candidates is not None else
+                 (BC1_COMPREHENSIVE_CANDIDATES if use_all_decorrelation_modes
+                  else BC1_FAST_CANDIDATES))
+    n = len(data) // ops_bc1.BLOCK_SIZE
+    if n == 0:
+        return b"", cand[-1]
+    words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(-1, 2),
+                           lanes.bucket_size(n))
+    key = tuple((int(c.decorrelation_mode), c.split_colour_endpoints) for c in cand)
+    regions = bc1_candidate_regions(words, key)
+    scores = _score_regions(estimator, regions, 4 * n)
+    best = cand[int(np.argmin(scores))]
+    return ops_bc1.transform(data, best), best
+
+
+def transform_bc2_auto(data, estimator: SizeEstimation,
+                       use_all_decorrelation_modes: bool = False,
+                       candidates: Optional[Sequence[Bc2TransformSettings]] = None):
+    cand = tuple(candidates if candidates is not None else
+                 (BC2_COMPREHENSIVE_CANDIDATES if use_all_decorrelation_modes
+                  else BC2_FAST_CANDIDATES))
+    n = len(data) // ops_bc2.BLOCK_SIZE
+    if n == 0:
+        return b"", cand[-1]
+    words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(-1, 4),
+                           lanes.bucket_size(n))
+    key = tuple((int(c.decorrelation_mode), c.split_colour_endpoints) for c in cand)
+    regions = bc2_candidate_regions(words, key)
+    scores = _score_regions(estimator, regions, 4 * n)
+    best = cand[int(np.argmin(scores))]
+    return ops_bc2.transform(data, best), best
+
+
+def transform_bc3_auto(data, estimator: SizeEstimation,
+                       use_all_decorrelation_modes: bool = False,
+                       candidates: Optional[Sequence[Bc3TransformSettings]] = None):
+    cand = tuple(candidates if candidates is not None else
+                 (BC3_COMPREHENSIVE_CANDIDATES if use_all_decorrelation_modes
+                  else BC3_FAST_CANDIDATES))
+    n = len(data) // ops_bc3.BLOCK_SIZE
+    if n == 0:
+        return b"", cand[-1]
+    words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(-1, 4),
+                           lanes.bucket_size(n))
+    key = tuple((int(c.decorrelation_mode), c.split_alpha_endpoints,
+                 c.split_colour_endpoints) for c in cand)
+    alpha_rows, colour_rows = bc3_candidate_regions(words, key)
+    scores = (_score_regions(estimator, alpha_rows, 2 * n)
+              + _score_regions(estimator, colour_rows, 4 * n))
+    best = cand[int(np.argmin(scores))]
+    return ops_bc3.transform(data, best), best

@@ -1,0 +1,48 @@
+"""CLI end-to-end tests (in-process, CPU backend)."""
+
+import pytest
+
+from dxt_lossless_transform_tpu.cli.main import main
+from dxt_lossless_transform_tpu.utils import testgen
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    src = tmp_path / "in"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.dds").write_bytes(testgen.make_dds("BC1", 32, 32, seed=1))
+    (src / "sub" / "b.dds").write_bytes(testgen.make_dds("BC3", 16, 16, seed=2))
+    (src / "junk.txt").write_bytes(b"not a dds")
+    return tmp_path
+
+
+@pytest.mark.parametrize("preset", ["low", "medium"])
+def test_cli_roundtrip_tree(tree, preset):
+    src, out, back = tree / "in", tree / "out", tree / "back"
+    rc = main(["transform", str(src), str(out), "--preset", preset])
+    assert rc == 1  # junk.txt fails -> nonzero, but DDS files processed
+    assert (out / "a.dds").exists() and (out / "sub" / "b.dds").exists()
+    (out / "junk.txt").unlink(missing_ok=True)
+    rc = main(["untransform", str(out), str(back)])
+    assert rc == 0
+    assert (back / "a.dds").read_bytes() == (src / "a.dds").read_bytes()
+    assert (back / "sub" / "b.dds").read_bytes() == (src / "sub" / "b.dds").read_bytes()
+
+
+def test_cli_single_file(tree):
+    src = tree / "in" / "a.dds"
+    out = tree / "single.t"
+    back = tree / "single.dds"
+    assert main(["transform", str(src), str(out), "--preset", "low"]) == 0
+    assert main(["untransform", str(out), str(back)]) == 0
+    assert back.read_bytes() == src.read_bytes()
+
+
+def test_cli_debug_roundtrip(tree):
+    assert main(["debug-bc1", "roundtrip", str(tree / "in")]) == 0
+
+
+def test_cli_debug_stats(tree, tmp_path, monkeypatch):
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
+    assert main(["debug-bc1", "calc-compression-stats", str(tree / "in"),
+                 "--level", "3"]) == 0

@@ -1,0 +1,102 @@
+"""Estimators and the batched auto-search."""
+
+import numpy as np
+import pytest
+
+from dxt_lossless_transform_tpu.estimate import LtuEstimation, NoEstimation, ZstdEstimation
+from dxt_lossless_transform_tpu.oracle import bc1 as obc1, bc2 as obc2, bc3 as obc3
+from dxt_lossless_transform_tpu.ops import auto
+from dxt_lossless_transform_tpu.settings import (
+    BC1_COMPREHENSIVE_CANDIDATES,
+    Bc1TransformSettings,
+)
+from dxt_lossless_transform_tpu.utils import testgen
+
+
+def test_zstd_estimator_orders_compressibility():
+    est = ZstdEstimation(1)
+    compressible = b"abcd" * 1000
+    incompressible = np.random.default_rng(0).integers(0, 256, 4000, np.uint8).tobytes()
+    assert est.estimate(compressible) < est.estimate(incompressible)
+    assert est.estimate(b"") == 0
+    assert est.max_compressed_size(4000) >= 4000
+
+
+def test_zstd_estimator_magicless():
+    est = ZstdEstimation(3)
+    blob = est.compress(b"hello world" * 50)
+    assert not blob.startswith(b"\x28\xb5\x2f\xfd")  # no zstd magic
+    assert est.decompress(blob, 550) == b"hello world" * 50
+
+
+def test_ltu_estimator_orders_compressibility():
+    est = LtuEstimation()
+    compressible = b"abcd" * 1000
+    incompressible = np.random.default_rng(0).integers(0, 256, 4000, np.uint8).tobytes()
+    assert est.estimate(compressible) < est.estimate(incompressible)
+    assert est.estimate(b"") == 0
+
+
+def test_ltu_device_batch_matches_single():
+    est = LtuEstimation()
+    rng = np.random.default_rng(1)
+    rows = np.stack([rng.integers(0, 256, 4096, np.uint8) for _ in range(4)])
+    import jax.numpy as jnp
+    batch = np.asarray(est.estimate_batch_device(jnp.asarray(rows), 4096))
+    singles = [est.estimate(r.tobytes()) for r in rows]
+    np.testing.assert_allclose(batch, singles)
+
+
+@pytest.mark.parametrize("estimator", [ZstdEstimation(1), LtuEstimation()])
+def test_bc1_auto_roundtrip(estimator):
+    data = testgen.bc1_realistic(2048, seed=21)
+    out, settings = auto.transform_bc1_auto(data, estimator, use_all_decorrelation_modes=True)
+    assert obc1.untransform(out, settings) == data
+    assert out == obc1.transform(data, settings)
+
+
+def test_bc1_auto_picks_argmin_of_zstd():
+    # The winner must really be the zstd-argmin over the candidates' colour regions
+    data = testgen.bc1_realistic(4096, seed=22)
+    est = ZstdEstimation(1)
+    _, settings = auto.transform_bc1_auto(data, est, use_all_decorrelation_modes=True)
+    sizes = {}
+    for s in BC1_COMPREHENSIVE_CANDIDATES:
+        t = obc1.transform(data, s)
+        sizes[s] = est.estimate(t[: len(t) // 2])
+    assert sizes[settings] == min(sizes.values())
+
+
+@pytest.mark.parametrize("estimator", [ZstdEstimation(1), LtuEstimation()])
+def test_bc2_bc3_auto_roundtrip(estimator):
+    data2 = testgen.bc2_realistic(1024, seed=23)
+    out2, s2 = auto.transform_bc2_auto(data2, estimator)
+    assert obc2.untransform(out2, s2) == data2
+
+    data3 = testgen.bc3_realistic(1024, seed=24)
+    out3, s3 = auto.transform_bc3_auto(data3, estimator, use_all_decorrelation_modes=True)
+    assert obc3.untransform(out3, s3) == data3
+
+
+def test_auto_with_no_estimation_is_stable():
+    # NoEstimation scores everything 0 -> argmin picks the first candidate; still valid.
+    data = testgen.bc1_realistic(128, seed=25)
+    out, settings = auto.transform_bc1_auto(data, NoEstimation())
+    assert obc1.untransform(out, settings) == data
+
+
+def test_ltu_selection_agreement_with_zstd(reference_assets):
+    """Selection-quality check (the LTU-accuracy analog, reference README ~74%):
+    on the real corpus file, the LTU winner's true zstd size must be within 2% of
+    the true zstd winner."""
+    raw = open(f"{reference_assets}/r2-256-bc1.dds", "rb").read()
+    payload = raw[0x80:]
+    payload = payload[: len(payload) // 8 * 8]
+    zstd = ZstdEstimation(1)
+    _, s_ltu = auto.transform_bc1_auto(payload, LtuEstimation(),
+                                       use_all_decorrelation_modes=True)
+    _, s_zstd = auto.transform_bc1_auto(payload, zstd,
+                                        use_all_decorrelation_modes=True)
+    true_size = {s: zstd.estimate(obc1.transform(payload, s))
+                 for s in (s_ltu, s_zstd)}
+    assert true_size[s_ltu] <= true_size[s_zstd] * 1.02
