@@ -1,0 +1,83 @@
+"""Round benchmark: prints ONE JSON line with the headline metric.
+
+Headline: BC1 on-device round-trip (transform + untransform) throughput per chip,
+compared against the reference's published single-thread numbers (transform ~24 GB/s,
+untransform ~32.2 GB/s decimal => combined 13.75 GB/s; BASELINE.md rows 1-2).
+
+Details for all formats land in BENCH_DETAILS.json.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Reference combined round-trip rate: 1 / (1/24 + 1/32.2) GB/s (decimal GB)
+BASELINE_ROUNDTRIP_GBPS = 1.0 / (1.0 / 24.0 + 1.0 / 32.2)
+
+
+def _sync(x):
+    """Force real completion: the axon relay's block_until_ready is unreliable, so
+    read back a scalar that depends on the data."""
+    import jax.numpy as jnp
+
+    leaf = x[0] if isinstance(x, (tuple, list)) else x
+    return float(jnp.max(leaf.astype(jnp.float32)))
+
+
+def _bench(fn, *args, iters=50, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.ops import bc1, bc2, bc3
+
+    rng = np.random.default_rng(0)
+    details = {"device": str(jax.devices()[0])}
+
+    # 128 MiB per format, resident on device; stream-tuple interface (what the file
+    # pipeline actually calls -- no extra concat pass)
+    results = {}
+    for name, mod in (("bc1", bc1), ("bc2", bc2), ("bc3", bc3)):
+        nbytes = 128 * 1024 * 1024
+        words = jnp.asarray(rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
+        variant = jnp.int32(1)
+        if name == "bc3":
+            fwd = lambda w: mod.transform_device(w, variant, True, True)
+            inv = lambda s: mod.untransform_device(s, variant, True, True)
+        else:
+            fwd = lambda w: mod.transform_device(w, variant, True)
+            inv = lambda s: mod.untransform_device(s, variant, True)
+        streams = fwd(words)
+        t_fwd = _bench(fwd, words)
+        t_inv = _bench(inv, streams)
+        results[name] = {
+            "transform_GBps": nbytes / t_fwd / 1e9,
+            "untransform_GBps": nbytes / t_inv / 1e9,
+            "roundtrip_GBps": nbytes / (t_fwd + t_inv) / 1e9,
+        }
+    details["kernels"] = results
+
+    value = results["bc1"]["roundtrip_GBps"]
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(details, f, indent=2)
+    print(json.dumps({
+        "metric": "bc1_roundtrip_throughput_per_chip",
+        "value": round(value, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(value / BASELINE_ROUNDTRIP_GBPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

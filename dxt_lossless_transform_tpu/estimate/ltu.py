@@ -53,8 +53,31 @@ def _coverage_scores(regions, valid_len, offsets: tuple):
     return (valid_len - matches).astype(jnp.float32)
 
 
+def _coverage_score_np(data: np.ndarray, offsets) -> int:
+    """Numpy twin of :func:`_coverage_scores` for one buffer (host fast path)."""
+    b = np.ascontiguousarray(data, np.int64)
+    if b.size < 3:
+        return int(b.size)
+    g = b[:-2] | (b[1:-1] << 8) | (b[2:] << 16)
+    covered = np.zeros(g.size, bool)
+    for k in offsets:
+        if k >= g.size:
+            break
+        covered[k:] |= g[k:] == g[:-k]
+    return int(b.size - covered.sum())
+
+
+# Buffers below this size are scored on the host (device dispatch latency through the
+# relay exceeds the numpy cost by orders of magnitude there).
+HOST_THRESHOLD = 4 << 20
+
+
 class LtuEstimation(SizeEstimation):
-    """Fast device estimator: length minus sampled-offset gram-match coverage."""
+    """Fast estimator: length minus sampled-offset gram-match coverage.
+
+    Batched device scoring for the on-device auto-search; bit-identical numpy
+    scoring for small host-side buffers.
+    """
 
     def __init__(self, offsets=DEFAULT_OFFSETS):
         self.offsets = tuple(offsets)
@@ -67,6 +90,8 @@ class LtuEstimation(SizeEstimation):
             data = np.frombuffer(data, np.uint8)
         if data.size == 0:
             return 0
+        if data.size < HOST_THRESHOLD:
+            return _coverage_score_np(data, self.offsets)
         arr = jnp.asarray(np.ascontiguousarray(data, np.uint8))[None, :]
         score = _coverage_scores(arr, jnp.int32(arr.shape[1]), self.offsets)
         return int(score[0])

@@ -38,41 +38,44 @@ from . import bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3, lanes, ycocg
 def _decorrelated_pairs(colors_u32, variants):
     """Decorrelate the (c0, c1) lanes once per distinct variant (static unroll)."""
     c0, c1 = lanes.split_u32(colors_u32)
-    both = jnp.stack([c0, c1])
     fns = {0: lambda x: x, 1: ycocg.decorrelate_var1,
            2: ycocg.decorrelate_var2, 3: ycocg.decorrelate_var3}
-    return {v: fns[v](both) for v in sorted(set(variants))}
+    return {v: (fns[v](c0), fns[v](c1)) for v in sorted(set(variants))}
 
 
 def _colour_region_row(d, split: bool):
-    """One candidate's colour-region bytes: split -> [c0 stream][c1 stream], else interleaved."""
+    """One candidate's colour-region byte lanes (int32 values 0..255):
+    split -> [c0 stream][c1 stream], else interleaved c0c1 pairs."""
     if split:
-        return lanes.u16_to_bytes(jnp.concatenate([d[0], d[1]]))
-    return lanes.u32_to_bytes(lanes.join_u32(d[0], d[1]))
+        return jnp.concatenate([lanes.u16_to_byte_lanes(d[0]),
+                                lanes.u16_to_byte_lanes(d[1])])
+    return lanes.u32_to_byte_lanes(lanes.join_u32(d[0], d[1]))
 
 
 @partial(jax.jit, static_argnames=("candidates",))
-def bc1_candidate_regions(words, candidates: Tuple[Tuple[int, bool], ...]):
-    """uint32[N,2] -> uint8[C, 4N] stacked colour regions for each (variant, split)."""
-    dec = _decorrelated_pairs(words[:, 0], [v for v, _ in candidates])
+def bc1_candidate_regions(flat, candidates: Tuple[Tuple[int, bool], ...]):
+    """Flat uint32[2N] word image -> int32[C, 4N] byte-lane colour regions."""
+    colors, _ = lanes.deinterleave(flat.astype(jnp.uint32), 2)
+    dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
     return jnp.stack([_colour_region_row(dec[v], split) for v, split in candidates])
 
 
 @partial(jax.jit, static_argnames=("candidates",))
-def bc2_candidate_regions(words, candidates: Tuple[Tuple[int, bool], ...]):
-    """uint32[N,4] -> uint8[C, 4N] colour regions (alpha and indices are excluded)."""
-    dec = _decorrelated_pairs(words[:, 2], [v for v, _ in candidates])
+def bc2_candidate_regions(flat, candidates: Tuple[Tuple[int, bool], ...]):
+    """Flat uint32[4N] word image -> int32[C, 4N] colour regions (alpha/indices excluded)."""
+    _, _, colors, _ = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+    dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
     return jnp.stack([_colour_region_row(dec[v], split) for v, split in candidates])
 
 
 @partial(jax.jit, static_argnames=("candidates",))
-def bc3_candidate_regions(words, candidates: Tuple[Tuple[int, bool, bool], ...]):
-    """uint32[N,4] -> (uint8[C, 2N] alpha regions, uint8[C, 4N] colour regions)."""
-    ep = (words[:, 0] & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    dec = _decorrelated_pairs(words[:, 2], [v for v, _, _ in candidates])
-    alpha_interleaved = lanes.u16_to_bytes(ep)
-    a_bytes = jnp.stack([ep & 0xFF, ep >> 8])
-    alpha_split = jnp.concatenate([a_bytes[0], a_bytes[1]]).astype(jnp.uint8)
+def bc3_candidate_regions(flat, candidates: Tuple[Tuple[int, bool, bool], ...]):
+    """Flat uint32[4N] word image -> (int32[C, 2N] alpha, int32[C, 4N] colour) regions."""
+    w0, _, colors, _ = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+    ep, _ = lanes.split_u32(w0)
+    dec = _decorrelated_pairs(colors, [v for v, _, _ in candidates])
+    alpha_interleaved = lanes.u16_to_byte_lanes(ep)
+    alpha_split = jnp.concatenate([ep & 0xFF, ep >> 8])
     alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
                             for _, sa, _ in candidates])
     colour_rows = jnp.stack([_colour_region_row(dec[v], sc)
@@ -82,12 +85,30 @@ def bc3_candidate_regions(words, candidates: Tuple[Tuple[int, bool, bool], ...])
 
 # --- host-side drivers ----------------------------------------------------------------
 
+def _host_colour_regions(colors_u32: np.ndarray, candidates) -> list:
+    """Per-candidate colour-region bytes computed with the numpy oracle."""
+    from ..oracle.bc1 import decorrelate_colors
+
+    dec_cache = {}
+    rows = []
+    for variant, split in candidates:
+        if variant not in dec_cache:
+            dec_cache[variant] = decorrelate_colors(colors_u32, variant).astype(np.int64)
+        d = dec_cache[variant]
+        if split:
+            rows.append((d & 0xFFFF).astype("<u2").tobytes()
+                        + ((d >> 16) & 0xFFFF).astype("<u2").tobytes())
+        else:
+            rows.append(d.astype("<u4").tobytes())
+    return rows
+
+
 def _score_regions(estimator: SizeEstimation, regions, valid_len: int) -> np.ndarray:
-    """Score a (C, Lpad) device array with ``valid_len`` real bytes per row."""
+    """Score a (C, Lpad) byte-lane device array with ``valid_len`` real bytes per row."""
     scores = estimator.estimate_batch_device(regions, valid_len)
     if scores is not None:
         return np.asarray(jax.device_get(scores))
-    rows = np.asarray(jax.device_get(regions))[:, :valid_len]
+    rows = np.asarray(jax.device_get(regions))[:, :valid_len].astype(np.uint8)
     return np.asarray(estimator.estimate_batch(list(rows)), np.float64)
 
 
@@ -101,11 +122,14 @@ def transform_bc1_auto(data, estimator: SizeEstimation,
     n = len(data) // ops_bc1.BLOCK_SIZE
     if n == 0:
         return b"", cand[-1]
-    words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(-1, 2),
-                           lanes.bucket_size(n))
     key = tuple((int(c.decorrelation_mode), c.split_colour_endpoints) for c in cand)
-    regions = bc1_candidate_regions(words, key)
-    scores = _score_regions(estimator, regions, 4 * n)
+    if len(data) < lanes.device_threshold_bytes():
+        colors = np.frombuffer(data, "<u4").reshape(-1, 2)[:, 0].copy()
+        scores = estimator.estimate_batch(_host_colour_regions(colors, key))
+    else:
+        flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 2 * lanes.bucket_size(n))
+        regions = bc1_candidate_regions(flat, key)
+        scores = _score_regions(estimator, regions, 4 * n)
     best = cand[int(np.argmin(scores))]
     return ops_bc1.transform(data, best), best
 
@@ -119,11 +143,14 @@ def transform_bc2_auto(data, estimator: SizeEstimation,
     n = len(data) // ops_bc2.BLOCK_SIZE
     if n == 0:
         return b"", cand[-1]
-    words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(-1, 4),
-                           lanes.bucket_size(n))
     key = tuple((int(c.decorrelation_mode), c.split_colour_endpoints) for c in cand)
-    regions = bc2_candidate_regions(words, key)
-    scores = _score_regions(estimator, regions, 4 * n)
+    if len(data) < lanes.device_threshold_bytes():
+        colors = np.frombuffer(data, "<u4").reshape(-1, 4)[:, 2].copy()
+        scores = estimator.estimate_batch(_host_colour_regions(colors, key))
+    else:
+        flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * lanes.bucket_size(n))
+        regions = bc2_candidate_regions(flat, key)
+        scores = _score_regions(estimator, regions, 4 * n)
     best = cand[int(np.argmin(scores))]
     return ops_bc2.transform(data, best), best
 
@@ -137,12 +164,23 @@ def transform_bc3_auto(data, estimator: SizeEstimation,
     n = len(data) // ops_bc3.BLOCK_SIZE
     if n == 0:
         return b"", cand[-1]
-    words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(-1, 4),
-                           lanes.bucket_size(n))
     key = tuple((int(c.decorrelation_mode), c.split_alpha_endpoints,
                  c.split_colour_endpoints) for c in cand)
-    alpha_rows, colour_rows = bc3_candidate_regions(words, key)
-    scores = (_score_regions(estimator, alpha_rows, 2 * n)
-              + _score_regions(estimator, colour_rows, 4 * n))
+    if len(data) < lanes.device_threshold_bytes():
+        words = np.frombuffer(data, "<u4").reshape(-1, 4)
+        colors = words[:, 2].copy()
+        ep = (words[:, 0] & 0xFFFF).astype(np.int64)
+        colour_rows = _host_colour_regions(colors, [(v, sc) for v, _, sc in key])
+        a_interleaved = ep.astype("<u2").tobytes()
+        a_split = ((ep & 0xFF).astype(np.uint8).tobytes()
+                   + (ep >> 8).astype(np.uint8).tobytes())
+        alpha_rows = [a_split if sa else a_interleaved for _, sa, _ in key]
+        scores = (np.asarray(estimator.estimate_batch(alpha_rows), np.float64)
+                  + np.asarray(estimator.estimate_batch(colour_rows), np.float64))
+    else:
+        flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * lanes.bucket_size(n))
+        alpha_rows, colour_rows = bc3_candidate_regions(flat, key)
+        scores = (_score_regions(estimator, alpha_rows, 2 * n)
+                  + _score_regions(estimator, colour_rows, 4 * n))
     best = cand[int(np.argmin(scores))]
     return ops_bc3.transform(data, best), best

@@ -1,13 +1,14 @@
-"""BC1 device transforms (JAX).
+"""BC1 device transforms.
 
 Stream layouts match the oracle / reference
 (``bc1/src/transform/transform_with_settings.rs:41-59``); see :mod:`..oracle.bc1`.
 
-Design: the device core operates on uint32 block words ``(N, 2)`` (column 0 =
-c0|c1<<16, column 1 = indices) and returns *logical streams*; the host wrapper
-handles byte-exact (de)serialization, zero-padding to a size bucket, and exact-length
-slicing. A fused whole-buffer words->words path is provided for on-device pipelines
-and benchmarking (one array in, one array out, no host assembly).
+Two device backends behind one word-stream interface (every stream is the exact
+little-endian u32 word image of its on-disk bytes):
+
+- Pallas fused kernels (:mod:`.pallas.shuffle`) on TPU -- one read->shuffle->write
+  pass per direction (~57 GB/s payload on v5e).
+- Plain XLA lane ops otherwise (CPU tests, interpret-unfriendly environments).
 """
 
 from __future__ import annotations
@@ -18,105 +19,112 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..oracle import bc1 as _oracle
 from ..settings import Bc1TransformSettings
 from . import lanes, ycocg
+from .pallas import shuffle as _pk
 
 BLOCK_SIZE = 8
 
 
-# --- device cores ---------------------------------------------------------------------
-
-def decorrelate_pair(colors_u32, variant):
+def decorrelate_halves(colors_u32, variant):
     """Apply YCoCg-R (traced variant) to both u16 halves of c0|c1<<16 lanes."""
     c0, c1 = lanes.split_u32(colors_u32)
-    both = jnp.stack([c0, c1])           # decorrelate once over both endpoint lanes
-    d = ycocg.decorrelate(both, variant)
-    return d[0], d[1]
+    return ycocg.decorrelate(c0, variant), ycocg.decorrelate(c1, variant)
 
 
-def recorrelate_pair(colors_u32, variant):
+def recorrelate_halves(colors_u32, variant):
     c0, c1 = lanes.split_u32(colors_u32)
-    both = jnp.stack([c0, c1])
-    r = ycocg.recorrelate(both, variant)
-    return r[0], r[1]
+    return ycocg.recorrelate(c0, variant), ycocg.recorrelate(c1, variant)
+
+
+# --- XLA fallback backend -------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("split",))
+def _transform_xla(flat, variant, split: bool):
+    colors, indices = lanes.deinterleave(flat.astype(jnp.uint32), 2)
+    d0, d1 = decorrelate_halves(colors, variant)
+    if split:
+        return lanes.pack_pairs(d0), lanes.pack_pairs(d1), indices
+    return lanes.join_u32(d0, d1), indices
 
 
 @partial(jax.jit, static_argnames=("split",))
-def transform_words(words, variant, split: bool):
-    """BC1 transform on uint32 block words (N, 2).
-
-    Returns ``(c0, c1, indices)`` int32/uint32 stream lanes when ``split`` else
-    ``(colors_u32, indices)``.
-    """
-    d0, d1 = decorrelate_pair(words[:, 0], variant)
-    idx = words[:, 1].astype(jnp.uint32)
+def _untransform_xla(streams, variant, split: bool):
     if split:
-        return d0, d1, idx
-    return lanes.join_u32(d0, d1), idx
-
-
-@partial(jax.jit, static_argnames=("split",))
-def untransform_words(streams, variant, split: bool):
-    """Inverse of :func:`transform_words`; returns uint32 block words (N, 2)."""
-    if split:
-        d0, d1, idx = streams
-        colors = lanes.join_u32(d0, d1)
+        c0w, c1w, idx = streams
+        colors = lanes.join_u32(lanes.unpack_pairs(c0w), lanes.unpack_pairs(c1w))
     else:
         colors, idx = streams
-    r0, r1 = recorrelate_pair(colors, variant)
-    return jnp.stack([lanes.join_u32(r0, r1), idx.astype(jnp.uint32)], axis=1)
+    r0, r1 = recorrelate_halves(colors, variant)
+    return lanes.interleave((lanes.join_u32(r0, r1), idx.astype(jnp.uint32)))
+
+
+# --- dispatching device API -----------------------------------------------------------
+
+def transform_device(flat, variant, split: bool):
+    """Flat uint32[2N] (N a power of two >= 2048) -> word-stream tuple.
+
+    split: ``(c0w u32[N/2], c1w u32[N/2], idx u32[N])``; else ``(colors, idx)``.
+    """
+    if _pk.pallas_available():
+        return _pk.bc1_transform_tpu(flat, variant, split)
+    return _transform_xla(flat, variant, split)
+
+
+def untransform_device(streams, variant, split: bool):
+    """Inverse of :func:`transform_device`; returns flat uint32[2N]."""
+    if _pk.pallas_available():
+        return _pk.bc1_untransform_tpu(tuple(streams), variant, split)
+    return _untransform_xla(tuple(streams), variant, split)
 
 
 @partial(jax.jit, static_argnames=("split",))
-def transform_words_fused(words, variant, split: bool):
-    """Whole-buffer path: uint32[N,2] -> uint32[2N] flat transformed words.
-
-    The flat word image equals the byte-exact transformed buffer (LE). Used by the
-    on-device pipeline and throughput benches.
-    """
-    out = transform_words(words, variant, split)
-    if split:
-        d0, d1, idx = out
-        colors_words = lanes.u16_pairs_to_u32(jnp.concatenate([d0, d1]))
+def transform_words_fused(flat, variant, split: bool):
+    """Whole-buffer path: uint32[2N] -> uint32[2N] flat transformed word image."""
+    if _pk.pallas_available():
+        out = _pk.bc1_transform_tpu.__wrapped__(flat, variant, split, False)
     else:
-        colors_words, idx = out
-    return jnp.concatenate([colors_words, idx])
+        out = _transform_xla.__wrapped__(flat, variant, split)
+    return jnp.concatenate(out)
 
 
 @partial(jax.jit, static_argnames=("split",))
 def untransform_words_fused(flat, variant, split: bool):
-    """Inverse of :func:`transform_words_fused`: uint32[2N] -> uint32[N,2]."""
+    """Inverse of :func:`transform_words_fused`: uint32[2N] -> uint32[2N]."""
     n = flat.shape[0] // 2
     colors_words, idx = flat[:n], flat[n:]
-    if split:
-        s = lanes.u32_to_u16_pairs(colors_words)
-        streams = (s[:n], s[n:], idx)
-    else:
-        streams = (colors_words, idx)
-    return untransform_words(streams, variant, split)
+    streams = (colors_words[:n // 2], colors_words[n // 2:], idx) if split \
+        else (colors_words, idx)
+    if _pk.pallas_available():
+        return _pk.bc1_untransform_tpu.__wrapped__(streams, variant, split, False)
+    return _untransform_xla.__wrapped__(streams, variant, split)
 
 
 # --- host wrappers (bytes -> bytes, bit-exact) ---------------------------------------
 
-def _words_from_bytes(data) -> np.ndarray:
-    if len(data) % BLOCK_SIZE:
-        raise ValueError(f"BC1 data length {len(data)} not divisible by {BLOCK_SIZE}")
-    return np.frombuffer(data, dtype="<u4").reshape(-1, 2)
+def _pad_words(buf: bytes, n_words: int) -> np.ndarray:
+    """LE bytes -> zero-padded uint32 word array of ``n_words``."""
+    if len(buf) % 4:
+        buf = buf + bytes(4 - len(buf) % 4)
+    return lanes.pad_rows(np.frombuffer(buf, "<u4"), n_words)
 
 
 def transform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> bytes:
-    words = _words_from_bytes(data)
-    n = len(words)
+    if len(data) % BLOCK_SIZE:
+        raise ValueError(f"BC1 data length {len(data)} not divisible by {BLOCK_SIZE}")
+    n = len(data) // BLOCK_SIZE
     if n == 0:
         return b""
-    padded = lanes.pad_rows(words, lanes.bucket_size(n))
+    if len(data) < lanes.device_threshold_bytes():
+        return _oracle.transform(data, settings)
+    padded = _pad_words(data, 2 * lanes.bucket_size(n))
     variant = jnp.int32(int(settings.decorrelation_mode))
     if settings.split_colour_endpoints:
-        d0, d1, idx = transform_words(padded, variant, True)
-        d0, d1, idx = jax.device_get((d0, d1, idx))
-        return (d0[:n].astype("<u2").tobytes() + d1[:n].astype("<u2").tobytes()
+        c0w, c1w, idx = jax.device_get(transform_device(padded, variant, True))
+        return (c0w.astype("<u4").tobytes()[:2 * n] + c1w.astype("<u4").tobytes()[:2 * n]
                 + idx[:n].astype("<u4").tobytes())
-    colors, idx = jax.device_get(transform_words(padded, variant, False))
+    colors, idx = jax.device_get(transform_device(padded, variant, False))
     return colors[:n].astype("<u4").tobytes() + idx[:n].astype("<u4").tobytes()
 
 
@@ -126,16 +134,16 @@ def untransform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -
     n = len(data) // BLOCK_SIZE
     if n == 0:
         return b""
+    if len(data) < lanes.device_threshold_bytes():
+        return _oracle.untransform(data, settings)
     half = len(data) // 2
     npad = lanes.bucket_size(n)
     variant = jnp.int32(int(settings.decorrelation_mode))
-    idx = lanes.pad_rows(np.frombuffer(data[half:], dtype="<u4"), npad)
+    idx = _pad_words(data[half:], npad)
     if settings.split_colour_endpoints:
         q = len(data) // 4
-        d0 = lanes.pad_rows(np.frombuffer(data[:q], dtype="<u2").astype(np.int32), npad)
-        d1 = lanes.pad_rows(np.frombuffer(data[q:half], dtype="<u2").astype(np.int32), npad)
-        words = untransform_words((d0, d1, idx), variant, True)
+        streams = (_pad_words(data[:q], npad // 2), _pad_words(data[q:half], npad // 2), idx)
+        flat = untransform_device(streams, variant, True)
     else:
-        colors = lanes.pad_rows(np.frombuffer(data[:half], dtype="<u4"), npad)
-        words = untransform_words((colors, idx), variant, False)
-    return np.asarray(jax.device_get(words))[:n].astype("<u4").tobytes()
+        flat = untransform_device((_pad_words(data[:half], npad), idx), variant, False)
+    return np.asarray(jax.device_get(flat)).astype("<u4").tobytes()[: 8 * n]

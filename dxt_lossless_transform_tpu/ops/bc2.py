@@ -1,9 +1,9 @@
-"""BC2 device transforms (JAX).
+"""BC2 device transforms.
 
 Stream layouts match the oracle / reference
 (``bc2/src/transform/transform_with_settings.rs:30-75``); see :mod:`..oracle.bc2`.
-Alpha travels as two uint32 lanes (lo/hi halves of the u64 alpha field) and is moved,
-never transformed.
+Word-stream interface with Pallas fused kernels on TPU and XLA fallback elsewhere
+(see :mod:`.bc1` for the backend structure). Alpha is moved, never transformed.
 """
 
 from __future__ import annotations
@@ -14,93 +14,93 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..oracle import bc2 as _oracle
 from ..settings import Bc2TransformSettings
 from . import lanes
-from .bc1 import decorrelate_pair, recorrelate_pair
+from .bc1 import _pad_words, decorrelate_halves, recorrelate_halves
+from .pallas import shuffle as _pk
 
 BLOCK_SIZE = 16
 
 
 @partial(jax.jit, static_argnames=("split",))
-def transform_words(words, variant, split: bool):
-    """BC2 transform on uint32 block words (N, 4) = [alpha_lo, alpha_hi, colors, indices].
-
-    Returns ``(alpha_lo, alpha_hi, c0, c1, indices)`` when ``split`` else
-    ``(alpha_lo, alpha_hi, colors, indices)``.
-    """
-    a_lo = words[:, 0].astype(jnp.uint32)
-    a_hi = words[:, 1].astype(jnp.uint32)
-    d0, d1 = decorrelate_pair(words[:, 2], variant)
-    idx = words[:, 3].astype(jnp.uint32)
+def _transform_xla(flat, variant, split: bool):
+    a_lo, a_hi, colors, idx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+    alpha_words = lanes.interleave((a_lo, a_hi))
+    d0, d1 = decorrelate_halves(colors, variant)
     if split:
-        return a_lo, a_hi, d0, d1, idx
-    return a_lo, a_hi, lanes.join_u32(d0, d1), idx
+        return alpha_words, lanes.pack_pairs(d0), lanes.pack_pairs(d1), idx
+    return alpha_words, lanes.join_u32(d0, d1), idx
 
 
 @partial(jax.jit, static_argnames=("split",))
-def untransform_words(streams, variant, split: bool):
+def _untransform_xla(streams, variant, split: bool):
     if split:
-        a_lo, a_hi, d0, d1, idx = streams
-        colors = lanes.join_u32(d0, d1)
+        alpha_words, c0w, c1w, idx = streams
+        colors = lanes.join_u32(lanes.unpack_pairs(c0w), lanes.unpack_pairs(c1w))
     else:
-        a_lo, a_hi, colors, idx = streams
-    r0, r1 = recorrelate_pair(colors, variant)
-    return jnp.stack(
-        [a_lo.astype(jnp.uint32), a_hi.astype(jnp.uint32),
-         lanes.join_u32(r0, r1), idx.astype(jnp.uint32)], axis=1)
+        alpha_words, colors, idx = streams
+    r0, r1 = recorrelate_halves(colors, variant)
+    a_lo, a_hi = lanes.deinterleave(alpha_words.astype(jnp.uint32), 2)
+    return lanes.interleave(
+        (a_lo, a_hi, lanes.join_u32(r0, r1), idx.astype(jnp.uint32)))
+
+
+def transform_device(flat, variant, split: bool):
+    """Flat uint32[4N] -> ``(alpha_w u32[2N], [c0w, c1w | colors], idx u32[N])``."""
+    if _pk.pallas_available():
+        return _pk.bc2_transform_tpu(flat, variant, split)
+    return _transform_xla(flat, variant, split)
+
+
+def untransform_device(streams, variant, split: bool):
+    if _pk.pallas_available():
+        return _pk.bc2_untransform_tpu(tuple(streams), variant, split)
+    return _untransform_xla(tuple(streams), variant, split)
 
 
 @partial(jax.jit, static_argnames=("split",))
-def transform_words_fused(words, variant, split: bool):
-    """uint32[N,4] -> uint32[4N] flat transformed words (byte-exact LE image)."""
-    out = transform_words(words, variant, split)
-    alpha_words = jnp.stack([out[0], out[1]], axis=1).reshape(-1)
-    if split:
-        _, _, d0, d1, idx = out
-        colors_words = lanes.u16_pairs_to_u32(jnp.concatenate([d0, d1]))
+def transform_words_fused(flat, variant, split: bool):
+    """uint32[4N] -> uint32[4N] flat transformed word image."""
+    if _pk.pallas_available():
+        out = _pk.bc2_transform_tpu.__wrapped__(flat, variant, split, False)
     else:
-        _, _, colors_words, idx = out
-    return jnp.concatenate([alpha_words, colors_words, idx])
+        out = _transform_xla.__wrapped__(flat, variant, split)
+    return jnp.concatenate(out)
 
 
 @partial(jax.jit, static_argnames=("split",))
 def untransform_words_fused(flat, variant, split: bool):
     n = flat.shape[0] // 4
-    alpha = flat[:2 * n].reshape(-1, 2)
+    alpha_words = flat[:2 * n]
     colors_words, idx = flat[2 * n:3 * n], flat[3 * n:]
-    if split:
-        s = lanes.u32_to_u16_pairs(colors_words)
-        streams = (alpha[:, 0], alpha[:, 1], s[:n], s[n:], idx)
-    else:
-        streams = (alpha[:, 0], alpha[:, 1], colors_words, idx)
-    return untransform_words(streams, variant, split)
+    streams = ((alpha_words, colors_words[:n // 2], colors_words[n // 2:], idx)
+               if split else (alpha_words, colors_words, idx))
+    if _pk.pallas_available():
+        return _pk.bc2_untransform_tpu.__wrapped__(streams, variant, split, False)
+    return _untransform_xla.__wrapped__(streams, variant, split)
 
 
 # --- host wrappers --------------------------------------------------------------------
 
-def _words_from_bytes(data) -> np.ndarray:
+def transform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
         raise ValueError(f"BC2 data length {len(data)} not divisible by {BLOCK_SIZE}")
-    return np.frombuffer(data, dtype="<u4").reshape(-1, 4)
-
-
-def transform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> bytes:
-    words = _words_from_bytes(data)
-    n = len(words)
+    n = len(data) // BLOCK_SIZE
     if n == 0:
         return b""
-    padded = lanes.pad_rows(words, lanes.bucket_size(n))
+    if len(data) < lanes.device_threshold_bytes():
+        return _oracle.transform(data, settings)
+    padded = _pad_words(data, 4 * lanes.bucket_size(n))
     variant = jnp.int32(int(settings.decorrelation_mode))
-    out = jax.device_get(transform_words(padded, variant, settings.split_colour_endpoints))
-    alpha = np.empty((n, 2), dtype="<u4")
-    alpha[:, 0] = out[0][:n]
-    alpha[:, 1] = out[1][:n]
-    parts = [alpha.tobytes()]
+    out = jax.device_get(transform_device(padded, variant, settings.split_colour_endpoints))
+    parts = [out[0].astype("<u4").tobytes()[:8 * n]]
     if settings.split_colour_endpoints:
-        parts += [out[2][:n].astype("<u2").tobytes(), out[3][:n].astype("<u2").tobytes()]
-        parts.append(out[4][:n].astype("<u4").tobytes())
+        parts += [out[1].astype("<u4").tobytes()[:2 * n],
+                  out[2].astype("<u4").tobytes()[:2 * n],
+                  out[3][:n].astype("<u4").tobytes()]
     else:
-        parts += [out[2][:n].astype("<u4").tobytes(), out[3][:n].astype("<u4").tobytes()]
+        parts += [out[1][:n].astype("<u4").tobytes(), out[2][:n].astype("<u4").tobytes()]
     return b"".join(parts)
 
 
@@ -110,22 +110,23 @@ def untransform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -
     n = len(data) // BLOCK_SIZE
     if n == 0:
         return b""
+    if len(data) < lanes.device_threshold_bytes():
+        return _oracle.untransform(data, settings)
     half = len(data) // 2
     npad = lanes.bucket_size(n)
     variant = jnp.int32(int(settings.decorrelation_mode))
-    alpha = np.frombuffer(data[:half], dtype="<u4").reshape(-1, 2)
-    a_lo = lanes.pad_rows(alpha[:, 0].copy(), npad)
-    a_hi = lanes.pad_rows(alpha[:, 1].copy(), npad)
+    alpha_words = _pad_words(data[:half], 2 * npad)
     if settings.split_colour_endpoints:
         eighth = len(data) // 8
-        d0 = lanes.pad_rows(np.frombuffer(data[half:half + eighth], "<u2").astype(np.int32), npad)
-        d1 = lanes.pad_rows(
-            np.frombuffer(data[half + eighth:half + 2 * eighth], "<u2").astype(np.int32), npad)
-        idx = lanes.pad_rows(np.frombuffer(data[half + 2 * eighth:], "<u4"), npad)
-        words = untransform_words((a_lo, a_hi, d0, d1, idx), variant, True)
+        streams = (alpha_words,
+                   _pad_words(data[half:half + eighth], npad // 2),
+                   _pad_words(data[half + eighth:half + 2 * eighth], npad // 2),
+                   _pad_words(data[half + 2 * eighth:], npad))
+        flat = untransform_device(streams, variant, True)
     else:
         quarter = len(data) // 4
-        colors = lanes.pad_rows(np.frombuffer(data[half:half + quarter], "<u4"), npad)
-        idx = lanes.pad_rows(np.frombuffer(data[half + quarter:], "<u4"), npad)
-        words = untransform_words((a_lo, a_hi, colors, idx), variant, False)
-    return np.asarray(jax.device_get(words))[:n].astype("<u4").tobytes()
+        streams = (alpha_words,
+                   _pad_words(data[half:half + quarter], npad),
+                   _pad_words(data[half + quarter:], npad))
+        flat = untransform_device(streams, variant, False)
+    return np.asarray(jax.device_get(flat)).astype("<u4").tobytes()[: 16 * n]

@@ -1,12 +1,13 @@
-"""BC3 device transforms (JAX).
+"""BC3 device transforms.
 
 Stream layouts match the oracle / reference
 (``bc3/src/transform/transform_with_settings.rs:44-140``); see :mod:`..oracle.bc3`.
 
 The reference calls BC3 "SIMD-unfriendly" because of its 2B+6B alpha fields
-(``bc3-api/README.MD:69-95``, AVX512VBMI permutes); on TPU the whole block is just
-eight 16-bit lanes per block -- the alpha-index field is carried as 3 u16 lanes, and
-every family reduces to elementwise mask/shift plus reshapes.
+(``bc3-api/README.MD:69-95``, AVX512VBMI permutes); here every field is 16-bit lane
+math on the u32 word image, with the 6-byte alpha-index stream produced by
+elementwise phase packing plus one stride-3 interleave. Word-stream interface with
+Pallas fused kernels on TPU and XLA fallback elsewhere.
 """
 
 from __future__ import annotations
@@ -17,132 +18,122 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..oracle import bc3 as _oracle
 from ..settings import Bc3TransformSettings
 from . import lanes
-from .bc1 import decorrelate_pair, recorrelate_pair
+from .bc1 import _pad_words, decorrelate_halves, recorrelate_halves
+from .pallas import shuffle as _pk
 
 BLOCK_SIZE = 16
 
 
 @partial(jax.jit, static_argnames=("split_alpha", "split_colour"))
-def transform_words(words, variant, split_alpha: bool, split_colour: bool):
-    """BC3 transform on uint32 block words (N, 4).
-
-    Word columns: [a0|a1<<8|i0<<16|i1<<24, i2|i3<<8|i4<<16|i5<<24, colors, color_indices].
-
-    Returns a tuple of logical streams in on-disk order:
-      alpha endpoints (``(a0_u8, a1_u8)`` if split_alpha else ``(alpha_ep_u16,)``),
-      then ``aidx`` int32 (N,3) u16 lanes, then colours (``(c0, c1)`` if split_colour
-      else ``(colors_u32,)``), then ``cidx`` uint32.
-    """
-    w0 = words[:, 0].astype(jnp.uint32)
-    w1 = words[:, 1].astype(jnp.uint32)
-    ep = (w0 & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    h1 = (w0 >> jnp.uint32(16)).astype(jnp.int32)
-    h2 = (w1 & jnp.uint32(0xFFFF)).astype(jnp.int32)
-    h3 = (w1 >> jnp.uint32(16)).astype(jnp.int32)
-    aidx = jnp.stack([h1, h2, h3], axis=1)
-    d0, d1 = decorrelate_pair(words[:, 2], variant)
-    cidx = words[:, 3].astype(jnp.uint32)
-
-    alpha = ((ep & 0xFF, ep >> 8) if split_alpha else (ep,))
-    colours = ((d0, d1) if split_colour else (lanes.join_u32(d0, d1),))
-    return alpha + (aidx,) + colours + (cidx,)
+def _transform_xla(flat, variant, split_alpha: bool, split_colour: bool):
+    w0, w1, colors, cidx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+    ep, h1 = lanes.split_u32(w0)
+    h2, h3 = lanes.split_u32(w1)
+    aidx_words = lanes.pack_pairs(lanes.interleave((h1, h2, h3)))
+    d0, d1 = decorrelate_halves(colors, variant)
+    if split_alpha:
+        alpha = (lanes.pack_quads(ep & 0xFF), lanes.pack_quads(ep >> 8))
+    else:
+        alpha = (lanes.pack_pairs(ep),)
+    colours = ((lanes.pack_pairs(d0), lanes.pack_pairs(d1)) if split_colour
+               else (lanes.join_u32(d0, d1),))
+    return alpha + (aidx_words,) + colours + (cidx,)
 
 
 @partial(jax.jit, static_argnames=("split_alpha", "split_colour"))
-def untransform_words(streams, variant, split_alpha: bool, split_colour: bool):
-    """Inverse of :func:`transform_words`; returns uint32 block words (N, 4)."""
+def _untransform_xla(streams, variant, split_alpha: bool, split_colour: bool):
     streams = list(streams)
     if split_alpha:
-        a0, a1 = streams.pop(0), streams.pop(0)
+        a0 = lanes.unpack_quads(streams.pop(0))
+        a1 = lanes.unpack_quads(streams.pop(0))
         ep = (a0 & 0xFF) | ((a1 & 0xFF) << 8)
     else:
-        ep = streams.pop(0)
-    aidx = streams.pop(0)
+        ep = lanes.unpack_pairs(streams.pop(0))
+    h1, h2, h3 = lanes.deinterleave(lanes.unpack_pairs(streams.pop(0)), 3)
     if split_colour:
-        d0, d1 = streams.pop(0), streams.pop(0)
+        d0 = lanes.unpack_pairs(streams.pop(0))
+        d1 = lanes.unpack_pairs(streams.pop(0))
         colors = lanes.join_u32(d0, d1)
     else:
         colors = streams.pop(0)
     cidx = streams.pop(0).astype(jnp.uint32)
-    r0, r1 = recorrelate_pair(colors, variant)
-    w0 = lanes.join_u32(ep, aidx[:, 0])
-    w1 = lanes.join_u32(aidx[:, 1], aidx[:, 2])
-    return jnp.stack([w0, w1, lanes.join_u32(r0, r1), cidx], axis=1)
+    r0, r1 = recorrelate_halves(colors, variant)
+    w0 = lanes.join_u32(ep, h1)
+    w1 = lanes.join_u32(h2, h3)
+    return lanes.interleave((w0, w1, lanes.join_u32(r0, r1), cidx))
+
+
+def transform_device(flat, variant, split_alpha: bool, split_colour: bool):
+    """Flat uint32[4N] -> word streams in on-disk order (see module docstring)."""
+    if _pk.pallas_available():
+        return _pk.bc3_transform_tpu(flat, variant, split_alpha, split_colour)
+    return _transform_xla(flat, variant, split_alpha, split_colour)
+
+
+def untransform_device(streams, variant, split_alpha: bool, split_colour: bool):
+    if _pk.pallas_available():
+        return _pk.bc3_untransform_tpu(tuple(streams), variant, split_alpha, split_colour)
+    return _untransform_xla(tuple(streams), variant, split_alpha, split_colour)
+
+
+def _split_flat(flat, n, split_alpha: bool, split_colour: bool):
+    head = flat[:2 * n]
+    colors_words, cidx = flat[2 * n:3 * n], flat[3 * n:]
+    streams = ((head[:n // 4], head[n // 4:n // 2]) if split_alpha
+               else (head[:n // 2],))
+    streams += (head[n // 2:],)
+    streams += ((colors_words[:n // 2], colors_words[n // 2:]) if split_colour
+                else (colors_words,))
+    return streams + (cidx,)
 
 
 @partial(jax.jit, static_argnames=("split_alpha", "split_colour"))
-def transform_words_fused(words, variant, split_alpha: bool, split_colour: bool):
-    """uint32[N,4] -> uint32[4N] flat transformed words (byte-exact LE image)."""
-    out = transform_words(words, variant, split_alpha, split_colour)
-    out = list(out)
-    if split_alpha:
-        a0, a1 = out.pop(0), out.pop(0)
-        s = jnp.concatenate([a0, a1])           # 2N bytes -> N u16 lanes
-        pairs = s.reshape(-1, 2)
-        alpha_u16 = (pairs[:, 0] & 0xFF) | ((pairs[:, 1] & 0xFF) << 8)
+def transform_words_fused(flat, variant, split_alpha: bool, split_colour: bool):
+    """uint32[4N] -> uint32[4N] flat transformed word image."""
+    if _pk.pallas_available():
+        out = _pk.bc3_transform_tpu.__wrapped__(flat, variant, split_alpha,
+                                                split_colour, False)
     else:
-        alpha_u16 = out.pop(0)
-    aidx = out.pop(0)                           # (N, 3) u16 lanes at byte offset 2N
-    head_u16 = jnp.concatenate([alpha_u16, aidx.reshape(-1)])   # 8N bytes total
-    head_words = lanes.u16_pairs_to_u32(head_u16)
-    if split_colour:
-        d0, d1 = out.pop(0), out.pop(0)
-        colors_words = lanes.u16_pairs_to_u32(jnp.concatenate([d0, d1]))
-    else:
-        colors_words = out.pop(0)
-    cidx = out.pop(0)
-    return jnp.concatenate([head_words, colors_words, cidx])
+        out = _transform_xla.__wrapped__(flat, variant, split_alpha, split_colour)
+    return jnp.concatenate(out)
 
 
 @partial(jax.jit, static_argnames=("split_alpha", "split_colour"))
 def untransform_words_fused(flat, variant, split_alpha: bool, split_colour: bool):
-    n = flat.shape[0] // 4
-    head_u16 = lanes.u32_to_u16_pairs(flat[:2 * n])             # 4N u16 lanes
-    alpha_u16, aidx = head_u16[:n], head_u16[n:].reshape(-1, 3)
-    if split_alpha:
-        s = jnp.stack([alpha_u16 & 0xFF, (alpha_u16 >> 8) & 0xFF], axis=-1).reshape(-1)
-        alpha = (s[:n], s[n:])
-    else:
-        alpha = (alpha_u16,)
-    colors_words = flat[2 * n:3 * n]
-    if split_colour:
-        s = lanes.u32_to_u16_pairs(colors_words)
-        colours = (s[:n], s[n:])
-    else:
-        colours = (colors_words,)
-    streams = alpha + (aidx,) + colours + (flat[3 * n:],)
-    return untransform_words(streams, variant, split_alpha, split_colour)
+    streams = _split_flat(flat, flat.shape[0] // 4, split_alpha, split_colour)
+    if _pk.pallas_available():
+        return _pk.bc3_untransform_tpu.__wrapped__(streams, variant, split_alpha,
+                                                   split_colour, False)
+    return _untransform_xla.__wrapped__(streams, variant, split_alpha, split_colour)
 
 
 # --- host wrappers --------------------------------------------------------------------
 
-def _words_from_bytes(data) -> np.ndarray:
+def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
         raise ValueError(f"BC3 data length {len(data)} not divisible by {BLOCK_SIZE}")
-    return np.frombuffer(data, dtype="<u4").reshape(-1, 4)
-
-
-def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> bytes:
-    words = _words_from_bytes(data)
-    n = len(words)
+    n = len(data) // BLOCK_SIZE
     if n == 0:
         return b""
-    padded = lanes.pad_rows(words, lanes.bucket_size(n))
+    if len(data) < lanes.device_threshold_bytes():
+        return _oracle.transform(data, settings)
+    padded = _pad_words(data, 4 * lanes.bucket_size(n))
     variant = jnp.int32(int(settings.decorrelation_mode))
-    out = list(jax.device_get(transform_words(
+    out = list(jax.device_get(transform_device(
         padded, variant, settings.split_alpha_endpoints, settings.split_colour_endpoints)))
     parts = []
     if settings.split_alpha_endpoints:
-        parts.append(out.pop(0)[:n].astype(np.uint8).tobytes())
-        parts.append(out.pop(0)[:n].astype(np.uint8).tobytes())
+        parts.append(out.pop(0).astype("<u4").tobytes()[:n])
+        parts.append(out.pop(0).astype("<u4").tobytes()[:n])
     else:
-        parts.append(out.pop(0)[:n].astype("<u2").tobytes())
-    parts.append(out.pop(0)[:n].astype("<u2").tobytes())        # aidx (N,3)
+        parts.append(out.pop(0).astype("<u4").tobytes()[:2 * n])
+    parts.append(out.pop(0).astype("<u4").tobytes()[:6 * n])
     if settings.split_colour_endpoints:
-        parts.append(out.pop(0)[:n].astype("<u2").tobytes())
-        parts.append(out.pop(0)[:n].astype("<u2").tobytes())
+        parts.append(out.pop(0).astype("<u4").tobytes()[:2 * n])
+        parts.append(out.pop(0).astype("<u4").tobytes()[:2 * n])
     else:
         parts.append(out.pop(0)[:n].astype("<u4").tobytes())
     parts.append(out.pop(0)[:n].astype("<u4").tobytes())
@@ -155,28 +146,24 @@ def untransform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -
     n = len(data) // BLOCK_SIZE
     if n == 0:
         return b""
+    if len(data) < lanes.device_threshold_bytes():
+        return _oracle.untransform(data, settings)
     npad = lanes.bucket_size(n)
     variant = jnp.int32(int(settings.decorrelation_mode))
     streams = []
     if settings.split_alpha_endpoints:
-        streams.append(lanes.pad_rows(
-            np.frombuffer(data[:n], np.uint8).astype(np.int32), npad))
-        streams.append(lanes.pad_rows(
-            np.frombuffer(data[n:2 * n], np.uint8).astype(np.int32), npad))
+        streams.append(_pad_words(data[:n], npad // 4))
+        streams.append(_pad_words(data[n:2 * n], npad // 4))
     else:
-        streams.append(lanes.pad_rows(
-            np.frombuffer(data[:2 * n], "<u2").astype(np.int32), npad))
-    streams.append(lanes.pad_rows(
-        np.frombuffer(data[2 * n:8 * n], "<u2").astype(np.int32).reshape(n, 3), npad))
+        streams.append(_pad_words(data[:2 * n], npad // 2))
+    streams.append(_pad_words(data[2 * n:8 * n], 3 * npad // 2))
     if settings.split_colour_endpoints:
-        streams.append(lanes.pad_rows(
-            np.frombuffer(data[8 * n:10 * n], "<u2").astype(np.int32), npad))
-        streams.append(lanes.pad_rows(
-            np.frombuffer(data[10 * n:12 * n], "<u2").astype(np.int32), npad))
+        streams.append(_pad_words(data[8 * n:10 * n], npad // 2))
+        streams.append(_pad_words(data[10 * n:12 * n], npad // 2))
     else:
-        streams.append(lanes.pad_rows(np.frombuffer(data[8 * n:12 * n], "<u4"), npad))
-    streams.append(lanes.pad_rows(np.frombuffer(data[12 * n:16 * n], "<u4"), npad))
-    words = untransform_words(
-        tuple(streams), variant, settings.split_alpha_endpoints,
-        settings.split_colour_endpoints)
-    return np.asarray(jax.device_get(words))[:n].astype("<u4").tobytes()
+        streams.append(_pad_words(data[8 * n:12 * n], npad))
+    streams.append(_pad_words(data[12 * n:16 * n], npad))
+    flat = untransform_device(tuple(streams), variant,
+                              settings.split_alpha_endpoints,
+                              settings.split_colour_endpoints)
+    return np.asarray(jax.device_get(flat)).astype("<u4").tobytes()[: 16 * n]

@@ -1,10 +1,19 @@
-"""Lane packing/unpacking helpers shared by the device transforms.
+"""Lane packing/unpacking primitives shared by the device transforms.
 
-Conventions:
-- 16-bit quantities travel as ``int32`` lanes (always non-negative, so shifts are safe).
-- 32-bit quantities travel as ``uint32`` lanes (top bit is data; shifts are logical).
-- The padded-block count for a buffer of N blocks is the next power of two >= 256,
-  which bounds the number of distinct compiled shapes to ~log2(max_blocks) per family.
+TPU layout rules (measured on v5e; see git history for the microbenchmarks):
+
+- 1-D contiguous arrays tile fine (~370 GB/s r+w elementwise);
+- arrays shaped ``(N, k)`` with tiny trailing dims are catastrophic (lane dim holds
+  k of 128 slots -> ~7 GB/s). Every AoS<->SoA step is therefore expressed on wide
+  2-D views:
+  * de-interleave: ``x.reshape(-1, k*LANE)[:, i::k]`` lane-strided slices (~106 GB/s);
+  * interleave: strided ``.at[:, i::k].set()`` into an uninitialized row buffer
+    (~55 GB/s);
+- 16-bit quantities travel as int32 lanes (non-negative, shift-safe); 32-bit as
+  uint32.
+
+Padded block counts are powers of two >= 2048 so every stream length divides the row
+width used by these primitives.
 """
 
 from __future__ import annotations
@@ -12,7 +21,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-MIN_BUCKET = 256
+LANE = 1024
+MIN_BUCKET = 2048
+
+
+def device_threshold_bytes() -> int:
+    """Payloads smaller than this stay on the host (numpy oracle path).
+
+    Device dispatch through the single-chip relay costs tens of ms per call (and
+    seconds per first-compile); numpy handles small buffers faster than the round
+    trip. Override with ``DLT_DEVICE_MIN_BYTES`` (0 forces everything on device).
+    """
+    import os
+
+    return int(os.environ.get("DLT_DEVICE_MIN_BYTES", 1 << 20))
 
 
 def bucket_size(n: int) -> int:
@@ -31,10 +53,68 @@ def pad_rows(arr: np.ndarray, n_padded: int) -> np.ndarray:
     return np.pad(arr, pad)
 
 
-# --- device-side packing --------------------------------------------------------------
+def _row_width(size: int, k: int) -> int:
+    """Widest lane count w <= LANE such that k*w divides size."""
+    assert size % k == 0, (size, k)
+    m = size // k
+    w = LANE
+    while m % w:
+        w >>= 1
+    return k * w
+
+
+def deinterleave(x, k: int):
+    """Split a flat array of k-interleaved lanes into k contiguous streams.
+
+    ``deinterleave(x, k)[i][j] == x[k*j + i]`` -- the AoS->SoA step.
+    """
+    rows = x.reshape(-1, _row_width(x.size, k))
+    return tuple(rows[:, i::k].reshape(-1) for i in range(k))
+
+
+def interleave(parts, k: int = None):
+    """Inverse of :func:`deinterleave`: merge k streams back into one flat array."""
+    parts = tuple(parts)
+    k = len(parts) if k is None else k
+    size = parts[0].size * k
+    w = _row_width(size, k)
+    out = jnp.empty((size // w, w), parts[0].dtype)
+    per = w // k
+    for i, p in enumerate(parts):
+        out = out.at[:, i::k].set(p.reshape(-1, per))
+    return out.reshape(-1)
+
+
+def pack_pairs(v):
+    """Flat even-length 16-bit lane stream -> u32 words (LE pair order)."""
+    lo, hi = deinterleave(v.astype(jnp.uint32), 2)
+    return lo | (hi << jnp.uint32(16))
+
+
+def unpack_pairs(w):
+    """Inverse of :func:`pack_pairs`: u32 words -> flat int32 16-bit lane stream."""
+    w = w.astype(jnp.uint32)
+    lo = (w & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hi = (w >> jnp.uint32(16)).astype(jnp.int32)
+    return interleave((lo, hi))
+
+
+def pack_quads(v):
+    """Flat 8-bit lane stream (int32 values 0..255), length % 4 == 0 -> u32 words."""
+    b0, b1, b2, b3 = (b.astype(jnp.uint32) for b in deinterleave(v, 4))
+    return b0 | (b1 << jnp.uint32(8)) | (b2 << jnp.uint32(16)) | (b3 << jnp.uint32(24))
+
+
+def unpack_quads(w):
+    """Inverse of :func:`pack_quads`: u32 words -> flat int32 byte-lane stream."""
+    w = w.astype(jnp.uint32)
+    parts = [((w >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)).astype(jnp.int32)
+             for i in range(4)]
+    return interleave(parts)
+
 
 def split_u32(w):
-    """uint32 lane -> (lo int32, hi int32) 16-bit halves."""
+    """uint32 lane -> (lo int32, hi int32) 16-bit halves (elementwise)."""
     w = w.astype(jnp.uint32)
     lo = (w & jnp.uint32(0xFFFF)).astype(jnp.int32)
     hi = (w >> jnp.uint32(16)).astype(jnp.int32)
@@ -42,30 +122,16 @@ def split_u32(w):
 
 
 def join_u32(lo, hi):
-    """(lo, hi) 16-bit lanes -> uint32 lane lo | hi<<16."""
+    """(lo, hi) 16-bit lanes -> uint32 lane lo | hi<<16 (elementwise)."""
     return lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << jnp.uint32(16))
 
 
-def u16_pairs_to_u32(v):
-    """Pack a flat even-length 16-bit lane stream into u32 words (LE pair order)."""
-    r = v.reshape(-1, 2)
-    return join_u32(r[:, 0], r[:, 1])
-
-
-def u32_to_u16_pairs(w):
-    """Inverse of :func:`u16_pairs_to_u32`: u32 words -> flat 16-bit lane stream."""
-    lo, hi = split_u32(w)
-    return jnp.stack([lo, hi], axis=-1).reshape(-1)
-
-
-def u16_to_bytes(v):
-    """16-bit lanes -> uint8 byte stream (LE)."""
+def u16_to_byte_lanes(v):
+    """16-bit lanes -> flat int32 byte-lane stream (LE), for the device estimator."""
     v = v.astype(jnp.int32)
-    return jnp.stack([v & 0xFF, (v >> 8) & 0xFF], axis=-1).reshape(-1).astype(jnp.uint8)
+    return interleave((v & 0xFF, (v >> 8) & 0xFF))
 
 
-def u32_to_bytes(w):
-    """uint32 lanes -> uint8 byte stream (LE)."""
-    w = w.astype(jnp.uint32)
-    bs = [(w >> jnp.uint32(8 * i)) & jnp.uint32(0xFF) for i in range(4)]
-    return jnp.stack(bs, axis=-1).reshape(-1).astype(jnp.uint8)
+def u32_to_byte_lanes(w):
+    """uint32 lanes -> flat int32 byte-lane stream (LE)."""
+    return unpack_quads(w)

@@ -1,0 +1,13 @@
+"""Multi-device scale-out: mesh construction and sharded transform steps.
+
+The reference is a single-node shared-memory library (rayon per file,
+``cli/commands/transform/mod.rs:166-187``); this layer is the TPU-native scale-out it
+never had: texture batches data-parallel over a ``files`` mesh axis (DCN across
+hosts), block streams sharded over a ``blocks`` axis (ICI within a slice). Transforms
+are per-block pure functions, so the forward pass needs zero communication; the
+estimator's reductions ride ``psum`` over the blocks axis, and result collection is an
+ordered device_get of the sharded output (submission order preserved by construction).
+"""
+
+from .mesh import make_mesh  # noqa: F401
+from .sharded import bc1_auto_step, bc1_auto_step_single  # noqa: F401

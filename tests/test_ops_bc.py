@@ -73,8 +73,8 @@ def test_bc1_fused_words_path(variant, split):
 
     n = 512
     data = testgen.bc1_realistic(n, seed=11)
-    words = jnp.asarray(np.frombuffer(data, "<u4").reshape(-1, 2))
-    flat = bc1.transform_words_fused(words, jnp.int32(variant), split)
+    flat = jnp.asarray(np.frombuffer(data, "<u4"))
+    flat = bc1.transform_words_fused(flat, jnp.int32(variant), split)
     expected = obc1.transform(
         data, Bc1TransformSettings(variant, split))
     assert np.asarray(flat).astype("<u4").tobytes() == expected
@@ -89,8 +89,8 @@ def test_bc2_fused_words_path(variant, split):
 
     n = 256
     data = testgen.bc2_realistic(n, seed=12)
-    words = jnp.asarray(np.frombuffer(data, "<u4").reshape(-1, 4))
-    flat = bc2.transform_words_fused(words, jnp.int32(variant), split)
+    flat = jnp.asarray(np.frombuffer(data, "<u4"))
+    flat = bc2.transform_words_fused(flat, jnp.int32(variant), split)
     expected = obc2.transform(data, Bc2TransformSettings(variant, split))
     assert np.asarray(flat).astype("<u4").tobytes() == expected
     back = bc2.untransform_words_fused(flat, jnp.int32(variant), split)
@@ -105,8 +105,8 @@ def test_bc3_fused_words_path(variant, split_alpha, split_colour):
 
     n = 256
     data = testgen.bc3_realistic(n, seed=13)
-    words = jnp.asarray(np.frombuffer(data, "<u4").reshape(-1, 4))
-    flat = bc3.transform_words_fused(words, jnp.int32(variant), split_alpha, split_colour)
+    flat = jnp.asarray(np.frombuffer(data, "<u4"))
+    flat = bc3.transform_words_fused(flat, jnp.int32(variant), split_alpha, split_colour)
     expected = obc3.transform(data, Bc3TransformSettings(variant, split_alpha, split_colour))
     assert np.asarray(flat).astype("<u4").tobytes() == expected
     back = bc3.untransform_words_fused(flat, jnp.int32(variant), split_alpha, split_colour)
