@@ -144,6 +144,8 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
     _enable_persistent_compile_cache()
+    from .. import runtime
+    runtime.available() or runtime.build()  # host fast path wants the native library
     return args.fn(args)
 
 

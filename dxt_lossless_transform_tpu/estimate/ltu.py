@@ -91,6 +91,11 @@ class LtuEstimation(SizeEstimation):
         if data.size == 0:
             return 0
         if data.size < HOST_THRESHOLD:
+            if self.offsets == DEFAULT_OFFSETS:
+                from .. import runtime
+
+                if runtime.available():
+                    return runtime.ltu_estimate(data.tobytes())
             return _coverage_score_np(data, self.offsets)
         arr = jnp.asarray(np.ascontiguousarray(data, np.uint8))[None, :]
         score = _coverage_scores(arr, jnp.int32(arr.shape[1]), self.offsets)

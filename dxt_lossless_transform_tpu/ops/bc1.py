@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle import bc1 as _oracle
+from .. import runtime as _native
 from ..settings import Bc1TransformSettings
 from . import lanes, ycocg
 from .pallas import shuffle as _pk
@@ -117,6 +118,9 @@ def transform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> 
     if n == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
+        if _native.available():
+            return _native.bc1_transform(data, int(settings.decorrelation_mode),
+                                           settings.split_colour_endpoints)
         return _oracle.transform(data, settings)
     padded = _pad_words(data, 2 * lanes.bucket_size(n))
     variant = jnp.int32(int(settings.decorrelation_mode))
@@ -135,6 +139,9 @@ def untransform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -
     if n == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
+        if _native.available():
+            return _native.bc1_untransform(data, int(settings.decorrelation_mode),
+                                             settings.split_colour_endpoints)
         return _oracle.untransform(data, settings)
     half = len(data) // 2
     npad = lanes.bucket_size(n)

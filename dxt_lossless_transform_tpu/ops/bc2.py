@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle import bc2 as _oracle
+from .. import runtime as _native
 from ..settings import Bc2TransformSettings
 from . import lanes
 from .bc1 import _pad_words, decorrelate_halves, recorrelate_halves
@@ -90,6 +91,9 @@ def transform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> 
     if n == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
+        if _native.available():
+            return _native.bc2_transform(data, int(settings.decorrelation_mode),
+                                           settings.split_colour_endpoints)
         return _oracle.transform(data, settings)
     padded = _pad_words(data, 4 * lanes.bucket_size(n))
     variant = jnp.int32(int(settings.decorrelation_mode))
@@ -111,6 +115,9 @@ def untransform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -
     if n == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
+        if _native.available():
+            return _native.bc2_untransform(data, int(settings.decorrelation_mode),
+                                             settings.split_colour_endpoints)
         return _oracle.untransform(data, settings)
     half = len(data) // 2
     npad = lanes.bucket_size(n)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle import bc3 as _oracle
+from .. import runtime as _native
 from ..settings import Bc3TransformSettings
 from . import lanes
 from .bc1 import _pad_words, decorrelate_halves, recorrelate_halves
@@ -119,6 +120,10 @@ def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> 
     if n == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
+        if _native.available():
+            return _native.bc3_transform(data, int(settings.decorrelation_mode),
+                                         settings.split_alpha_endpoints,
+                                         settings.split_colour_endpoints)
         return _oracle.transform(data, settings)
     padded = _pad_words(data, 4 * lanes.bucket_size(n))
     variant = jnp.int32(int(settings.decorrelation_mode))
@@ -147,6 +152,10 @@ def untransform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -
     if n == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
+        if _native.available():
+            return _native.bc3_untransform(data, int(settings.decorrelation_mode),
+                                           settings.split_alpha_endpoints,
+                                           settings.split_colour_endpoints)
         return _oracle.untransform(data, settings)
     npad = lanes.bucket_size(n)
     variant = jnp.int32(int(settings.decorrelation_mode))

@@ -1,0 +1,170 @@
+"""Native host runtime bindings (ctypes).
+
+Loads ``libdlt_native.so`` (built from ``native/dlt_native.cpp``; ``make -C
+dxt_lossless_transform_tpu/runtime/native``) and exposes its C API. Everything
+degrades gracefully: if the library is missing, :func:`available` is False and
+callers fall back to the numpy oracle / python-zstandard paths.
+
+This is the analog of the reference's C-ABI exports (``bc1/src/c_api/*``,
+``bc2/src/c_api/*``, ``api-common/src/c_api/size_estimation.rs``) plus the
+threaded corpus batch driver its CLI gets from rayon.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence
+
+_DIR = os.path.dirname(__file__)
+_SO = os.path.join(_DIR, "native", "libdlt_native.so")
+
+_lib = None
+
+
+def _try_load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.dlt_bc1_transform.argtypes = [u8p, u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
+    lib.dlt_bc1_untransform.argtypes = lib.dlt_bc1_transform.argtypes
+    lib.dlt_bc2_transform.argtypes = lib.dlt_bc1_transform.argtypes
+    lib.dlt_bc2_untransform.argtypes = lib.dlt_bc1_transform.argtypes
+    lib.dlt_bc3_transform.argtypes = [u8p, u8p, ctypes.c_size_t, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int]
+    lib.dlt_bc3_untransform.argtypes = lib.dlt_bc3_transform.argtypes
+    for f in (lib.dlt_bc1_transform, lib.dlt_bc1_untransform, lib.dlt_bc2_transform,
+              lib.dlt_bc2_untransform, lib.dlt_bc3_transform, lib.dlt_bc3_untransform):
+        f.restype = ctypes.c_int
+    lib.dlt_zstd_estimate.argtypes = [u8p, ctypes.c_size_t, ctypes.c_int]
+    lib.dlt_zstd_estimate.restype = ctypes.c_size_t
+    lib.dlt_zstd_bound.argtypes = [ctypes.c_size_t]
+    lib.dlt_zstd_bound.restype = ctypes.c_size_t
+    lib.dlt_zstd_compress.argtypes = [u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
+                                      ctypes.c_int]
+    lib.dlt_zstd_compress.restype = ctypes.c_size_t
+    lib.dlt_zstd_decompress.argtypes = [u8p, ctypes.c_size_t, u8p, ctypes.c_size_t]
+    lib.dlt_zstd_decompress.restype = ctypes.c_size_t
+    lib.dlt_zstd_estimate_batch.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
+    lib.dlt_zstd_estimate_batch.restype = ctypes.c_int
+    lib.dlt_ltu_estimate.argtypes = [u8p, ctypes.c_size_t]
+    lib.dlt_ltu_estimate.restype = ctypes.c_size_t
+    _lib = lib
+    return lib
+
+
+def build(quiet: bool = True) -> bool:
+    """Build the native library in-place; returns True if it is then loadable."""
+    try:
+        subprocess.run(["make", "-C", os.path.join(_DIR, "native")],
+                       check=True, capture_output=quiet)
+    except (subprocess.CalledProcessError, OSError):
+        return False
+    global _lib
+    _lib = None
+    return _try_load() is not None
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+def _buf(data) -> ctypes.POINTER(ctypes.c_uint8):
+    return ctypes.cast(ctypes.c_char_p(bytes(data)) if not isinstance(data, bytes)
+                       else ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
+
+
+def _run_transform(fn, data: bytes, *flags) -> bytes:
+    lib = _try_load()
+    out = ctypes.create_string_buffer(len(data))
+    rc = fn(_buf(data), ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)),
+            len(data), *[int(f) for f in flags])
+    if rc != 0:
+        raise ValueError(f"native transform failed (rc={rc}, len={len(data)})")
+    return out.raw
+
+
+def bc1_transform(data: bytes, variant: int, split: bool) -> bytes:
+    return _run_transform(_try_load().dlt_bc1_transform, data, variant, split)
+
+
+def bc1_untransform(data: bytes, variant: int, split: bool) -> bytes:
+    return _run_transform(_try_load().dlt_bc1_untransform, data, variant, split)
+
+
+def bc2_transform(data: bytes, variant: int, split: bool) -> bytes:
+    return _run_transform(_try_load().dlt_bc2_transform, data, variant, split)
+
+
+def bc2_untransform(data: bytes, variant: int, split: bool) -> bytes:
+    return _run_transform(_try_load().dlt_bc2_untransform, data, variant, split)
+
+
+def bc3_transform(data: bytes, variant: int, split_alpha: bool,
+                  split_colour: bool) -> bytes:
+    return _run_transform(_try_load().dlt_bc3_transform, data, variant,
+                          split_alpha, split_colour)
+
+
+def bc3_untransform(data: bytes, variant: int, split_alpha: bool,
+                    split_colour: bool) -> bytes:
+    return _run_transform(_try_load().dlt_bc3_untransform, data, variant,
+                          split_alpha, split_colour)
+
+
+def zstd_estimate(data: bytes, level: int = 1) -> int:
+    return int(_try_load().dlt_zstd_estimate(_buf(data), len(data), level))
+
+
+def zstd_compress(data: bytes, level: int) -> bytes:
+    lib = _try_load()
+    cap = int(lib.dlt_zstd_bound(len(data)))
+    out = ctypes.create_string_buffer(cap)
+    r = lib.dlt_zstd_compress(_buf(data), len(data),
+                              ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)),
+                              cap, level)
+    if r == ctypes.c_size_t(-1).value:
+        raise RuntimeError("native zstd compress failed")
+    return out.raw[:r]
+
+
+def zstd_decompress(data: bytes, expected_len: int) -> bytes:
+    lib = _try_load()
+    out = ctypes.create_string_buffer(expected_len)
+    r = lib.dlt_zstd_decompress(_buf(data), len(data),
+                                ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)),
+                                expected_len)
+    if r == ctypes.c_size_t(-1).value:
+        raise RuntimeError("native zstd decompress failed")
+    return out.raw[:r]
+
+
+def zstd_estimate_batch(buffers: Sequence[bytes], level: int = 1,
+                        num_threads: int = 0) -> list:
+    """Threaded batch estimation (GIL-free): the corpus-scale hot path."""
+    lib = _try_load()
+    count = len(buffers)
+    keep = [bytes(b) for b in buffers]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * count)(
+        *[ctypes.cast(ctypes.c_char_p(b), ctypes.POINTER(ctypes.c_uint8)) for b in keep])
+    lens = (ctypes.c_size_t * count)(*[len(b) for b in keep])
+    sizes = (ctypes.c_size_t * count)()
+    rc = lib.dlt_zstd_estimate_batch(ptrs, lens, sizes, count, level, num_threads)
+    if rc != 0:
+        raise RuntimeError("native batch estimate failed")
+    return list(sizes)
+
+
+def ltu_estimate(data: bytes) -> int:
+    return int(_try_load().dlt_ltu_estimate(_buf(data), len(data)))

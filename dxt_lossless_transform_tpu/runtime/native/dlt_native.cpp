@@ -1,0 +1,356 @@
+// dlt_native: host-side native runtime for dxt-lossless-transform-tpu.
+//
+// Role: the C-ABI runtime the reference exposes from its Rust crates
+// (c_api modules of bc1/bc2, dltbc1core_* exports) rebuilt as a portable C++
+// library. It provides:
+//   - scalar/auto-vectorized BC1/BC2/BC3 stream transforms (bit-identical to the
+//     numpy oracle and the TPU kernels) -- the host fast path for payloads too
+//     small to be worth device dispatch, and a C API for non-Python consumers;
+//   - magicless zstd size estimation/compression (reference: dxt-lossless-
+//     transform-zstd/src/lib.rs:53-199);
+//   - the sampled-offset LZ-coverage estimator (numpy/JAX twin in estimate/ltu.py);
+//   - a pthread batch driver for corpus-scale estimation.
+//
+// Build: make -C . (produces libdlt_native.so). Loaded via ctypes from
+// runtime/__init__.py; everything degrades gracefully if the .so is missing.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#define ZSTD_STATIC_LINKING_ONLY  // magicless-format enums are in the experimental API
+#include <zstd.h>
+
+// ---------------------------------------------------------------- YCoCg-R -----------
+// Lifting scheme on 5-bit fields; bit layouts per variant match
+// common/src/color_565/decorrelate.rs (var1 :101-127, var2 :187-214, var3 :274-300).
+
+template <int V>
+static inline uint16_t ycocg_decorrelate_t(uint16_t c) {
+    if (V == 0) return c;
+    int r = (c >> 11) & 0x1F, g = (c >> 6) & 0x1F, gl = (c >> 5) & 1, b = c & 0x1F;
+    int co = (r - b) & 0x1F;
+    int t = (b + (co >> 1)) & 0x1F;
+    int cg = (g - t) & 0x1F;
+    int y = (t + (cg >> 1)) & 0x1F;
+    if (V == 1) return (uint16_t)((y << 11) | (co << 6) | (gl << 5) | cg);
+    if (V == 2) return (uint16_t)((gl << 15) | (y << 10) | (co << 5) | cg);
+    return (uint16_t)((y << 11) | (co << 6) | (cg << 1) | gl);
+}
+
+template <int V>
+static inline uint16_t ycocg_recorrelate_t(uint16_t c) {
+    if (V == 0) return c;
+    int y, co, cg, gl;
+    if (V == 1) {
+        y = (c >> 11) & 0x1F; co = (c >> 6) & 0x1F; gl = (c >> 5) & 1; cg = c & 0x1F;
+    } else if (V == 2) {
+        gl = (c >> 15) & 1; y = (c >> 10) & 0x1F; co = (c >> 5) & 0x1F; cg = c & 0x1F;
+    } else {
+        y = (c >> 11) & 0x1F; co = (c >> 6) & 0x1F; cg = (c >> 1) & 0x1F; gl = c & 1;
+    }
+    int t = (y - (cg >> 1)) & 0x1F;
+    int g = (cg + t) & 0x1F;
+    int b = (t - (co >> 1)) & 0x1F;
+    int r = (b + co) & 0x1F;
+    return (uint16_t)((r << 11) | (g << 6) | (gl << 5) | b);
+}
+
+static inline uint16_t ycocg_decorrelate(uint16_t c, int variant) {
+    switch (variant) {
+        case 1: return ycocg_decorrelate_t<1>(c);
+        case 2: return ycocg_decorrelate_t<2>(c);
+        case 3: return ycocg_decorrelate_t<3>(c);
+        default: return c;
+    }
+}
+
+static inline uint16_t ycocg_recorrelate(uint16_t c, int variant) {
+    switch (variant) {
+        case 1: return ycocg_recorrelate_t<1>(c);
+        case 2: return ycocg_recorrelate_t<2>(c);
+        case 3: return ycocg_recorrelate_t<3>(c);
+        default: return c;
+    }
+}
+
+extern "C" void dlt_ycocg_decorrelate(const uint16_t* in, uint16_t* out, size_t n, int variant) {
+    for (size_t i = 0; i < n; i++) out[i] = ycocg_decorrelate(in[i], variant);
+}
+
+extern "C" void dlt_ycocg_recorrelate(const uint16_t* in, uint16_t* out, size_t n, int variant) {
+    for (size_t i = 0; i < n; i++) out[i] = ycocg_recorrelate(in[i], variant);
+}
+
+static inline uint16_t load16(const uint8_t* p) {
+    uint16_t v; std::memcpy(&v, p, 2); return v;
+}
+static inline uint32_t load32(const uint8_t* p) {
+    uint32_t v; std::memcpy(&v, p, 4); return v;
+}
+static inline void store16(uint8_t* p, uint16_t v) { std::memcpy(p, &v, 2); }
+static inline void store32(uint8_t* p, uint32_t v) { std::memcpy(p, &v, 4); }
+
+// ------------------------------------------------------------------ BC1 -------------
+// Layouts: bc1/src/transform/transform_with_settings.rs:41-59.
+
+template <int V, bool SPLIT>
+static void bc1_transform_impl(const uint8_t* in, uint8_t* out, size_t n) {
+    uint8_t* c0s = out;
+    uint8_t* c1s = out + 2 * n;
+    uint8_t* cols = out;
+    uint8_t* idxs = out + 4 * n;
+    for (size_t i = 0; i < n; i++) {
+        uint16_t c0 = ycocg_decorrelate_t<V>(load16(in + 8 * i));
+        uint16_t c1 = ycocg_decorrelate_t<V>(load16(in + 8 * i + 2));
+        if (SPLIT) {
+            store16(c0s + 2 * i, c0);
+            store16(c1s + 2 * i, c1);
+        } else {
+            store16(cols + 4 * i, c0);
+            store16(cols + 4 * i + 2, c1);
+        }
+        store32(idxs + 4 * i, load32(in + 8 * i + 4));
+    }
+}
+
+template <int V, bool SPLIT>
+static void bc1_untransform_impl(const uint8_t* in, uint8_t* out, size_t n) {
+    const uint8_t* c0s = in;
+    const uint8_t* c1s = in + 2 * n;
+    const uint8_t* cols = in;
+    const uint8_t* idxs = in + 4 * n;
+    for (size_t i = 0; i < n; i++) {
+        uint16_t c0 = SPLIT ? load16(c0s + 2 * i) : load16(cols + 4 * i);
+        uint16_t c1 = SPLIT ? load16(c1s + 2 * i) : load16(cols + 4 * i + 2);
+        store16(out + 8 * i, ycocg_recorrelate_t<V>(c0));
+        store16(out + 8 * i + 2, ycocg_recorrelate_t<V>(c1));
+        store32(out + 8 * i + 4, load32(idxs + 4 * i));
+    }
+}
+
+// Dispatch (variant, split) to a fully specialized, auto-vectorizable loop --
+// the C++ analog of the reference's per-ISA kernel families.
+#define DLT_BC1_DISPATCH(fn)                                                   \
+    do {                                                                       \
+        if (len % 8) return -1;                                                \
+        size_t n = len / 8;                                                    \
+        switch (variant * 2 + (split ? 1 : 0)) {                               \
+            case 0: fn<0, false>(in, out, n); break;                           \
+            case 1: fn<0, true>(in, out, n); break;                            \
+            case 2: fn<1, false>(in, out, n); break;                           \
+            case 3: fn<1, true>(in, out, n); break;                            \
+            case 4: fn<2, false>(in, out, n); break;                           \
+            case 5: fn<2, true>(in, out, n); break;                            \
+            case 6: fn<3, false>(in, out, n); break;                           \
+            case 7: fn<3, true>(in, out, n); break;                            \
+            default: return -1;                                                \
+        }                                                                      \
+        return 0;                                                              \
+    } while (0)
+
+extern "C" int dlt_bc1_transform(const uint8_t* in, uint8_t* out, size_t len,
+                      int variant, int split) {
+    DLT_BC1_DISPATCH(bc1_transform_impl);
+}
+
+extern "C" int dlt_bc1_untransform(const uint8_t* in, uint8_t* out, size_t len,
+                        int variant, int split) {
+    DLT_BC1_DISPATCH(bc1_untransform_impl);
+}
+
+// ------------------------------------------------------------------ BC2 -------------
+// Layouts: bc2/src/transform/transform_with_settings.rs:30-75.
+
+extern "C" int dlt_bc2_transform(const uint8_t* in, uint8_t* out, size_t len,
+                      int variant, int split) {
+    if (len % 16) return -1;
+    size_t n = len / 16;
+    for (size_t i = 0; i < n; i++) {
+        std::memcpy(out + 8 * i, in + 16 * i, 8);  // alpha stream
+        uint16_t c0 = ycocg_decorrelate(load16(in + 16 * i + 8), variant);
+        uint16_t c1 = ycocg_decorrelate(load16(in + 16 * i + 10), variant);
+        if (split) {
+            store16(out + 8 * n + 2 * i, c0);
+            store16(out + 10 * n + 2 * i, c1);
+        } else {
+            store16(out + 8 * n + 4 * i, c0);
+            store16(out + 8 * n + 4 * i + 2, c1);
+        }
+        store32(out + 12 * n + 4 * i, load32(in + 16 * i + 12));
+    }
+    return 0;
+}
+
+extern "C" int dlt_bc2_untransform(const uint8_t* in, uint8_t* out, size_t len,
+                        int variant, int split) {
+    if (len % 16) return -1;
+    size_t n = len / 16;
+    for (size_t i = 0; i < n; i++) {
+        std::memcpy(out + 16 * i, in + 8 * i, 8);
+        uint16_t c0 = split ? load16(in + 8 * n + 2 * i) : load16(in + 8 * n + 4 * i);
+        uint16_t c1 = split ? load16(in + 10 * n + 2 * i) : load16(in + 8 * n + 4 * i + 2);
+        store16(out + 16 * i + 8, ycocg_recorrelate(c0, variant));
+        store16(out + 16 * i + 10, ycocg_recorrelate(c1, variant));
+        store32(out + 16 * i + 12, load32(in + 12 * n + 4 * i));
+    }
+    return 0;
+}
+
+// ------------------------------------------------------------------ BC3 -------------
+// Layouts: bc3/src/transform/transform_with_settings.rs:44-140.
+
+extern "C" int dlt_bc3_transform(const uint8_t* in, uint8_t* out, size_t len,
+                      int variant, int split_alpha, int split_colour) {
+    if (len % 16) return -1;
+    size_t n = len / 16;
+    for (size_t i = 0; i < n; i++) {
+        const uint8_t* blk = in + 16 * i;
+        if (split_alpha) {
+            out[i] = blk[0];
+            out[n + i] = blk[1];
+        } else {
+            out[2 * i] = blk[0];
+            out[2 * i + 1] = blk[1];
+        }
+        std::memcpy(out + 2 * n + 6 * i, blk + 2, 6);  // alpha indices
+        uint16_t c0 = ycocg_decorrelate(load16(blk + 8), variant);
+        uint16_t c1 = ycocg_decorrelate(load16(blk + 10), variant);
+        if (split_colour) {
+            store16(out + 8 * n + 2 * i, c0);
+            store16(out + 10 * n + 2 * i, c1);
+        } else {
+            store16(out + 8 * n + 4 * i, c0);
+            store16(out + 8 * n + 4 * i + 2, c1);
+        }
+        store32(out + 12 * n + 4 * i, load32(blk + 12));
+    }
+    return 0;
+}
+
+extern "C" int dlt_bc3_untransform(const uint8_t* in, uint8_t* out, size_t len,
+                        int variant, int split_alpha, int split_colour) {
+    if (len % 16) return -1;
+    size_t n = len / 16;
+    for (size_t i = 0; i < n; i++) {
+        uint8_t* blk = out + 16 * i;
+        if (split_alpha) {
+            blk[0] = in[i];
+            blk[1] = in[n + i];
+        } else {
+            blk[0] = in[2 * i];
+            blk[1] = in[2 * i + 1];
+        }
+        std::memcpy(blk + 2, in + 2 * n + 6 * i, 6);
+        uint16_t c0 = split_colour ? load16(in + 8 * n + 2 * i)
+                                   : load16(in + 8 * n + 4 * i);
+        uint16_t c1 = split_colour ? load16(in + 10 * n + 2 * i)
+                                   : load16(in + 8 * n + 4 * i + 2);
+        store16(blk + 8, ycocg_recorrelate(c0, variant));
+        store16(blk + 10, ycocg_recorrelate(c1, variant));
+        store32(blk + 12, load32(in + 12 * n + 4 * i));
+    }
+    return 0;
+}
+
+// ----------------------------------------------------------- zstd estimation --------
+// Magicless frames, no content-size/checksum/dictID: pure payload size
+// (reference zstd estimator lib.rs:183-199).
+
+static void set_magicless(ZSTD_CCtx* cctx, int level) {
+    ZSTD_CCtx_setParameter(cctx, ZSTD_c_compressionLevel, level);
+    ZSTD_CCtx_setParameter(cctx, ZSTD_c_format, ZSTD_f_zstd1_magicless);
+    ZSTD_CCtx_setParameter(cctx, ZSTD_c_contentSizeFlag, 0);
+    ZSTD_CCtx_setParameter(cctx, ZSTD_c_checksumFlag, 0);
+    ZSTD_CCtx_setParameter(cctx, ZSTD_c_dictIDFlag, 0);
+}
+
+extern "C" size_t dlt_zstd_bound(size_t len) { return ZSTD_compressBound(len); }
+
+// Returns compressed size, or (size_t)-1 on error.
+extern "C" size_t dlt_zstd_compress(const uint8_t* in, size_t len, uint8_t* dst,
+                         size_t dst_cap, int level) {
+    ZSTD_CCtx* cctx = ZSTD_createCCtx();
+    if (!cctx) return (size_t)-1;
+    set_magicless(cctx, level);
+    size_t r = ZSTD_compress2(cctx, dst, dst_cap, in, len);
+    ZSTD_freeCCtx(cctx);
+    return ZSTD_isError(r) ? (size_t)-1 : r;
+}
+
+extern "C" size_t dlt_zstd_decompress(const uint8_t* in, size_t len, uint8_t* dst,
+                           size_t dst_cap) {
+    ZSTD_DCtx* dctx = ZSTD_createDCtx();
+    if (!dctx) return (size_t)-1;
+    ZSTD_DCtx_setParameter(dctx, ZSTD_d_format, ZSTD_f_zstd1_magicless);
+    size_t r = ZSTD_decompressDCtx(dctx, dst, dst_cap, in, len);
+    ZSTD_freeDCtx(dctx);
+    return ZSTD_isError(r) ? (size_t)-1 : r;
+}
+
+extern "C" size_t dlt_zstd_estimate(const uint8_t* in, size_t len, int level) {
+    if (len == 0) return 0;
+    std::vector<uint8_t> buf(ZSTD_compressBound(len));
+    return dlt_zstd_compress(in, len, buf.data(), buf.size(), level);
+}
+
+// Estimate `count` independent buffers in parallel (corpus auto-search batches).
+// sizes_out[i] = estimate of (ptrs[i], lens[i]). Returns 0 on success.
+extern "C" int dlt_zstd_estimate_batch(const uint8_t* const* ptrs, const size_t* lens,
+                            size_t* sizes_out, size_t count, int level,
+                            int num_threads) {
+    if (num_threads <= 0)
+        num_threads = (int)std::thread::hardware_concurrency();
+    std::atomic<size_t> next(0);
+    std::atomic<int> err(0);
+    auto work = [&]() {
+        std::vector<uint8_t> buf;
+        ZSTD_CCtx* cctx = ZSTD_createCCtx();
+        if (!cctx) { err.store(1); return; }
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= count) break;
+            set_magicless(cctx, level);
+            buf.resize(ZSTD_compressBound(lens[i]));
+            size_t r = ZSTD_compress2(cctx, buf.data(), buf.size(), ptrs[i], lens[i]);
+            if (ZSTD_isError(r)) { err.store(1); break; }
+            sizes_out[i] = r;
+        }
+        ZSTD_freeCCtx(cctx);
+    };
+    std::vector<std::thread> pool;
+    int nt = std::max(1, std::min<int>(num_threads, (int)count));
+    for (int t = 0; t < nt; t++) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+    return err.load();
+}
+
+// ------------------------------------------------- sampled-offset LZ coverage -------
+// Twin of estimate/ltu.py::_coverage_score_np -- must stay bit-identical.
+
+static const int kOffsets[] = {1, 2, 3, 4, 5, 6, 7, 8, 12, 16, 24, 32, 48, 64,
+                               96, 128, 192, 256, 384, 512, 768, 1024, 1536,
+                               2048, 3072, 4096};
+
+extern "C" size_t dlt_ltu_estimate(const uint8_t* data, size_t len) {
+    if (len < 3) return len;
+    size_t glen = len - 2;
+    std::vector<uint32_t> g(glen);
+    for (size_t i = 0; i < glen; i++)
+        g[i] = (uint32_t)data[i] | ((uint32_t)data[i + 1] << 8)
+             | ((uint32_t)data[i + 2] << 16);
+    std::vector<uint8_t> covered(glen, 0);
+    for (int k : kOffsets) {
+        if ((size_t)k >= glen) break;
+        for (size_t i = (size_t)k; i < glen; i++)
+            covered[i] |= (g[i] == g[i - (size_t)k]);
+    }
+    size_t matches = 0;
+    for (size_t i = 0; i < glen; i++) matches += covered[i];
+    return len - matches;
+}
+
+extern "C" int dlt_version(void) { return 1; }

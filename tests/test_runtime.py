@@ -1,0 +1,65 @@
+"""Native C++ runtime: bit-exactness vs the oracle, zstd interop, batch driver."""
+
+import numpy as np
+import pytest
+
+from dxt_lossless_transform_tpu import runtime
+from dxt_lossless_transform_tpu.estimate import ZstdEstimation
+from dxt_lossless_transform_tpu.estimate.ltu import DEFAULT_OFFSETS, _coverage_score_np
+from dxt_lossless_transform_tpu.oracle import bc1 as o1, bc2 as o2, bc3 as o3
+from dxt_lossless_transform_tpu.settings import (
+    Bc1TransformSettings, Bc2TransformSettings, Bc3TransformSettings,
+)
+from dxt_lossless_transform_tpu.utils import testgen
+
+pytestmark = pytest.mark.skipif(
+    not (runtime.available() or runtime.build()), reason="native runtime not buildable")
+
+
+def test_native_bc1_matches_oracle():
+    data = testgen.bc1_realistic(1237, seed=1)  # odd count exercises remainders
+    for s in Bc1TransformSettings.all_combinations():
+        v, sp = int(s.decorrelation_mode), s.split_colour_endpoints
+        assert runtime.bc1_transform(data, v, sp) == o1.transform(data, s)
+        assert runtime.bc1_untransform(o1.transform(data, s), v, sp) == data
+
+
+def test_native_bc2_bc3_match_oracle():
+    d2 = testgen.bc2_realistic(731, seed=2)
+    for s in Bc2TransformSettings.all_combinations():
+        v, sp = int(s.decorrelation_mode), s.split_colour_endpoints
+        assert runtime.bc2_transform(d2, v, sp) == o2.transform(d2, s)
+        assert runtime.bc2_untransform(o2.transform(d2, s), v, sp) == d2
+    d3 = testgen.bc3_realistic(731, seed=3)
+    for s in Bc3TransformSettings.all_combinations():
+        v = int(s.decorrelation_mode)
+        sa, sc = s.split_alpha_endpoints, s.split_colour_endpoints
+        assert runtime.bc3_transform(d3, v, sa, sc) == o3.transform(d3, s)
+        assert runtime.bc3_untransform(o3.transform(d3, s), v, sa, sc) == d3
+
+
+def test_native_ltu_matches_numpy():
+    buf = testgen.bc1_realistic(4096, seed=9)
+    assert runtime.ltu_estimate(buf) == _coverage_score_np(
+        np.frombuffer(buf, np.uint8), DEFAULT_OFFSETS)
+
+
+def test_native_zstd_interop():
+    est = ZstdEstimation(3)
+    payload = b"hello world" * 100
+    blob = runtime.zstd_compress(payload, 3)
+    assert est.decompress(blob, 2000) == payload
+    assert runtime.zstd_decompress(est.compress(payload), 2000) == payload
+    assert runtime.zstd_estimate(payload, 3) == len(blob)
+
+
+def test_native_batch_estimate():
+    bufs = [testgen.bc1_realistic(512, seed=i) for i in range(16)]
+    batch = runtime.zstd_estimate_batch(bufs, level=1)
+    singles = [runtime.zstd_estimate(b, 1) for b in bufs]
+    assert batch == singles
+
+
+def test_invalid_length_rejected():
+    with pytest.raises(ValueError):
+        runtime.bc1_transform(b"\x00" * 7, 1, True)
