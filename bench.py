@@ -68,6 +68,36 @@ def main():
         }
     details["kernels"] = results
 
+    # Auto-search throughput: batched candidate search + estimator + winning
+    # transform, all on device (reference: ~1018 MiB/s LTU auto, BASELINE.md)
+    from dxt_lossless_transform_tpu.parallel.sharded import bc1_auto_step_single
+
+    nbytes = 128 * 1024 * 1024
+    flat = jnp.asarray(rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
+    t_auto = _bench(lambda f: bc1_auto_step_single(f), flat, iters=20)
+    details["bc1_auto_transform_MiBps"] = nbytes / t_auto / (1 << 20)
+
+    # Compression-ratio parity on the reference corpus asset (if mounted)
+    try:
+        import zstandard
+
+        from dxt_lossless_transform_tpu.formats.debug import extract_blocks_from_dds
+        from dxt_lossless_transform_tpu.oracle import bc1 as obc1
+        from dxt_lossless_transform_tpu.ops import auto as ops_auto
+        from dxt_lossless_transform_tpu.estimate import ZstdEstimation
+
+        raw = open("/root/reference/src/assets/tests/r2-256-bc1.dds", "rb").read()
+        ex = extract_blocks_from_dds(raw)
+        cctx = zstandard.ZstdCompressor(level=16)
+        out, _ = ops_auto.transform_bc1_auto(ex.data, ZstdEstimation(1),
+                                             use_all_decorrelation_modes=True)
+        details["ratio_check"] = {
+            "plain_zstd16": len(cctx.compress(ex.data)),
+            "transformed_zstd16": len(cctx.compress(out)),
+        }
+    except (OSError, ImportError):
+        pass
+
     value = results["bc1"]["roundtrip_GBps"]
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)

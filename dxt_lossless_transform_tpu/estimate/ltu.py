@@ -28,27 +28,32 @@ from .base import SizeEstimation
 
 # Backward offsets probed for gram matches: dense short range catches
 # RLE/neighbor-block redundancy; the geometric tail catches periodic structure
-# (stream strides, mip rows). Tuned on BC1/BC3 corpora -- see tests/test_estimate.py.
-DEFAULT_OFFSETS = (1, 2, 3, 4, 5, 6, 7, 8, 12, 16, 24, 32, 48, 64, 96, 128,
-                   192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+# (stream strides, mip rows).
+DEFAULT_OFFSETS = (1, 2, 3, 4, 6, 8, 12, 16, 32, 64, 256, 1024, 4096)
 
 
 @partial(jax.jit, static_argnames=("offsets",))
 def _coverage_scores(regions, valid_len, offsets: tuple):
-    """(C, L) uint8 candidate regions -> (C,) float32 scores (lower = compresses better)."""
-    b = regions.astype(jnp.int32)
-    # 3-byte grams at every position i (i in [0, L-2))
-    g = b[:, :-2] | (b[:, 1:-1] << 8) | (b[:, 2:] << 16)
-    length = g.shape[1]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, length), 1)
-    valid = pos < (valid_len - 2)
+    """(C, L) uint8 candidate regions -> (C,) float32 scores (lower = compresses better).
 
-    covered = jnp.zeros_like(g, dtype=jnp.bool_)
+    A position i is covered if its 3-byte gram equals the gram at i-k for any offset
+    k; gram equality is computed as the AND of three shifted byte equalities, keeping
+    all intermediates 1-byte wide (HBM-bandwidth matters: this loop dominates the
+    on-device auto-search).
+    """
+    b = regions.astype(jnp.uint8)
+    length = b.shape[1]
+    covered = jnp.zeros((b.shape[0], length - 2), dtype=jnp.bool_)
+    zero2 = jnp.zeros((b.shape[0], 0), jnp.bool_)
     for k in offsets:
-        if k >= length:
+        if k + 2 >= length:
             break
-        eq = g[:, k:] == g[:, :-k]
-        covered = covered.at[:, k:].set(covered[:, k:] | eq)
+        eq = b[:, k:] == b[:, :-k]                  # byte equality at backshift k
+        gram_eq = eq[:, :-2] & eq[:, 1:-1] & eq[:, 2:]
+        covered = jnp.concatenate(
+            [covered[:, :k], covered[:, k:] | gram_eq], axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, length - 2), 1)
+    valid = pos < (valid_len - 2)
     matches = jnp.sum(jnp.where(valid, covered, False), axis=1)
     return (valid_len - matches).astype(jnp.float32)
 

@@ -47,9 +47,11 @@ def _colour_region_row(d, split: bool):
     """One candidate's colour-region byte lanes (int32 values 0..255):
     split -> [c0 stream][c1 stream], else interleaved c0c1 pairs."""
     if split:
-        return jnp.concatenate([lanes.u16_to_byte_lanes(d[0]),
-                                lanes.u16_to_byte_lanes(d[1])])
-    return lanes.u32_to_byte_lanes(lanes.join_u32(d[0], d[1]))
+        row = jnp.concatenate([lanes.u16_to_byte_lanes(d[0]),
+                               lanes.u16_to_byte_lanes(d[1])])
+    else:
+        row = lanes.u32_to_byte_lanes(lanes.join_u32(d[0], d[1]))
+    return row.astype(jnp.uint8)
 
 
 @partial(jax.jit, static_argnames=("candidates",))
@@ -74,8 +76,8 @@ def bc3_candidate_regions(flat, candidates: Tuple[Tuple[int, bool, bool], ...]):
     w0, _, colors, _ = lanes.deinterleave(flat.astype(jnp.uint32), 4)
     ep, _ = lanes.split_u32(w0)
     dec = _decorrelated_pairs(colors, [v for v, _, _ in candidates])
-    alpha_interleaved = lanes.u16_to_byte_lanes(ep)
-    alpha_split = jnp.concatenate([ep & 0xFF, ep >> 8])
+    alpha_interleaved = lanes.u16_to_byte_lanes(ep).astype(jnp.uint8)
+    alpha_split = jnp.concatenate([ep & 0xFF, ep >> 8]).astype(jnp.uint8)
     alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
                             for _, sa, _ in candidates])
     colour_rows = jnp.stack([_colour_region_row(dec[v], sc)

@@ -1,0 +1,75 @@
+"""Sharded steps, corpus pipeline, distributed helpers (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dxt_lossless_transform_tpu.estimate import LtuEstimation
+from dxt_lossless_transform_tpu.oracle import bc1 as obc1
+from dxt_lossless_transform_tpu.ops import auto as ops_auto
+from dxt_lossless_transform_tpu.parallel import bc1_auto_step, bc1_auto_step_single, make_mesh
+from dxt_lossless_transform_tpu.parallel.distributed import initialize, is_primary
+from dxt_lossless_transform_tpu.parallel.pipeline import Bc1BatchProcessor
+from dxt_lossless_transform_tpu.settings import BC1_FAST_CANDIDATES
+from dxt_lossless_transform_tpu.utils import testgen
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    assert set(mesh.axis_names) == {"files", "blocks"}
+    assert make_mesh(4).devices.size == 4
+
+
+def test_auto_step_single_matches_host_auto():
+    data = testgen.bc1_realistic(2048, seed=31)
+    flat = jnp.asarray(np.frombuffer(data, "<u4"))
+    d0, d1, idx, best = jax.device_get(bc1_auto_step_single(flat))
+    settings = BC1_FAST_CANDIDATES[int(best)]
+    # The same candidate the (device-estimator) host auto path picks
+    _, host_settings = ops_auto.transform_bc1_auto(
+        data, LtuEstimation(), candidates=BC1_FAST_CANDIDATES)
+    assert settings == host_settings
+    # And the streams match the oracle transform for those settings
+    expected = obc1.transform(data, settings)
+    got = (d0.astype("<u2").tobytes() + d1.astype("<u2").tobytes()
+           + idx.astype("<u4").tobytes())
+    if settings.split_colour_endpoints:
+        assert got == expected
+
+
+def test_sharded_step_matches_single():
+    mesh = make_mesh(8)
+    step = bc1_auto_step(mesh)
+    batch, nblocks = 4, 2048
+    rng = np.random.default_rng(5)
+    flats = jnp.asarray(rng.integers(0, 2**32, (batch, 2 * nblocks), dtype=np.uint32))
+    valid = jnp.full((batch,), 4 * nblocks, jnp.int32)
+    c0, c1, idx, best = jax.device_get(jax.block_until_ready(step(flats, valid)))
+    for b in range(batch):
+        s0, s1, sidx, sbest = jax.device_get(bc1_auto_step_single(flats[b]))
+        np.testing.assert_array_equal(c0[b], s0)
+        np.testing.assert_array_equal(c1[b], s1)
+        np.testing.assert_array_equal(idx[b], sidx)
+        assert int(best[b]) == int(sbest)
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_batch_pipeline_roundtrip(use_mesh):
+    mesh = make_mesh(8) if use_mesh else None
+    proc = Bc1BatchProcessor(mesh=mesh, max_batch=8)
+    payloads = [testgen.bc1_realistic(n, seed=n) for n in (100, 2048, 2049, 5000, 64)]
+    results = proc.process(payloads)
+    assert [r.index for r in results] == list(range(len(payloads)))
+    for r, data in zip(results, payloads):
+        assert len(r.transformed) == len(data)
+        # bit-exact vs the oracle transform with the chosen settings, and reversible
+        assert r.transformed == obc1.transform(data, r.settings)
+        assert obc1.untransform(r.transformed, r.settings) == data
+
+
+def test_distributed_helpers_single_process():
+    assert initialize(num_processes=1) is False
+    assert is_primary() is True
