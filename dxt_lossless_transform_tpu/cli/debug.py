@@ -135,6 +135,42 @@ def cmd_benchmark(args):
     return 0 if rows else 1
 
 
+def cmd_benchmark_determine_best(args):
+    """Estimator throughput + selection quality vs the zstd ground truth
+    (``benchmark_determine_best.rs`` analog)."""
+    from ..estimate import LtuEstimation, ZstdEstimation
+
+    fmt, settings_cls, ops, _, auto_fn = _FMT[args.format]
+    zstd_truth = ZstdEstimation(args.level)
+    estimators = [("ltu", LtuEstimation()), ("zstd-1", ZstdEstimation(1))]
+    stats = {name: {"bytes": 0, "time": 0.0, "true_size": 0} for name, _ in estimators}
+    best_possible = 0
+    files = 0
+    for f, payload in _payloads(Path(args.input), fmt):
+        if not payload:
+            continue
+        files += 1
+        truth = {s: zstd_truth.estimate(ops.transform(payload, s))
+                 for s in settings_cls.all_combinations()}
+        best_possible += min(truth.values())
+        for name, est in estimators:
+            t0 = time.perf_counter()
+            _, chosen = auto_fn(payload, est, use_all_decorrelation_modes=True)
+            stats[name]["time"] += time.perf_counter() - t0
+            stats[name]["bytes"] += len(payload)
+            stats[name]["true_size"] += truth[chosen]
+    if not files:
+        print("no matching files", file=sys.stderr)
+        return 1
+    print(f"files: {files}; ground truth: zstd level {args.level}")
+    for name, _ in estimators:
+        s = stats[name]
+        acc = 100.0 * best_possible / s["true_size"] if s["true_size"] else 0.0
+        print(f"  {name:8s} {format_throughput(s['bytes'], s['time']):>14s}  "
+              f"selection efficiency {acc:6.2f}% (100% = always picks the true best)")
+    return 0
+
+
 def register(sub):
     for fmt in ("bc1", "bc2", "bc3"):
         p = sub.add_parser(f"debug-{fmt}", help=f"debug commands for {fmt.upper()}")
@@ -155,3 +191,9 @@ def register(sub):
         p_b.add_argument("--warmup", type=int, default=1)
         p_b.add_argument("--iterations", type=int, default=5)
         p_b.set_defaults(fn=cmd_benchmark, format=fmt)
+
+        p_d = dsub.add_parser("benchmark-determine-best",
+                              help="estimator speed + selection quality")
+        p_d.add_argument("input")
+        p_d.add_argument("--level", type=int, default=16)
+        p_d.set_defaults(fn=cmd_benchmark_determine_best, format=fmt)

@@ -78,25 +78,39 @@ def find_all_files(root: Path):
 
 
 def _process_tree(args, work_fn, verb: str):
+    """Walk the tree and process every file, with per-file error isolation
+    (``util/core.rs:44``) and optional host-thread parallelism (the rayon analog,
+    ``commands/transform/mod.rs:166-187``; the host fast path releases the GIL in
+    native code, device work serializes anyway)."""
     src, dst = Path(args.input), Path(args.output)
     files = find_all_files(src)
     if not files:
         print(f"no files found under {src}", file=sys.stderr)
         return 1
-    total = 0
-    failures = 0
+    failures = []
     t0 = time.perf_counter()
-    for f in files:
+
+    def one(f: Path) -> int:
         rel = f.relative_to(src) if src.is_dir() else f.name
         out = dst / rel if src.is_dir() else dst
         out.parent.mkdir(parents=True, exist_ok=True)
         try:
-            total += work_fn(f, out)
-        except Exception as e:  # per-file error isolation (util/core.rs:44)
-            failures += 1
+            return work_fn(f, out)
+        except Exception as e:
+            failures.append(f)
             print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+            return 0
+
+    threads = getattr(args, "threads", 1)
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            total = sum(pool.map(one, files))
+    else:
+        total = sum(one(f) for f in files)
     dt = time.perf_counter() - t0
-    print(f"{verb} {len(files) - failures}/{len(files)} files, "
+    print(f"{verb} {len(files) - len(failures)}/{len(files)} files, "
           f"{format_bytes(total)} in {dt:.2f}s ({format_throughput(total, dt)})")
     return 1 if failures else 0
 
@@ -132,11 +146,14 @@ def main(argv=None):
     p_t.add_argument("output", help="output file or directory")
     p_t.add_argument("--preset", default="optimal",
                      choices=["low", "medium", "optimal", "max"])
+    p_t.add_argument("--threads", type=int, default=os.cpu_count() or 1,
+                     help="host worker threads (device work serializes regardless)")
     p_t.set_defaults(fn=cmd_transform)
 
     p_u = sub.add_parser("untransform", help="restore original files byte-for-byte")
     p_u.add_argument("input")
     p_u.add_argument("output")
+    p_u.add_argument("--threads", type=int, default=os.cpu_count() or 1)
     p_u.set_defaults(fn=cmd_untransform)
 
     from . import debug as _debug
