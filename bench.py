@@ -77,6 +77,26 @@ def main():
     t_auto = _bench(lambda f: bc1_auto_step_single(f), flat, iters=20)
     details["bc1_auto_transform_MiBps"] = nbytes / t_auto / (1 << 20)
 
+    # Compression ratio on a synthetic encoded-texture corpus (8x 512^2 BC1)
+    import zstandard as _z
+
+    from dxt_lossless_transform_tpu.estimate import ZstdEstimation as _ZE
+    from dxt_lossless_transform_tpu.ops import auto as _auto
+    from dxt_lossless_transform_tpu.utils.encode import encode_bc1, procedural_texture
+
+    cctx16 = _z.ZstdCompressor(level=16)
+    est1 = _ZE(1)
+    plain_total = trans_total = 0
+    for seed in range(8):
+        payload = encode_bc1(procedural_texture(512, seed=seed)[..., :3])
+        out, _ = _auto.transform_bc1_auto(payload, est1, use_all_decorrelation_modes=True)
+        plain_total += len(cctx16.compress(payload))
+        trans_total += len(cctx16.compress(out))
+    details["corpus_ratio"] = {
+        "plain_zstd16": plain_total, "transformed_zstd16": trans_total,
+        "reduction_pct": round(100.0 * (1 - trans_total / plain_total), 2),
+    }
+
     # Compression-ratio parity on the reference corpus asset (if mounted)
     try:
         import zstandard

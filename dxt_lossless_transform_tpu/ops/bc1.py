@@ -22,7 +22,7 @@ import numpy as np
 from ..oracle import bc1 as _oracle
 from .. import runtime as _native
 from ..settings import Bc1TransformSettings
-from . import lanes, ycocg
+from . import hostwrap, lanes, ycocg
 from .pallas import shuffle as _pk
 
 BLOCK_SIZE = 8
@@ -114,43 +114,32 @@ def _pad_words(buf: bytes, n_words: int) -> np.ndarray:
 def transform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
         raise ValueError(f"BC1 data length {len(data)} not divisible by {BLOCK_SIZE}")
-    n = len(data) // BLOCK_SIZE
-    if n == 0:
+    if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
         if _native.available():
             return _native.bc1_transform(data, int(settings.decorrelation_mode),
-                                           settings.split_colour_endpoints)
+                                         settings.split_colour_endpoints)
         return _oracle.transform(data, settings)
-    padded = _pad_words(data, 2 * lanes.bucket_size(n))
     variant = jnp.int32(int(settings.decorrelation_mode))
-    if settings.split_colour_endpoints:
-        c0w, c1w, idx = jax.device_get(transform_device(padded, variant, True))
-        return (c0w.astype("<u4").tobytes()[:2 * n] + c1w.astype("<u4").tobytes()[:2 * n]
-                + idx[:n].astype("<u4").tobytes())
-    colors, idx = jax.device_get(transform_device(padded, variant, False))
-    return colors[:n].astype("<u4").tobytes() + idx[:n].astype("<u4").tobytes()
+    split = settings.split_colour_endpoints
+    return hostwrap.transform_chunked(
+        data, BLOCK_SIZE, 2, hostwrap.bc1_stream_spec(settings),
+        lambda flat: transform_device(flat, variant, split))
 
 
 def untransform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
         raise ValueError(f"BC1 data length {len(data)} not divisible by {BLOCK_SIZE}")
-    n = len(data) // BLOCK_SIZE
-    if n == 0:
+    if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
         if _native.available():
             return _native.bc1_untransform(data, int(settings.decorrelation_mode),
-                                             settings.split_colour_endpoints)
+                                           settings.split_colour_endpoints)
         return _oracle.untransform(data, settings)
-    half = len(data) // 2
-    npad = lanes.bucket_size(n)
     variant = jnp.int32(int(settings.decorrelation_mode))
-    idx = _pad_words(data[half:], npad)
-    if settings.split_colour_endpoints:
-        q = len(data) // 4
-        streams = (_pad_words(data[:q], npad // 2), _pad_words(data[q:half], npad // 2), idx)
-        flat = untransform_device(streams, variant, True)
-    else:
-        flat = untransform_device((_pad_words(data[:half], npad), idx), variant, False)
-    return np.asarray(jax.device_get(flat)).astype("<u4").tobytes()[: 8 * n]
+    split = settings.split_colour_endpoints
+    return hostwrap.untransform_chunked(
+        data, BLOCK_SIZE, 2, hostwrap.bc1_stream_spec(settings),
+        lambda streams: untransform_device(streams, variant, split))

@@ -17,7 +17,7 @@ import numpy as np
 from ..oracle import bc2 as _oracle
 from .. import runtime as _native
 from ..settings import Bc2TransformSettings
-from . import lanes
+from . import hostwrap, lanes
 from .bc1 import _pad_words, decorrelate_halves, recorrelate_halves
 from .pallas import shuffle as _pk
 
@@ -87,53 +87,32 @@ def untransform_words_fused(flat, variant, split: bool):
 def transform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
         raise ValueError(f"BC2 data length {len(data)} not divisible by {BLOCK_SIZE}")
-    n = len(data) // BLOCK_SIZE
-    if n == 0:
+    if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
         if _native.available():
             return _native.bc2_transform(data, int(settings.decorrelation_mode),
-                                           settings.split_colour_endpoints)
+                                         settings.split_colour_endpoints)
         return _oracle.transform(data, settings)
-    padded = _pad_words(data, 4 * lanes.bucket_size(n))
     variant = jnp.int32(int(settings.decorrelation_mode))
-    out = jax.device_get(transform_device(padded, variant, settings.split_colour_endpoints))
-    parts = [out[0].astype("<u4").tobytes()[:8 * n]]
-    if settings.split_colour_endpoints:
-        parts += [out[1].astype("<u4").tobytes()[:2 * n],
-                  out[2].astype("<u4").tobytes()[:2 * n],
-                  out[3][:n].astype("<u4").tobytes()]
-    else:
-        parts += [out[1][:n].astype("<u4").tobytes(), out[2][:n].astype("<u4").tobytes()]
-    return b"".join(parts)
+    split = settings.split_colour_endpoints
+    return hostwrap.transform_chunked(
+        data, BLOCK_SIZE, 4, hostwrap.bc2_stream_spec(settings),
+        lambda flat: transform_device(flat, variant, split))
 
 
 def untransform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
         raise ValueError(f"BC2 data length {len(data)} not divisible by {BLOCK_SIZE}")
-    n = len(data) // BLOCK_SIZE
-    if n == 0:
+    if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
         if _native.available():
             return _native.bc2_untransform(data, int(settings.decorrelation_mode),
-                                             settings.split_colour_endpoints)
+                                           settings.split_colour_endpoints)
         return _oracle.untransform(data, settings)
-    half = len(data) // 2
-    npad = lanes.bucket_size(n)
     variant = jnp.int32(int(settings.decorrelation_mode))
-    alpha_words = _pad_words(data[:half], 2 * npad)
-    if settings.split_colour_endpoints:
-        eighth = len(data) // 8
-        streams = (alpha_words,
-                   _pad_words(data[half:half + eighth], npad // 2),
-                   _pad_words(data[half + eighth:half + 2 * eighth], npad // 2),
-                   _pad_words(data[half + 2 * eighth:], npad))
-        flat = untransform_device(streams, variant, True)
-    else:
-        quarter = len(data) // 4
-        streams = (alpha_words,
-                   _pad_words(data[half:half + quarter], npad),
-                   _pad_words(data[half + quarter:], npad))
-        flat = untransform_device(streams, variant, False)
-    return np.asarray(jax.device_get(flat)).astype("<u4").tobytes()[: 16 * n]
+    split = settings.split_colour_endpoints
+    return hostwrap.untransform_chunked(
+        data, BLOCK_SIZE, 4, hostwrap.bc2_stream_spec(settings),
+        lambda streams: untransform_device(streams, variant, split))

@@ -21,7 +21,7 @@ import numpy as np
 from ..oracle import bc3 as _oracle
 from .. import runtime as _native
 from ..settings import Bc3TransformSettings
-from . import lanes
+from . import hostwrap, lanes
 from .bc1 import _pad_words, decorrelate_halves, recorrelate_halves
 from .pallas import shuffle as _pk
 
@@ -116,8 +116,7 @@ def untransform_words_fused(flat, variant, split_alpha: bool, split_colour: bool
 def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
         raise ValueError(f"BC3 data length {len(data)} not divisible by {BLOCK_SIZE}")
-    n = len(data) // BLOCK_SIZE
-    if n == 0:
+    if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
         if _native.available():
@@ -125,31 +124,17 @@ def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> 
                                          settings.split_alpha_endpoints,
                                          settings.split_colour_endpoints)
         return _oracle.transform(data, settings)
-    padded = _pad_words(data, 4 * lanes.bucket_size(n))
     variant = jnp.int32(int(settings.decorrelation_mode))
-    out = list(jax.device_get(transform_device(
-        padded, variant, settings.split_alpha_endpoints, settings.split_colour_endpoints)))
-    parts = []
-    if settings.split_alpha_endpoints:
-        parts.append(out.pop(0).astype("<u4").tobytes()[:n])
-        parts.append(out.pop(0).astype("<u4").tobytes()[:n])
-    else:
-        parts.append(out.pop(0).astype("<u4").tobytes()[:2 * n])
-    parts.append(out.pop(0).astype("<u4").tobytes()[:6 * n])
-    if settings.split_colour_endpoints:
-        parts.append(out.pop(0).astype("<u4").tobytes()[:2 * n])
-        parts.append(out.pop(0).astype("<u4").tobytes()[:2 * n])
-    else:
-        parts.append(out.pop(0)[:n].astype("<u4").tobytes())
-    parts.append(out.pop(0)[:n].astype("<u4").tobytes())
-    return b"".join(parts)
+    sa, sc = settings.split_alpha_endpoints, settings.split_colour_endpoints
+    return hostwrap.transform_chunked(
+        data, BLOCK_SIZE, 4, hostwrap.bc3_stream_spec(settings),
+        lambda flat: transform_device(flat, variant, sa, sc))
 
 
 def untransform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
         raise ValueError(f"BC3 data length {len(data)} not divisible by {BLOCK_SIZE}")
-    n = len(data) // BLOCK_SIZE
-    if n == 0:
+    if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
         if _native.available():
@@ -157,22 +142,8 @@ def untransform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -
                                            settings.split_alpha_endpoints,
                                            settings.split_colour_endpoints)
         return _oracle.untransform(data, settings)
-    npad = lanes.bucket_size(n)
     variant = jnp.int32(int(settings.decorrelation_mode))
-    streams = []
-    if settings.split_alpha_endpoints:
-        streams.append(_pad_words(data[:n], npad // 4))
-        streams.append(_pad_words(data[n:2 * n], npad // 4))
-    else:
-        streams.append(_pad_words(data[:2 * n], npad // 2))
-    streams.append(_pad_words(data[2 * n:8 * n], 3 * npad // 2))
-    if settings.split_colour_endpoints:
-        streams.append(_pad_words(data[8 * n:10 * n], npad // 2))
-        streams.append(_pad_words(data[10 * n:12 * n], npad // 2))
-    else:
-        streams.append(_pad_words(data[8 * n:12 * n], npad))
-    streams.append(_pad_words(data[12 * n:16 * n], npad))
-    flat = untransform_device(tuple(streams), variant,
-                              settings.split_alpha_endpoints,
-                              settings.split_colour_endpoints)
-    return np.asarray(jax.device_get(flat)).astype("<u4").tobytes()[: 16 * n]
+    sa, sc = settings.split_alpha_endpoints, settings.split_colour_endpoints
+    return hostwrap.untransform_chunked(
+        data, BLOCK_SIZE, 4, hostwrap.bc3_stream_spec(settings),
+        lambda streams: untransform_device(streams, variant, sa, sc))
