@@ -1,4 +1,4 @@
-"""Corpus batch pipeline: many textures per device step.
+"""Corpus batch pipeline: many textures per device step (BC1/BC2/BC3).
 
 The CLI analog of the reference's rayon work-stealing loop
 (``commands/transform/mod.rs:166-187``) rebuilt for accelerators: per-file dispatch
@@ -11,16 +11,17 @@ emitted in submission order (the ordered-gather contract from BASELINE.json).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..settings import BC1_FAST_CANDIDATES, Bc1TransformSettings
+from ..settings import (
+    BC1_FAST_CANDIDATES, BC2_FAST_CANDIDATES, BC3_FAST_CANDIDATES,
+)
 from ..ops import lanes
-from .sharded import bc1_auto_step, bc1_auto_step_single
-from .mesh import make_mesh
+from . import sharded
 
 
 @dataclass
@@ -29,39 +30,105 @@ class BatchResult:
 
     index: int
     transformed: bytes
-    settings: Bc1TransformSettings
+    settings: object
 
 
-class Bc1BatchProcessor:
-    """Pack BC1 payloads into fixed-shape batches and auto-transform them on device.
+def _u16s(arr, n) -> bytes:
+    return arr[:n].astype("<u2").tobytes()
+
+
+def _u32s(arr, n) -> bytes:
+    return arr[:n].astype("<u4").tobytes()
+
+
+def _pair_u16(a, b, n) -> bytes:
+    out = np.empty((n, 2), "<u2")
+    out[:, 0] = a[:n]
+    out[:, 1] = b[:n]
+    return out.tobytes()
+
+
+def _serialize_bc1(streams, n, s) -> bytes:
+    d0, d1, idx = streams
+    colours = (_u16s(d0, n) + _u16s(d1, n)) if s.split_colour_endpoints \
+        else _pair_u16(d0, d1, n)
+    return colours + _u32s(idx, n)
+
+
+def _serialize_bc2(streams, n, s) -> bytes:
+    a_lo, a_hi, d0, d1, idx = streams
+    alpha = np.empty((n, 2), "<u4")
+    alpha[:, 0] = a_lo[:n]
+    alpha[:, 1] = a_hi[:n]
+    colours = (_u16s(d0, n) + _u16s(d1, n)) if s.split_colour_endpoints \
+        else _pair_u16(d0, d1, n)
+    return alpha.tobytes() + colours + _u32s(idx, n)
+
+
+def _serialize_bc3(streams, n, s) -> bytes:
+    ep, h1, h2, h3, d0, d1, cidx = streams
+    if s.split_alpha_endpoints:
+        alpha = ((ep[:n] & 0xFF).astype(np.uint8).tobytes()
+                 + (ep[:n] >> 8).astype(np.uint8).tobytes())
+    else:
+        alpha = _u16s(ep, n)
+    aidx = np.empty((n, 3), "<u2")
+    aidx[:, 0], aidx[:, 1], aidx[:, 2] = h1[:n], h2[:n], h3[:n]
+    colours = (_u16s(d0, n) + _u16s(d1, n)) if s.split_colour_endpoints \
+        else _pair_u16(d0, d1, n)
+    return alpha + aidx.tobytes() + colours + _u32s(cidx, n)
+
+
+_FORMATS = {
+    "bc1": dict(block_size=8, words=2, candidates=BC1_FAST_CANDIDATES,
+                single=sharded.bc1_auto_step_single, step=sharded.bc1_auto_step,
+                serialize=_serialize_bc1,
+                key=lambda c: (int(c.decorrelation_mode), c.split_colour_endpoints)),
+    "bc2": dict(block_size=16, words=4, candidates=BC2_FAST_CANDIDATES,
+                single=sharded.bc2_auto_step_single, step=sharded.bc2_auto_step,
+                serialize=_serialize_bc2,
+                key=lambda c: (int(c.decorrelation_mode), c.split_colour_endpoints)),
+    "bc3": dict(block_size=16, words=4, candidates=BC3_FAST_CANDIDATES,
+                single=sharded.bc3_auto_step_single, step=sharded.bc3_auto_step,
+                serialize=_serialize_bc3,
+                key=lambda c: (int(c.decorrelation_mode), c.split_alpha_endpoints,
+                               c.split_colour_endpoints)),
+}
+
+
+class BatchProcessor:
+    """Pack payloads of one texture format into fixed-shape batches and
+    auto-transform them on device.
 
     ``mesh=None`` runs single-device (vmap over the batch); with a mesh the batch is
     sharded ``P("files", "blocks")``.
     """
 
-    def __init__(self, mesh=None, candidates: Sequence[Bc1TransformSettings] = BC1_FAST_CANDIDATES,
-                 max_batch: int = 64):
+    def __init__(self, fmt: str, mesh=None, candidates=None, max_batch: int = 64):
+        cfg = _FORMATS[fmt]
+        self.cfg = cfg
         self.mesh = mesh
-        self.candidates = tuple(candidates)
-        self._cand_key = tuple(
-            (int(c.decorrelation_mode), c.split_colour_endpoints) for c in self.candidates)
+        self.candidates = tuple(candidates if candidates is not None
+                                else cfg["candidates"])
+        self._cand_key = tuple(cfg["key"](c) for c in self.candidates)
         self.max_batch = max_batch
-        self._step = (bc1_auto_step(mesh, self._cand_key) if mesh is not None else None)
+        self._step = (cfg["step"](mesh, self._cand_key) if mesh is not None else None)
 
     def _run_batch(self, flats: np.ndarray, valid: np.ndarray):
         if self._step is not None:
             return self._step(jnp.asarray(flats), jnp.asarray(valid))
-        single = lambda f, v: bc1_auto_step_single(f, v, candidates=self._cand_key)
+        single = lambda f, v: self.cfg["single"](f, v, candidates=self._cand_key)
         return jax.vmap(single)(jnp.asarray(flats), jnp.asarray(valid))
 
     def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:
         """Transform every payload; results returned in submission order."""
+        bs, wpb = self.cfg["block_size"], self.cfg["words"]
         order: List[Optional[BatchResult]] = [None] * len(payloads)
         by_bucket: dict = {}
         for i, data in enumerate(payloads):
-            if len(data) % 8:
-                raise ValueError(f"payload {i}: length {len(data)} not divisible by 8")
-            n = len(data) // 8
+            if len(data) % bs:
+                raise ValueError(f"payload {i}: length {len(data)} not divisible by {bs}")
+            n = len(data) // bs
             if n == 0:
                 order[i] = BatchResult(i, b"", self.candidates[-1])
                 continue
@@ -72,43 +139,42 @@ class Bc1BatchProcessor:
             for start in range(0, len(indices), self.max_batch):
                 chunk = indices[start:start + self.max_batch]
                 batch = len(chunk)
-                # pad the batch to a multiple of the files axis (replicate last file)
                 padded_batch = -(-batch // files_axis) * files_axis
-                flats = np.zeros((padded_batch, 2 * bucket), np.uint32)
+                flats = np.zeros((padded_batch, wpb * bucket), np.uint32)
                 valid = np.zeros(padded_batch, np.int32)
                 for row, idx in enumerate(chunk):
                     w = np.frombuffer(payloads[idx], "<u4")
                     flats[row, :len(w)] = w
-                    valid[row] = 4 * (len(w) // 2)
+                    valid[row] = 4 * (len(w) // wpb)
                 for row in range(batch, padded_batch):
                     flats[row] = flats[batch - 1]
                     valid[row] = valid[batch - 1]
 
-                c0, c1, idx_s, best = jax.device_get(self._run_batch(flats, valid))
+                out = jax.device_get(self._run_batch(flats, valid))
+                streams, best = out[:-1], out[-1]
                 for row, file_idx in enumerate(chunk):
-                    n = len(payloads[file_idx]) // 8
+                    n = len(payloads[file_idx]) // bs
                     settings = self.candidates[int(best[row])]
+                    row_streams = [s[row] for s in streams]
                     order[file_idx] = BatchResult(
-                        file_idx,
-                        _serialize_bc1(c0[row], c1[row], idx_s[row], n, settings),
+                        file_idx, self.cfg["serialize"](row_streams, n, settings),
                         settings)
         return [r for r in order if r is not None]
 
 
-def _serialize_bc1(d0: np.ndarray, d1: np.ndarray, idx: np.ndarray, n: int,
-                   settings: Bc1TransformSettings) -> bytes:
-    """Assemble a file's byte image from the step's split-form streams.
+class Bc1BatchProcessor(BatchProcessor):
+    def __init__(self, mesh=None, candidates=None, max_batch: int = 64):
+        super().__init__("bc1", mesh, candidates, max_batch)
 
-    The step always returns decorrelated split streams; the non-split layout is the
-    same bytes interleaved, so both layouts serialize without re-running anything.
-    """
-    if settings.split_colour_endpoints:
-        return (d0[:n].astype("<u2").tobytes() + d1[:n].astype("<u2").tobytes()
-                + idx[:n].astype("<u4").tobytes())
-    colors = np.empty((n, 2), "<u2")
-    colors[:, 0] = d0[:n]
-    colors[:, 1] = d1[:n]
-    return colors.tobytes() + idx[:n].astype("<u4").tobytes()
+
+class Bc2BatchProcessor(BatchProcessor):
+    def __init__(self, mesh=None, candidates=None, max_batch: int = 64):
+        super().__init__("bc2", mesh, candidates, max_batch)
+
+
+class Bc3BatchProcessor(BatchProcessor):
+    def __init__(self, mesh=None, candidates=None, max_batch: int = 64):
+        super().__init__("bc3", mesh, candidates, max_batch)
 
 
 def transform_corpus_bc1(payloads: Sequence[bytes], mesh=None,

@@ -1,15 +1,19 @@
-"""Sharded end-to-end auto-transform steps.
+"""Sharded end-to-end auto-transform steps (BC1/BC2/BC3).
 
-``bc1_auto_step`` is the production multi-chip pipeline step and the analog of a
-"training step" for this framework: a batch of texture block streams goes in, the
-batched candidate search + estimator + per-file argmin + winning transform happen
-on-device, and the sharded output streams plus the chosen-candidate index come out.
+These are the production multi-chip pipeline steps and the analog of a "training
+step" for this framework: a batch of texture block streams goes in, the batched
+candidate search + estimator + per-file argmin + winning transform happen on-device,
+and the sharded output streams plus the chosen-candidate index come out.
 
-Sharding contract: inputs are placed with ``P("files", "blocks", ...)`` -- the batch
+Sharding contract: inputs are placed with ``P("files", "blocks")`` -- the batch
 dimension across the DCN-ish axis, the block dimension across ICI. The transform is
 per-block pure (zero communication); the estimator's coverage reduction induces one
 small halo exchange per sampled offset plus a psum -- all inserted automatically by
 GSPMD from the sharding annotations.
+
+Each single-texture step returns *maximally split lane streams* decorrelated with the
+winning candidate's variant -- every on-disk layout family serializes from them with
+pure host-side packing, so the step's output shapes stay static across candidates.
 """
 
 from __future__ import annotations
@@ -24,22 +28,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..estimate.ltu import DEFAULT_OFFSETS, _coverage_scores
 from ..ops import lanes, ycocg
 from ..ops.auto import _colour_region_row, _decorrelated_pairs
-from ..settings import BC1_FAST_CANDIDATES
+from ..settings import BC1_FAST_CANDIDATES, BC2_FAST_CANDIDATES, BC3_FAST_CANDIDATES
 
-_DEFAULT_CANDIDATES: Tuple[Tuple[int, bool], ...] = tuple(
+_BC1_CANDIDATES: Tuple[Tuple[int, bool], ...] = tuple(
     (int(c.decorrelation_mode), c.split_colour_endpoints) for c in BC1_FAST_CANDIDATES)
+_BC2_CANDIDATES: Tuple[Tuple[int, bool], ...] = tuple(
+    (int(c.decorrelation_mode), c.split_colour_endpoints) for c in BC2_FAST_CANDIDATES)
+_BC3_CANDIDATES: Tuple[Tuple[int, bool, bool], ...] = tuple(
+    (int(c.decorrelation_mode), c.split_alpha_endpoints, c.split_colour_endpoints)
+    for c in BC3_FAST_CANDIDATES)
+
+
+def _pick_and_decorrelate(colors, candidates, variant_col, scores):
+    best = jnp.argmin(scores).astype(jnp.int32)
+    variants = jnp.asarray([c[variant_col] for c in candidates], jnp.int32)
+    c0, c1 = lanes.split_u32(colors)
+    d0 = ycocg.decorrelate(c0, variants[best])
+    d1 = ycocg.decorrelate(c1, variants[best])
+    return d0, d1, best
 
 
 @partial(jax.jit, static_argnames=("candidates", "offsets"))
 def bc1_auto_step_single(flat, valid_len=None,
-                         candidates: Tuple[Tuple[int, bool], ...] = _DEFAULT_CANDIDATES,
+                         candidates: Tuple[Tuple[int, bool], ...] = _BC1_CANDIDATES,
                          offsets: Tuple[int, ...] = DEFAULT_OFFSETS):
-    """Single-texture auto step: flat uint32[2N] word image -> (c0, c1, indices, best).
-
-    Always returns the split-form u16 lane streams decorrelated with the winning
-    candidate's variant; the host serializes either layout from them (interleaving
-    is free).
-    """
+    """Flat uint32[2N] word image -> (c0, c1, indices, best)."""
     n = flat.shape[0] // 2
     if valid_len is None:
         valid_len = jnp.int32(4 * n)
@@ -48,32 +61,81 @@ def bc1_auto_step_single(flat, valid_len=None,
     regions = jnp.stack([_colour_region_row(dec[v], split)
                          for v, split in candidates])
     scores = _coverage_scores(regions, valid_len, offsets)
-    best = jnp.argmin(scores).astype(jnp.int32)
-
-    variants = jnp.asarray([v for v, _ in candidates], jnp.int32)
-    c0, c1 = lanes.split_u32(colors)
-    d0 = ycocg.decorrelate(c0, variants[best])
-    d1 = ycocg.decorrelate(c1, variants[best])
+    d0, d1, best = _pick_and_decorrelate(colors, candidates, 0, scores)
     return d0, d1, indices, best
 
 
-def bc1_auto_step(mesh: Mesh,
-                  candidates: Tuple[Tuple[int, bool], ...] = _DEFAULT_CANDIDATES,
-                  offsets: Tuple[int, ...] = DEFAULT_OFFSETS):
-    """Build the jitted batched step for ``mesh``.
+@partial(jax.jit, static_argnames=("candidates", "offsets"))
+def bc2_auto_step_single(flat, valid_len=None,
+                         candidates: Tuple[Tuple[int, bool], ...] = _BC2_CANDIDATES,
+                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS):
+    """Flat uint32[4N] word image -> (alpha_lo, alpha_hi, c0, c1, indices, best).
 
-    Returns ``step(flat (B, 2N) uint32 word images, valid_len (B,) int32) ->
-    (c0 (B,N) int32, c1 (B,N) int32, indices (B,N) uint32, best (B,) int32)``
-    with inputs/outputs sharded ``P("files", "blocks")``.
+    ``valid_len`` counts colour-region bytes (4 per block).
     """
+    n = flat.shape[0] // 4
+    if valid_len is None:
+        valid_len = jnp.int32(4 * n)
+    a_lo, a_hi, colors, idx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+    dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
+    regions = jnp.stack([_colour_region_row(dec[v], split)
+                         for v, split in candidates])
+    scores = _coverage_scores(regions, valid_len, offsets)
+    d0, d1, best = _pick_and_decorrelate(colors, candidates, 0, scores)
+    return a_lo, a_hi, d0, d1, idx, best
+
+
+@partial(jax.jit, static_argnames=("candidates", "offsets"))
+def bc3_auto_step_single(flat, valid_len=None,
+                         candidates: Tuple[Tuple[int, bool, bool], ...] = _BC3_CANDIDATES,
+                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS):
+    """Flat uint32[4N] word image -> (ep, h1, h2, h3, c0, c1, cidx, best).
+
+    Alpha endpoints (``ep``) and the three alpha-index u16 lanes come back unpacked;
+    the host packs whichever of the 8 layout families won. ``valid_len`` counts
+    colour-region bytes (4 per block); the alpha region is valid_len // 2.
+    """
+    n = flat.shape[0] // 4
+    if valid_len is None:
+        valid_len = jnp.int32(4 * n)
+    w0, w1, colors, cidx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+    ep, h1 = lanes.split_u32(w0)
+    h2, h3 = lanes.split_u32(w1)
+    dec = _decorrelated_pairs(colors, [v for v, _, _ in candidates])
+    alpha_interleaved = lanes.u16_to_byte_lanes(ep).astype(jnp.uint8)
+    alpha_split = jnp.concatenate([ep & 0xFF, ep >> 8]).astype(jnp.uint8)
+    alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
+                            for _, sa, _ in candidates])
+    colour_rows = jnp.stack([_colour_region_row(dec[v], sc)
+                             for v, _, sc in candidates])
+    scores = (_coverage_scores(alpha_rows, valid_len // 2, offsets)
+              + _coverage_scores(colour_rows, valid_len, offsets))
+    d0, d1, best = _pick_and_decorrelate(colors, candidates, 0, scores)
+    return ep, h1, h2, h3, d0, d1, cidx, best
+
+
+def _batched(mesh: Mesh, single, n_outputs: int, candidates, offsets):
     files_blocks = NamedSharding(mesh, P("files", "blocks"))
     files_sh = NamedSharding(mesh, P("files"))
 
     def step(flat, valid_len):
-        single = partial(bc1_auto_step_single.__wrapped__,
-                         candidates=candidates, offsets=offsets)
-        return jax.vmap(single)(flat, valid_len)
+        fn = partial(single.__wrapped__, candidates=candidates, offsets=offsets)
+        return jax.vmap(fn)(flat, valid_len)
 
-    return jax.jit(step,
-                   in_shardings=(files_blocks, files_sh),
-                   out_shardings=(files_blocks, files_blocks, files_blocks, files_sh))
+    out_sh = (files_blocks,) * (n_outputs - 1) + (files_sh,)
+    return jax.jit(step, in_shardings=(files_blocks, files_sh), out_shardings=out_sh)
+
+
+def bc1_auto_step(mesh: Mesh, candidates=_BC1_CANDIDATES, offsets=DEFAULT_OFFSETS):
+    """Batched+sharded BC1 step: (B, 2N) words -> 3 stream arrays + best (B,)."""
+    return _batched(mesh, bc1_auto_step_single, 4, candidates, offsets)
+
+
+def bc2_auto_step(mesh: Mesh, candidates=_BC2_CANDIDATES, offsets=DEFAULT_OFFSETS):
+    """Batched+sharded BC2 step: (B, 4N) words -> 5 stream arrays + best (B,)."""
+    return _batched(mesh, bc2_auto_step_single, 6, candidates, offsets)
+
+
+def bc3_auto_step(mesh: Mesh, candidates=_BC3_CANDIDATES, offsets=DEFAULT_OFFSETS):
+    """Batched+sharded BC3 step: (B, 4N) words -> 7 stream arrays + best (B,)."""
+    return _batched(mesh, bc3_auto_step_single, 8, candidates, offsets)

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from dxt_lossless_transform_tpu.estimate import LtuEstimation
 from dxt_lossless_transform_tpu.oracle import bc1 as obc1
 from dxt_lossless_transform_tpu.ops import auto as ops_auto
-from dxt_lossless_transform_tpu.parallel import bc1_auto_step, bc1_auto_step_single, make_mesh
+from dxt_lossless_transform_tpu.parallel import bc1_auto_step, bc1_auto_step_single, make_mesh  # noqa
 from dxt_lossless_transform_tpu.parallel.distributed import initialize, is_primary
 from dxt_lossless_transform_tpu.parallel.pipeline import Bc1BatchProcessor
 from dxt_lossless_transform_tpu.settings import BC1_FAST_CANDIDATES
@@ -73,3 +73,18 @@ def test_batch_pipeline_roundtrip(use_mesh):
 def test_distributed_helpers_single_process():
     assert initialize(num_processes=1) is False
     assert is_primary() is True
+
+
+@pytest.mark.parametrize("fmt", ["bc2", "bc3"])
+def test_batch_pipeline_bc2_bc3(fmt):
+    from dxt_lossless_transform_tpu.parallel.pipeline import BatchProcessor
+    from dxt_lossless_transform_tpu.oracle import bc2 as obc2, bc3 as obc3
+
+    gen = {"bc2": testgen.bc2_realistic, "bc3": testgen.bc3_realistic}[fmt]
+    oracle = {"bc2": obc2, "bc3": obc3}[fmt]
+    proc = BatchProcessor(fmt, mesh=make_mesh(8), max_batch=4)
+    payloads = [gen(n, seed=n) for n in (100, 2048, 3000)]
+    results = proc.process(payloads)
+    for r, data in zip(results, payloads):
+        assert r.transformed == oracle.transform(data, r.settings)
+        assert oracle.untransform(r.transformed, r.settings) == data
