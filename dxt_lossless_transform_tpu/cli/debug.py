@@ -171,7 +171,49 @@ def cmd_benchmark_determine_best(args):
     return 0
 
 
+def cmd_format_analysis(args):
+    """Corpus composition report (``debug-format-analysis`` analog): format,
+    dimension, and mip-count distribution of every parseable DDS under a tree."""
+    from collections import Counter
+
+    from ..formats.dds import parse_dds
+    from .main import find_all_files
+
+    formats = Counter()
+    sizes = Counter()
+    total_payload = 0
+    files = 0
+    for f in find_all_files(Path(args.input)):
+        try:
+            data = f.read_bytes()
+        except OSError:
+            continue
+        info = parse_dds(data)
+        if info is None:
+            continue
+        files += 1
+        formats[info.format.name] += 1
+        total_payload += info.data_length
+        import struct
+        w = struct.unpack_from("<I", data, 0x10)[0]
+        h = struct.unpack_from("<I", data, 0x0C)[0]
+        sizes[f"{w}x{h}"] += 1
+    if not files:
+        print("no DDS files found", file=sys.stderr)
+        return 1
+    print(f"{files} DDS files, {format_bytes(total_payload)} texture payload")
+    for name, count in formats.most_common():
+        print(f"  {name:10s} {count}")
+    for dim, count in sizes.most_common(10):
+        print(f"  {dim:12s} {count}")
+    return 0
+
+
 def register(sub):
+    p_fa = sub.add_parser("debug-format-analysis", help="corpus composition report")
+    p_fa.add_argument("input")
+    p_fa.set_defaults(fn=cmd_format_analysis)
+
     for fmt in ("bc1", "bc2", "bc3"):
         p = sub.add_parser(f"debug-{fmt}", help=f"debug commands for {fmt.upper()}")
         dsub = p.add_subparsers(dest="debug_command", required=True)

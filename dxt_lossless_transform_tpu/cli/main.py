@@ -159,11 +159,15 @@ def main(argv=None):
     from . import debug as _debug
     _debug.register(sub)
 
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="capture a jax profiler trace into DIR")
     args = parser.parse_args(argv)
     _enable_persistent_compile_cache()
     from .. import runtime
     runtime.available() or runtime.build()  # host fast path wants the native library
-    return args.fn(args)
+    from ..utils.profiling import trace
+    with trace(args.profile):
+        return args.fn(args)
 
 
 if __name__ == "__main__":
