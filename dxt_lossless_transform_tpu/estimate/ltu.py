@@ -44,7 +44,6 @@ def _coverage_scores(regions, valid_len, offsets: tuple):
     b = regions.astype(jnp.uint8)
     length = b.shape[1]
     covered = jnp.zeros((b.shape[0], length - 2), dtype=jnp.bool_)
-    zero2 = jnp.zeros((b.shape[0], 0), jnp.bool_)
     for k in offsets:
         if k + 2 >= length:
             break

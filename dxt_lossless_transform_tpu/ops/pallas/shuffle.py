@@ -164,10 +164,7 @@ def _bc1_u_kernel(split: bool):
             colE_raw, colO_raw = _vmem_deinterleave(col_ref[:].astype(jnp.uint32), 2)
             c0E, c1E = _split_halves(colE_raw)
             c0O, c1O = _split_halves(colO_raw)
-        if split:
-            colE, colO = _recorr_pairs(variant, c0E, c1E, c0O, c1O)
-        else:
-            colE, colO = _recorr_pairs(variant, c0E, c1E, c0O, c1O)
+        colE, colO = _recorr_pairs(variant, c0E, c1E, c0O, c1O)
         idxE, idxO = _vmem_deinterleave(refs[-2][:].astype(jnp.uint32), 2)
         out_ref[:] = _vmem_interleave([colE, idxE, colO, idxO])
     return kernel
