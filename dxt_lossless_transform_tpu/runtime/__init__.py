@@ -86,13 +86,14 @@ def _buf(data) -> ctypes.POINTER(ctypes.c_uint8):
 
 
 def _run_transform(fn, data: bytes, *flags) -> bytes:
-    lib = _try_load()
-    out = ctypes.create_string_buffer(len(data))
-    rc = fn(_buf(data), ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)),
+    import numpy as np
+
+    out = np.empty(len(data), np.uint8)  # uninitialized; fn writes every byte
+    rc = fn(_buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             len(data), *[int(f) for f in flags])
     if rc != 0:
         raise ValueError(f"native transform failed (rc={rc}, len={len(data)})")
-    return out.raw
+    return out.tobytes()
 
 
 def bc1_transform(data: bytes, variant: int, split: bool) -> bytes:

@@ -97,38 +97,105 @@ static inline void store32(uint8_t* p, uint32_t v) { std::memcpy(p, &v, 4); }
 // ------------------------------------------------------------------ BC1 -------------
 // Layouts: bc1/src/transform/transform_with_settings.rs:41-59.
 
+// SWAR YCoCg: process BOTH u16 halves of a packed c0|c1<<16 word at once, with
+// guard bits stopping borrow/carry propagation across the 16-bit field boundary.
+// Pure u32 elementwise math -> the compiler auto-vectorizes the stream loops.
+
+template <int V>
+static inline uint32_t ycocg_decorrelate_pair(uint32_t p) {
+    if (V == 0) return p;
+    uint32_t r = (p >> 11) & 0x001F001F;
+    uint32_t g = (p >> 6) & 0x001F001F;
+    uint32_t gl = (p >> 5) & 0x00010001;
+    uint32_t b = p & 0x001F001F;
+    uint32_t co = ((r | 0x00200020) - b) & 0x001F001F;
+    uint32_t t = (b + ((co >> 1) & 0x000F000F)) & 0x001F001F;
+    uint32_t cg = ((g | 0x00200020) - t) & 0x001F001F;
+    uint32_t y = (t + ((cg >> 1) & 0x000F000F)) & 0x001F001F;
+    if (V == 1) return (y << 11) | (co << 6) | (gl << 5) | cg;
+    if (V == 2) return (gl << 15) | (y << 10) | (co << 5) | cg;
+    return (y << 11) | (co << 6) | (cg << 1) | gl;
+}
+
+template <int V>
+static inline uint32_t ycocg_recorrelate_pair(uint32_t p) {
+    if (V == 0) return p;
+    uint32_t y, co, cg, gl;
+    if (V == 1) {
+        y = (p >> 11) & 0x001F001F; co = (p >> 6) & 0x001F001F;
+        gl = (p >> 5) & 0x00010001; cg = p & 0x001F001F;
+    } else if (V == 2) {
+        gl = (p >> 15) & 0x00010001; y = (p >> 10) & 0x001F001F;
+        co = (p >> 5) & 0x001F001F; cg = p & 0x001F001F;
+    } else {
+        y = (p >> 11) & 0x001F001F; co = (p >> 6) & 0x001F001F;
+        cg = (p >> 1) & 0x001F001F; gl = p & 0x00010001;
+    }
+    uint32_t t = ((y | 0x00200020) - ((cg >> 1) & 0x000F000F)) & 0x001F001F;
+    uint32_t g = (cg + t) & 0x001F001F;
+    uint32_t b = ((t | 0x00200020) - ((co >> 1) & 0x000F000F)) & 0x001F001F;
+    uint32_t r = (b + co) & 0x001F001F;
+    return (r << 11) | (g << 6) | (gl << 5) | b;
+}
+
 template <int V, bool SPLIT>
 static void bc1_transform_impl(const uint8_t* in, uint8_t* out, size_t n) {
-    uint8_t* c0s = out;
-    uint8_t* c1s = out + 2 * n;
-    uint8_t* cols = out;
-    uint8_t* idxs = out + 4 * n;
-    for (size_t i = 0; i < n; i++) {
-        uint16_t c0 = ycocg_decorrelate_t<V>(load16(in + 8 * i));
-        uint16_t c1 = ycocg_decorrelate_t<V>(load16(in + 8 * i + 2));
-        if (SPLIT) {
-            store16(c0s + 2 * i, c0);
-            store16(c1s + 2 * i, c1);
-        } else {
-            store16(cols + 4 * i, c0);
-            store16(cols + 4 * i + 2, c1);
+    uint32_t* c0w = reinterpret_cast<uint32_t*>(out);
+    uint32_t* c1w = reinterpret_cast<uint32_t*>(out + 2 * n);
+    uint32_t* cols = reinterpret_cast<uint32_t*>(out);
+    uint32_t* idxs = reinterpret_cast<uint32_t*>(out + 4 * n);
+    size_t i = 0;
+    if (SPLIT) {
+        for (; i + 1 < n; i += 2) {  // two blocks -> one u32 store per stream
+            uint32_t p0 = ycocg_decorrelate_pair<V>(load32(in + 8 * i));
+            uint32_t p1 = ycocg_decorrelate_pair<V>(load32(in + 8 * i + 8));
+            c0w[i / 2] = (p0 & 0xFFFF) | (p1 << 16);
+            c1w[i / 2] = (p0 >> 16) | (p1 & 0xFFFF0000u);
+            idxs[i] = load32(in + 8 * i + 4);
+            idxs[i + 1] = load32(in + 8 * i + 12);
         }
-        store32(idxs + 4 * i, load32(in + 8 * i + 4));
+        for (; i < n; i++) {  // odd tail block: 16-bit stores
+            uint32_t p = ycocg_decorrelate_pair<V>(load32(in + 8 * i));
+            store16(out + 2 * i, (uint16_t)p);
+            store16(out + 2 * n + 2 * i, (uint16_t)(p >> 16));
+            idxs[i] = load32(in + 8 * i + 4);
+        }
+    } else {
+        for (; i < n; i++) {
+            cols[i] = ycocg_decorrelate_pair<V>(load32(in + 8 * i));
+            idxs[i] = load32(in + 8 * i + 4);
+        }
     }
 }
 
 template <int V, bool SPLIT>
 static void bc1_untransform_impl(const uint8_t* in, uint8_t* out, size_t n) {
-    const uint8_t* c0s = in;
-    const uint8_t* c1s = in + 2 * n;
-    const uint8_t* cols = in;
-    const uint8_t* idxs = in + 4 * n;
-    for (size_t i = 0; i < n; i++) {
-        uint16_t c0 = SPLIT ? load16(c0s + 2 * i) : load16(cols + 4 * i);
-        uint16_t c1 = SPLIT ? load16(c1s + 2 * i) : load16(cols + 4 * i + 2);
-        store16(out + 8 * i, ycocg_recorrelate_t<V>(c0));
-        store16(out + 8 * i + 2, ycocg_recorrelate_t<V>(c1));
-        store32(out + 8 * i + 4, load32(idxs + 4 * i));
+    const uint32_t* c0w = reinterpret_cast<const uint32_t*>(in);
+    const uint32_t* c1w = reinterpret_cast<const uint32_t*>(in + 2 * n);
+    const uint32_t* cols = reinterpret_cast<const uint32_t*>(in);
+    const uint32_t* idxs = reinterpret_cast<const uint32_t*>(in + 4 * n);
+    size_t i = 0;
+    if (SPLIT) {
+        for (; i + 1 < n; i += 2) {
+            uint32_t a = c0w[i / 2], b = c1w[i / 2];
+            store32(out + 8 * i,
+                    ycocg_recorrelate_pair<V>((a & 0xFFFF) | (b << 16)));
+            store32(out + 8 * i + 8,
+                    ycocg_recorrelate_pair<V>((a >> 16) | (b & 0xFFFF0000u)));
+            store32(out + 8 * i + 4, idxs[i]);
+            store32(out + 8 * i + 12, idxs[i + 1]);
+        }
+        for (; i < n; i++) {
+            uint32_t p = (uint32_t)load16(in + 2 * i)
+                       | ((uint32_t)load16(in + 2 * n + 2 * i) << 16);
+            store32(out + 8 * i, ycocg_recorrelate_pair<V>(p));
+            store32(out + 8 * i + 4, idxs[i]);
+        }
+    } else {
+        for (; i < n; i++) {
+            store32(out + 8 * i, ycocg_recorrelate_pair<V>(cols[i]));
+            store32(out + 8 * i + 4, idxs[i]);
+        }
     }
 }
 
