@@ -28,13 +28,28 @@ def _magicless_params(level: int) -> "zstandard.ZstdCompressionParameters":
 
 
 class ZstdEstimation(SizeEstimation):
-    """Estimate compressed size by actually compressing with magicless zstd."""
+    """Estimate compressed size by actually compressing with magicless zstd.
+
+    Compressor contexts are per-thread (zstandard compressors are not thread-safe;
+    the CLI runs estimators from a worker pool), and batches go through the native
+    runtime's GIL-free pthread driver when available.
+    """
 
     def __init__(self, level: int = 1):
         if not (1 <= level <= 22):
             raise ValueError(f"zstd level {level} out of range 1..22")
         self.level = level
-        self._cctx = zstandard.ZstdCompressor(compression_params=_magicless_params(level))
+        import threading
+
+        self._local = threading.local()
+
+    @property
+    def _cctx(self) -> "zstandard.ZstdCompressor":
+        cctx = getattr(self._local, "cctx", None)
+        if cctx is None:
+            cctx = zstandard.ZstdCompressor(compression_params=_magicless_params(self.level))
+            self._local.cctx = cctx
+        return cctx
 
     def max_compressed_size(self, len_bytes: int) -> int:
         # ZSTD_compressBound upper bound
@@ -45,7 +60,22 @@ class ZstdEstimation(SizeEstimation):
             data = data.tobytes()
         if len(data) == 0:
             return 0
+        # Prefer the native engine so single and batch estimates agree exactly
+        # (python-zstandard bundles a different libzstd; sizes can differ by a few
+        # bytes between engines, which would make argmin decisions inconsistent).
+        from .. import runtime
+
+        if runtime.available():
+            return runtime.zstd_estimate(data, self.level)
         return len(self._cctx.compress(data))
+
+    def estimate_batch(self, regions) -> list:
+        from .. import runtime
+
+        if runtime.available() and len(regions) > 1:
+            bufs = [r.tobytes() if isinstance(r, np.ndarray) else r for r in regions]
+            return runtime.zstd_estimate_batch(bufs, self.level)
+        return [self.estimate(r) for r in regions]
 
     def compress(self, data) -> bytes:
         """Full compression (for the CLI's final-output path and ratio benches)."""

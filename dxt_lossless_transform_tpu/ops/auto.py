@@ -43,44 +43,57 @@ def _decorrelated_pairs(colors_u32, variants):
     return {v: (fns[v](c0), fns[v](c1)) for v in sorted(set(variants))}
 
 
-def _colour_region_row(d, split: bool):
-    """One candidate's colour-region byte lanes (int32 values 0..255):
-    split -> [c0 stream][c1 stream], else interleaved c0c1 pairs."""
+def _compact_pair(first, second, first_valid):
+    """[first | second] with ``second`` moved up to the end of first's valid prefix,
+    so zero padding never sits between the two streams (scores would otherwise count
+    padding as matches and misrank split layouts)."""
+    row = jnp.concatenate([first, second])
+    return jax.lax.dynamic_update_slice(row, second, (first_valid,))
+
+
+def _colour_region_row(d, split: bool, n_blocks):
+    """One candidate's colour-region byte lanes (uint8):
+    split -> [c0 stream][c1 stream] (compacted to the valid prefix), else
+    interleaved c0c1 pairs."""
     if split:
-        row = jnp.concatenate([lanes.u16_to_byte_lanes(d[0]),
-                               lanes.u16_to_byte_lanes(d[1])])
+        row = _compact_pair(lanes.u16_to_byte_lanes(d[0]).astype(jnp.uint8),
+                            lanes.u16_to_byte_lanes(d[1]).astype(jnp.uint8),
+                            2 * n_blocks)
     else:
-        row = lanes.u32_to_byte_lanes(lanes.join_u32(d[0], d[1]))
-    return row.astype(jnp.uint8)
+        row = lanes.u32_to_byte_lanes(lanes.join_u32(d[0], d[1])).astype(jnp.uint8)
+    return row
 
 
 @partial(jax.jit, static_argnames=("candidates",))
-def bc1_candidate_regions(flat, candidates: Tuple[Tuple[int, bool], ...]):
-    """Flat uint32[2N] word image -> int32[C, 4N] byte-lane colour regions."""
+def bc1_candidate_regions(flat, n_blocks, candidates: Tuple[Tuple[int, bool], ...]):
+    """Flat uint32[2N] word image -> uint8[C, 4N] byte-lane colour regions."""
     colors, _ = lanes.deinterleave(flat.astype(jnp.uint32), 2)
     dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
-    return jnp.stack([_colour_region_row(dec[v], split) for v, split in candidates])
+    return jnp.stack([_colour_region_row(dec[v], split, n_blocks)
+                      for v, split in candidates])
 
 
 @partial(jax.jit, static_argnames=("candidates",))
-def bc2_candidate_regions(flat, candidates: Tuple[Tuple[int, bool], ...]):
-    """Flat uint32[4N] word image -> int32[C, 4N] colour regions (alpha/indices excluded)."""
+def bc2_candidate_regions(flat, n_blocks, candidates: Tuple[Tuple[int, bool], ...]):
+    """Flat uint32[4N] word image -> uint8[C, 4N] colour regions (alpha/indices excluded)."""
     _, _, colors, _ = lanes.deinterleave(flat.astype(jnp.uint32), 4)
     dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
-    return jnp.stack([_colour_region_row(dec[v], split) for v, split in candidates])
+    return jnp.stack([_colour_region_row(dec[v], split, n_blocks)
+                      for v, split in candidates])
 
 
 @partial(jax.jit, static_argnames=("candidates",))
-def bc3_candidate_regions(flat, candidates: Tuple[Tuple[int, bool, bool], ...]):
-    """Flat uint32[4N] word image -> (int32[C, 2N] alpha, int32[C, 4N] colour) regions."""
+def bc3_candidate_regions(flat, n_blocks, candidates: Tuple[Tuple[int, bool, bool], ...]):
+    """Flat uint32[4N] word image -> (uint8[C, 2N] alpha, uint8[C, 4N] colour) regions."""
     w0, _, colors, _ = lanes.deinterleave(flat.astype(jnp.uint32), 4)
     ep, _ = lanes.split_u32(w0)
     dec = _decorrelated_pairs(colors, [v for v, _, _ in candidates])
     alpha_interleaved = lanes.u16_to_byte_lanes(ep).astype(jnp.uint8)
-    alpha_split = jnp.concatenate([ep & 0xFF, ep >> 8]).astype(jnp.uint8)
+    alpha_split = _compact_pair((ep & 0xFF).astype(jnp.uint8),
+                                (ep >> 8).astype(jnp.uint8), n_blocks)
     alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
                             for _, sa, _ in candidates])
-    colour_rows = jnp.stack([_colour_region_row(dec[v], sc)
+    colour_rows = jnp.stack([_colour_region_row(dec[v], sc, n_blocks)
                              for v, _, sc in candidates])
     return alpha_rows, colour_rows
 
@@ -130,7 +143,7 @@ def transform_bc1_auto(data, estimator: SizeEstimation,
         scores = estimator.estimate_batch(_host_colour_regions(colors, key))
     else:
         flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 2 * lanes.bucket_size(n))
-        regions = bc1_candidate_regions(flat, key)
+        regions = bc1_candidate_regions(flat, jnp.int32(n), key)
         scores = _score_regions(estimator, regions, 4 * n)
     best = cand[int(np.argmin(scores))]
     return ops_bc1.transform(data, best), best
@@ -151,7 +164,7 @@ def transform_bc2_auto(data, estimator: SizeEstimation,
         scores = estimator.estimate_batch(_host_colour_regions(colors, key))
     else:
         flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * lanes.bucket_size(n))
-        regions = bc2_candidate_regions(flat, key)
+        regions = bc2_candidate_regions(flat, jnp.int32(n), key)
         scores = _score_regions(estimator, regions, 4 * n)
     best = cand[int(np.argmin(scores))]
     return ops_bc2.transform(data, best), best
@@ -181,7 +194,7 @@ def transform_bc3_auto(data, estimator: SizeEstimation,
                   + np.asarray(estimator.estimate_batch(colour_rows), np.float64))
     else:
         flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * lanes.bucket_size(n))
-        alpha_rows, colour_rows = bc3_candidate_regions(flat, key)
+        alpha_rows, colour_rows = bc3_candidate_regions(flat, jnp.int32(n), key)
         scores = (_score_regions(estimator, alpha_rows, 2 * n)
                   + _score_regions(estimator, colour_rows, 4 * n))
     best = cand[int(np.argmin(scores))]

@@ -17,7 +17,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..oracle import bc1 as _oracle
 from .. import runtime as _native
@@ -103,13 +102,6 @@ def untransform_words_fused(flat, variant, split: bool):
 
 
 # --- host wrappers (bytes -> bytes, bit-exact) ---------------------------------------
-
-def _pad_words(buf: bytes, n_words: int) -> np.ndarray:
-    """LE bytes -> zero-padded uint32 word array of ``n_words``."""
-    if len(buf) % 4:
-        buf = buf + bytes(4 - len(buf) % 4)
-    return lanes.pad_rows(np.frombuffer(buf, "<u4"), n_words)
-
 
 def transform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:

@@ -12,13 +12,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..oracle import bc2 as _oracle
 from .. import runtime as _native
 from ..settings import Bc2TransformSettings
 from . import hostwrap, lanes
-from .bc1 import _pad_words, decorrelate_halves, recorrelate_halves
+from .bc1 import decorrelate_halves, recorrelate_halves
 from .pallas import shuffle as _pk
 
 BLOCK_SIZE = 16

@@ -78,19 +78,23 @@ def transform_bc3_auto_with_normalization(
             normalized = onorm.normalize_blocks_bc3(data, am, cm)
             out, settings, score = _scored_auto(
                 ops_auto.transform_bc3_auto, normalized, estimator,
-                use_all_decorrelation_modes)
+                use_all_decorrelation_modes, bc3=True)
             if best is None or score < best[4]:
                 best = (out, settings, am, cm, score)
     return best[0], best[1], best[2], best[3]
 
 
-def _scored_auto(auto_fn, normalized: bytes, estimator, use_all):
-    """Run the candidate search and score the winner's full output for cross-mode
+def _scored_auto(auto_fn, normalized: bytes, estimator, use_all, bc3: bool = False):
+    """Run the candidate search and score the winner's output for cross-mode
     comparison (different normalized inputs need a common yardstick: the estimator
-    on the winning transform's compressible regions)."""
+    on the same regions the per-format search uses)."""
     out, settings = auto_fn(normalized, estimator, use_all)
     n = len(normalized)
-    # Score = estimate of the same regions the per-mode search used (colors half for
-    # BC1/BC2-style layouts; alpha+colors for BC3 handled by length heuristic).
-    score = estimator.estimate(out[: n // 2])
+    if bc3:
+        # alpha endpoints [0, 2B) + colours [8B, 12B) for B blocks (16 bytes each)
+        blocks = n // 16
+        score = (estimator.estimate(out[: 2 * blocks])
+                 + estimator.estimate(out[8 * blocks:12 * blocks]))
+    else:
+        score = estimator.estimate(out[: n // 2])  # colours half (BC1 layout)
     return out, settings, score

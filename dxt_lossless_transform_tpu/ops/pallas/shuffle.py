@@ -43,8 +43,14 @@ def pallas_available() -> bool:
 
 def _grid_rows(total_words: int) -> tuple:
     """(grid, rows) such that grid * rows * WIDTH == total_words."""
+    if total_words < WIDTH or total_words % WIDTH:
+        raise ValueError(
+            f"pallas kernels need a word count that is a multiple of {WIDTH} "
+            f"(got {total_words}); pad block counts with lanes.bucket_size first")
     all_rows = total_words // WIDTH
     rows = min(MAX_ROWS, all_rows)
+    if all_rows % rows:
+        raise ValueError(f"row count {all_rows} not divisible by tile rows {rows}")
     return all_rows // rows, rows
 
 

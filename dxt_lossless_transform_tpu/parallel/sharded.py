@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..estimate.ltu import DEFAULT_OFFSETS, _coverage_scores
 from ..ops import lanes, ycocg
-from ..ops.auto import _colour_region_row, _decorrelated_pairs
+from ..ops.auto import _colour_region_row, _compact_pair, _decorrelated_pairs
 from ..settings import BC1_FAST_CANDIDATES, BC2_FAST_CANDIDATES, BC3_FAST_CANDIDATES
 
 _BC1_CANDIDATES: Tuple[Tuple[int, bool], ...] = tuple(
@@ -57,8 +57,9 @@ def bc1_auto_step_single(flat, valid_len=None,
     if valid_len is None:
         valid_len = jnp.int32(4 * n)
     colors, indices = lanes.deinterleave(flat.astype(jnp.uint32), 2)
+    n_valid = valid_len // 4
     dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
-    regions = jnp.stack([_colour_region_row(dec[v], split)
+    regions = jnp.stack([_colour_region_row(dec[v], split, n_valid)
                          for v, split in candidates])
     scores = _coverage_scores(regions, valid_len, offsets)
     d0, d1, best = _pick_and_decorrelate(colors, candidates, 0, scores)
@@ -77,8 +78,9 @@ def bc2_auto_step_single(flat, valid_len=None,
     if valid_len is None:
         valid_len = jnp.int32(4 * n)
     a_lo, a_hi, colors, idx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+    n_valid = valid_len // 4
     dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
-    regions = jnp.stack([_colour_region_row(dec[v], split)
+    regions = jnp.stack([_colour_region_row(dec[v], split, n_valid)
                          for v, split in candidates])
     scores = _coverage_scores(regions, valid_len, offsets)
     d0, d1, best = _pick_and_decorrelate(colors, candidates, 0, scores)
@@ -101,12 +103,14 @@ def bc3_auto_step_single(flat, valid_len=None,
     w0, w1, colors, cidx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
     ep, h1 = lanes.split_u32(w0)
     h2, h3 = lanes.split_u32(w1)
+    n_valid = valid_len // 4
     dec = _decorrelated_pairs(colors, [v for v, _, _ in candidates])
     alpha_interleaved = lanes.u16_to_byte_lanes(ep).astype(jnp.uint8)
-    alpha_split = jnp.concatenate([ep & 0xFF, ep >> 8]).astype(jnp.uint8)
+    alpha_split = _compact_pair((ep & 0xFF).astype(jnp.uint8),
+                                (ep >> 8).astype(jnp.uint8), n_valid)
     alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
                             for _, sa, _ in candidates])
-    colour_rows = jnp.stack([_colour_region_row(dec[v], sc)
+    colour_rows = jnp.stack([_colour_region_row(dec[v], sc, n_valid)
                              for v, _, sc in candidates])
     scores = (_coverage_scores(alpha_rows, valid_len // 2, offsets)
               + _coverage_scores(colour_rows, valid_len, offsets))

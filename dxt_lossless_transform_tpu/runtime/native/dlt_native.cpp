@@ -140,61 +140,61 @@ static inline uint32_t ycocg_recorrelate_pair(uint32_t p) {
 
 template <int V, bool SPLIT>
 static void bc1_transform_impl(const uint8_t* in, uint8_t* out, size_t n) {
-    uint32_t* c0w = reinterpret_cast<uint32_t*>(out);
-    uint32_t* c1w = reinterpret_cast<uint32_t*>(out + 2 * n);
-    uint32_t* cols = reinterpret_cast<uint32_t*>(out);
-    uint32_t* idxs = reinterpret_cast<uint32_t*>(out + 4 * n);
+    // All wide accesses go through memcpy-based load32/store32: the c1 stream
+    // starts at byte offset 2n, which is only 2-aligned when n is odd.
+    uint8_t* c0s = out;
+    uint8_t* c1s = out + 2 * n;
+    uint8_t* idxs = out + 4 * n;
     size_t i = 0;
     if (SPLIT) {
         for (; i + 1 < n; i += 2) {  // two blocks -> one u32 store per stream
             uint32_t p0 = ycocg_decorrelate_pair<V>(load32(in + 8 * i));
             uint32_t p1 = ycocg_decorrelate_pair<V>(load32(in + 8 * i + 8));
-            c0w[i / 2] = (p0 & 0xFFFF) | (p1 << 16);
-            c1w[i / 2] = (p0 >> 16) | (p1 & 0xFFFF0000u);
-            idxs[i] = load32(in + 8 * i + 4);
-            idxs[i + 1] = load32(in + 8 * i + 12);
+            store32(c0s + 2 * i, (p0 & 0xFFFF) | (p1 << 16));
+            store32(c1s + 2 * i, (p0 >> 16) | (p1 & 0xFFFF0000u));
+            store32(idxs + 4 * i, load32(in + 8 * i + 4));
+            store32(idxs + 4 * i + 4, load32(in + 8 * i + 12));
         }
         for (; i < n; i++) {  // odd tail block: 16-bit stores
             uint32_t p = ycocg_decorrelate_pair<V>(load32(in + 8 * i));
-            store16(out + 2 * i, (uint16_t)p);
-            store16(out + 2 * n + 2 * i, (uint16_t)(p >> 16));
-            idxs[i] = load32(in + 8 * i + 4);
+            store16(c0s + 2 * i, (uint16_t)p);
+            store16(c1s + 2 * i, (uint16_t)(p >> 16));
+            store32(idxs + 4 * i, load32(in + 8 * i + 4));
         }
     } else {
         for (; i < n; i++) {
-            cols[i] = ycocg_decorrelate_pair<V>(load32(in + 8 * i));
-            idxs[i] = load32(in + 8 * i + 4);
+            store32(out + 4 * i, ycocg_decorrelate_pair<V>(load32(in + 8 * i)));
+            store32(idxs + 4 * i, load32(in + 8 * i + 4));
         }
     }
 }
 
 template <int V, bool SPLIT>
 static void bc1_untransform_impl(const uint8_t* in, uint8_t* out, size_t n) {
-    const uint32_t* c0w = reinterpret_cast<const uint32_t*>(in);
-    const uint32_t* c1w = reinterpret_cast<const uint32_t*>(in + 2 * n);
-    const uint32_t* cols = reinterpret_cast<const uint32_t*>(in);
-    const uint32_t* idxs = reinterpret_cast<const uint32_t*>(in + 4 * n);
+    const uint8_t* c0s = in;
+    const uint8_t* c1s = in + 2 * n;
+    const uint8_t* idxs = in + 4 * n;
     size_t i = 0;
     if (SPLIT) {
         for (; i + 1 < n; i += 2) {
-            uint32_t a = c0w[i / 2], b = c1w[i / 2];
+            uint32_t a = load32(c0s + 2 * i), b = load32(c1s + 2 * i);
             store32(out + 8 * i,
                     ycocg_recorrelate_pair<V>((a & 0xFFFF) | (b << 16)));
             store32(out + 8 * i + 8,
                     ycocg_recorrelate_pair<V>((a >> 16) | (b & 0xFFFF0000u)));
-            store32(out + 8 * i + 4, idxs[i]);
-            store32(out + 8 * i + 12, idxs[i + 1]);
+            store32(out + 8 * i + 4, load32(idxs + 4 * i));
+            store32(out + 8 * i + 12, load32(idxs + 4 * i + 4));
         }
         for (; i < n; i++) {
-            uint32_t p = (uint32_t)load16(in + 2 * i)
-                       | ((uint32_t)load16(in + 2 * n + 2 * i) << 16);
+            uint32_t p = (uint32_t)load16(c0s + 2 * i)
+                       | ((uint32_t)load16(c1s + 2 * i) << 16);
             store32(out + 8 * i, ycocg_recorrelate_pair<V>(p));
-            store32(out + 8 * i + 4, idxs[i]);
+            store32(out + 8 * i + 4, load32(idxs + 4 * i));
         }
     } else {
         for (; i < n; i++) {
-            store32(out + 8 * i, ycocg_recorrelate_pair<V>(cols[i]));
-            store32(out + 8 * i + 4, idxs[i]);
+            store32(out + 8 * i, ycocg_recorrelate_pair<V>(load32(in + 4 * i)));
+            store32(out + 8 * i + 4, load32(idxs + 4 * i));
         }
     }
 }

@@ -100,3 +100,36 @@ def test_ltu_selection_agreement_with_zstd(reference_assets):
     true_size = {s: zstd.estimate(obc1.transform(payload, s))
                  for s in (s_ltu, s_zstd)}
     assert true_size[s_ltu] <= true_size[s_zstd] * 1.02
+
+
+def test_device_and_host_auto_agree_on_padded_sizes(monkeypatch):
+    """Regression: padded split-candidate regions must not score padding bytes
+    (zero runs made split layouts look spuriously compressible on the device path)."""
+    data = testgen.bc1_realistic(3000, seed=42)  # non-power-of-two block count
+    est = LtuEstimation()
+    monkeypatch.setenv("DLT_DEVICE_MIN_BYTES", "0")
+    _, dev = auto.transform_bc1_auto(data, est, use_all_decorrelation_modes=True)
+    monkeypatch.setenv("DLT_DEVICE_MIN_BYTES", str(1 << 30))
+    _, host = auto.transform_bc1_auto(data, est, use_all_decorrelation_modes=True)
+    assert dev == host
+
+
+def test_bc3_normalization_colour_modes_distinguishable():
+    """Regression: the BC3 norm-mode search must score the colour region (it used
+    to score only the alpha half, making every colour mode tie)."""
+    from dxt_lossless_transform_tpu.ops.normalize import _scored_auto
+    from dxt_lossless_transform_tpu.oracle import normalize as onorm
+
+    # solid-colour-heavy BC3 corpus: colour normalization changes the colour bytes
+    words = np.zeros((512, 4), "<u4")
+    words[:, 0] = 0x0000FFFF  # opaque uniform alpha
+    c = np.uint32(0xF800)
+    words[:, 2] = c | (c << 16)
+    data = words.tobytes()
+    est = ZstdEstimation(1)
+    scores = {}
+    for cm in onorm.ColorNormalizationMode.all_values():
+        normalized = onorm.normalize_blocks_bc3(data, onorm.AlphaNormalizationMode.NONE, cm)
+        _, _, score = _scored_auto(auto.transform_bc3_auto, normalized, est, False, bc3=True)
+        scores[cm] = score
+    assert len(set(scores.values())) > 1  # colour modes actually distinguish
