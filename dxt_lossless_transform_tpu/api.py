@@ -12,7 +12,7 @@ from __future__ import annotations
 from typing import Generic, Optional, TypeVar
 
 from .estimate.base import NoEstimation, SizeEstimation
-from .ops import auto as ops_auto, bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3
+from .ops import auto as ops_auto, bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3, bc45 as ops_bc45
 from .settings import (
     Bc1TransformSettings,
     Bc2TransformSettings,
@@ -115,3 +115,61 @@ class Bc3ManualTransformBuilder(_ManualBuilderBase):
 class Bc3AutoTransformBuilder(_AutoBuilderBase):
     _auto_fn = staticmethod(ops_auto.transform_bc3_auto)
     _manual_cls = Bc3ManualTransformBuilder
+
+
+class Bc4ManualTransformBuilder:
+    """Manual BC4 builder (framework extension; no reference analog)."""
+
+    def __init__(self, settings=None):
+        from .settings import Bc4TransformSettings
+
+        self._settings = settings if settings is not None else Bc4TransformSettings()
+
+    def split_endpoints(self, flag: bool):
+        from .settings import Bc4TransformSettings
+
+        self._settings = Bc4TransformSettings(bool(flag))
+        return self
+
+    def get_settings(self):
+        return self._settings
+
+    def transform(self, data: bytes) -> bytes:
+        return ops_bc45.transform_bc4(data, self._settings)
+
+    def untransform(self, data: bytes) -> bytes:
+        return ops_bc45.untransform_bc4(data, self._settings)
+
+
+class Bc4AutoTransformBuilder(_AutoBuilderBase):
+    _auto_fn = staticmethod(ops_bc45.transform_bc4_auto)
+    _manual_cls = Bc4ManualTransformBuilder
+
+
+class Bc5ManualTransformBuilder:
+    """Manual BC5 builder (framework extension)."""
+
+    def __init__(self, settings=None):
+        from .settings import Bc5TransformSettings
+
+        self._settings = settings if settings is not None else Bc5TransformSettings()
+
+    def split_endpoints(self, flag: bool):
+        from .settings import Bc5TransformSettings
+
+        self._settings = Bc5TransformSettings(bool(flag))
+        return self
+
+    def get_settings(self):
+        return self._settings
+
+    def transform(self, data: bytes) -> bytes:
+        return ops_bc45.transform_bc5(data, self._settings)
+
+    def untransform(self, data: bytes) -> bytes:
+        return ops_bc45.untransform_bc5(data, self._settings)
+
+
+class Bc5AutoTransformBuilder(_AutoBuilderBase):
+    _auto_fn = staticmethod(ops_bc45.transform_bc5_auto)
+    _manual_cls = Bc5ManualTransformBuilder

@@ -21,6 +21,7 @@ from pathlib import Path
 
 from ..api import (
     Bc1AutoTransformBuilder, Bc2AutoTransformBuilder, Bc3AutoTransformBuilder,
+    Bc4AutoTransformBuilder, Bc5AutoTransformBuilder,
 )
 from ..estimate import LtuEstimation, ZstdEstimation
 from ..formats import TransformBundle, file_io
@@ -67,7 +68,9 @@ def make_preset_bundle(preset: str) -> TransformBundle:
     mk = (lambda cls: cls.new_ultra(est) if ultra else cls(est))
     return TransformBundle(bc1=mk(Bc1AutoTransformBuilder),
                            bc2=mk(Bc2AutoTransformBuilder),
-                           bc3=mk(Bc3AutoTransformBuilder))
+                           bc3=mk(Bc3AutoTransformBuilder),
+                           bc4=mk(Bc4AutoTransformBuilder),
+                           bc5=mk(Bc5AutoTransformBuilder))
 
 
 def find_all_files(root: Path):

@@ -14,6 +14,8 @@ from ..api import (
     Bc1AutoTransformBuilder, Bc1ManualTransformBuilder,
     Bc2AutoTransformBuilder, Bc2ManualTransformBuilder,
     Bc3AutoTransformBuilder, Bc3ManualTransformBuilder,
+    Bc4AutoTransformBuilder, Bc4ManualTransformBuilder,
+    Bc5AutoTransformBuilder, Bc5ManualTransformBuilder,
 )
 from .embed import TransformFormat, TransformHeader
 from .errors import NoBuilderForFormat, UnsupportedTransformFormat
@@ -28,8 +30,9 @@ class TransformBundle:
     :class:`NoBuilderForFormat` on dispatch (``bundle/mod.rs:125-188``)."""
 
     def __init__(self, bc1: Optional[Bc1Builder] = None, bc2: Optional[Bc2Builder] = None,
-                 bc3: Optional[Bc3Builder] = None):
+                 bc3: Optional[Bc3Builder] = None, bc4=None, bc5=None):
         self.bc1, self.bc2, self.bc3 = bc1, bc2, bc3
+        self.bc4, self.bc5 = bc4, bc5
 
     @staticmethod
     def default_all() -> "TransformBundle":
@@ -38,6 +41,8 @@ class TransformBundle:
             bc1=Bc1ManualTransformBuilder(),
             bc2=Bc2ManualTransformBuilder(),
             bc3=Bc3ManualTransformBuilder(),
+            bc4=Bc4ManualTransformBuilder(),
+            bc5=Bc5ManualTransformBuilder(),
         )
 
     def dispatch_transform(self, fmt: TransformFormat, payload: bytes):
@@ -54,6 +59,12 @@ class TransformBundle:
         if fmt == TransformFormat.BC3:
             out, settings = self._run(self.bc3, fmt, payload)
             return out, TransformHeader.for_bc3(settings)
+        if fmt == TransformFormat.BC4:
+            out, settings = self._run(self.bc4, fmt, payload)
+            return out, TransformHeader.for_bc4(settings)
+        if fmt == TransformFormat.BC5:
+            out, settings = self._run(self.bc5, fmt, payload)
+            return out, TransformHeader.for_bc5(settings)
         raise UnsupportedTransformFormat(fmt)
 
     @staticmethod

@@ -40,6 +40,8 @@ from ..settings import (
     Bc1TransformSettings,
     Bc2TransformSettings,
     Bc3TransformSettings,
+    Bc4TransformSettings,
+    Bc5TransformSettings,
     YCoCgVariant,
 )
 from .errors import CorruptedEmbeddedData, UnknownTransformFormat
@@ -135,3 +137,23 @@ class TransformHeader:
     def bc3_settings(self) -> Bc3TransformSettings:
         variant, split_colour = _unpack_bc1_like(self.data)
         return Bc3TransformSettings(variant, bool((self.data >> 5) & 1), split_colour)
+
+    # BC4/BC5 (framework extension; version 2 bits + split-endpoints bit 2)
+
+    @staticmethod
+    def for_bc4(settings: Bc4TransformSettings) -> "TransformHeader":
+        return TransformHeader(TransformFormat.BC4, int(settings.split_endpoints) << 2)
+
+    @staticmethod
+    def for_bc5(settings: Bc5TransformSettings) -> "TransformHeader":
+        return TransformHeader(TransformFormat.BC5, int(settings.split_endpoints) << 2)
+
+    def bc4_settings(self) -> Bc4TransformSettings:
+        if self.data & 0x3:
+            raise CorruptedEmbeddedData(f"unsupported BC4 header version {self.data & 0x3}")
+        return Bc4TransformSettings(bool((self.data >> 2) & 1))
+
+    def bc5_settings(self) -> Bc5TransformSettings:
+        if self.data & 0x3:
+            raise CorruptedEmbeddedData(f"unsupported BC5 header version {self.data & 0x3}")
+        return Bc5TransformSettings(bool((self.data >> 2) & 1))

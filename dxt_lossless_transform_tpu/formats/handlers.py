@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Protocol, runtime_checkable
 
-from ..ops import bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3
+from ..ops import bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3, bc45 as ops_bc45
 from .bundle import TransformBundle
 from .dds import DDS_MAGIC, DdsFormat, likely_dds, parse_dds, parse_dds_ignore_magic
 from .embed import TRANSFORM_HEADER_SIZE, TransformFormat, TransformHeader
@@ -24,7 +24,7 @@ from .errors import (
 )
 
 _ALIGNMENT = {TransformFormat.BC1: 8, TransformFormat.BC2: 16, TransformFormat.BC3: 16,
-              TransformFormat.BC7: 16}
+              TransformFormat.BC4: 8, TransformFormat.BC5: 16, TransformFormat.BC7: 16}
 
 
 def dispatch_transform(fmt: TransformFormat, payload: bytes, bundle: TransformBundle):
@@ -47,6 +47,10 @@ def dispatch_untransform(header: TransformHeader, payload: bytes) -> bytes:
         return ops_bc2.untransform(payload, header.bc2_settings())
     if header.format == TransformFormat.BC3:
         return ops_bc3.untransform(payload, header.bc3_settings())
+    if header.format == TransformFormat.BC4:
+        return ops_bc45.untransform_bc4(payload, header.bc4_settings())
+    if header.format == TransformFormat.BC5:
+        return ops_bc45.untransform_bc5(payload, header.bc5_settings())
     raise UnsupportedTransformFormat(header.format)
 
 

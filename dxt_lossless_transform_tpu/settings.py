@@ -90,6 +90,31 @@ class Bc3TransformSettings:
                     yield Bc3TransformSettings(mode, split_a, split_c)
 
 
+@dataclass(frozen=True)
+class Bc4TransformSettings:
+    """Settings for the BC4 transform (this framework's extension; the reference only
+    reserves the format tag). One knob: split the u8 endpoint pair into two streams."""
+
+    split_endpoints: bool = True
+
+    @staticmethod
+    def all_combinations() -> Iterator["Bc4TransformSettings"]:
+        for split in (True, False):
+            yield Bc4TransformSettings(split)
+
+
+@dataclass(frozen=True)
+class Bc5TransformSettings:
+    """Settings for the BC5 transform (framework extension; two BC4 channels)."""
+
+    split_endpoints: bool = True
+
+    @staticmethod
+    def all_combinations() -> Iterator["Bc5TransformSettings"]:
+        for split in (True, False):
+            yield Bc5TransformSettings(split)
+
+
 # Candidate test orders for the auto-search, matching the reference's measured
 # probability orderings (most likely LAST -- the reference keeps this ordering to avoid
 # a redundant final CPU re-transform; our batched device search evaluates all candidates

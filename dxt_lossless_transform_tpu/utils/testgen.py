@@ -81,8 +81,8 @@ _DDSD_PIXELFORMAT = 0x1000
 _DDSD_MIPMAPCOUNT = 0x20000
 _DDPF_FOURCC = 0x4
 
-_FOURCC = {"BC1": b"DXT1", "BC2": b"DXT3", "BC3": b"DXT5"}
-_BLOCK_SIZE = {"BC1": 8, "BC2": 16, "BC3": 16}
+_FOURCC = {"BC1": b"DXT1", "BC2": b"DXT3", "BC3": b"DXT5", "BC4": b"BC4U", "BC5": b"ATI2"}
+_BLOCK_SIZE = {"BC1": 8, "BC2": 16, "BC3": 16, "BC4": 8, "BC5": 16}
 
 
 def make_dds(fmt: str, width: int, height: int, mipmaps: int = 1, seed: int = 0,
@@ -103,7 +103,8 @@ def make_dds(fmt: str, width: int, height: int, mipmaps: int = 1, seed: int = 0,
         total_blocks += ((w + 3) // 4) * ((h + 3) // 4)
         w, h = max(w // 2, 1), max(h // 2, 1)
 
-    gen = {"BC1": bc1_realistic, "BC2": bc2_realistic, "BC3": bc3_realistic}[fmt]
+    gen = {"BC1": bc1_realistic, "BC2": bc2_realistic, "BC3": bc3_realistic,
+           "BC4": lambda n, s: bc_blocks(n, 8, s), "BC5": lambda n, s: bc_blocks(n, 16, s)}[fmt]
     payload = gen(total_blocks, seed) if realistic else bc_blocks(total_blocks, bs, seed)
 
     flags = _DDSD_CAPS | _DDSD_HEIGHT | _DDSD_WIDTH | _DDSD_PIXELFORMAT
