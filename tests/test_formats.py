@@ -181,3 +181,15 @@ def test_reference_asset_roundtrip(reference_assets):
         transformed = handler.transform_bundle(data, bundle)
         assert handler.untransform(transformed) == data
         assert len(cctx.compress(transformed)) < len(cctx.compress(data))
+
+
+def test_bc7_asset_unsupported_gracefully(reference_assets):
+    # BC7 is reserved (tags + header space) but has no transform yet: the handler
+    # must raise the typed error, and the CLI isolates it per file.
+    from dxt_lossless_transform_tpu.formats.errors import UnsupportedTransformFormat
+
+    data = open(f"{reference_assets}/r2-256-bc7.dds", "rb").read()
+    handler = DdsHandler()
+    assert handler.can_handle(data)
+    with pytest.raises(UnsupportedTransformFormat):
+        handler.transform_bundle(data, TransformBundle.default_all())
