@@ -25,7 +25,7 @@ def _sync(x):
     return float(jnp.max(leaf.astype(jnp.float32)))
 
 
-def _bench(fn, *args, iters=50, warmup=2):
+def _bench(fn, *args, iters=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
     _sync(out)
@@ -39,6 +39,10 @@ def _bench(fn, *args, iters=50, warmup=2):
 def main():
     import jax
     import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.cli.main import _enable_persistent_compile_cache
+
+    _enable_persistent_compile_cache()
 
     from dxt_lossless_transform_tpu.ops import bc1, bc2, bc3
 

@@ -106,4 +106,10 @@ class LtuEstimation(SizeEstimation):
         return int(score[0])
 
     def estimate_batch_device(self, regions, valid_len):
+        if jax.default_backend() == "tpu":
+            from .pallas_ltu import SPAN, coverage_scores_pallas
+
+            if regions.shape[1] % SPAN == 0 and max(self.offsets) <= SPAN:
+                return coverage_scores_pallas(
+                    regions, jnp.asarray(valid_len, jnp.int32), self.offsets)
         return _coverage_scores(regions, jnp.asarray(valid_len, jnp.int32), self.offsets)

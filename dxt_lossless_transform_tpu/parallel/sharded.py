@@ -26,6 +26,19 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..estimate.ltu import DEFAULT_OFFSETS, _coverage_scores
+
+
+def _scores(regions, valid_len, offsets, allow_pallas: bool):
+    """Coverage scores; the Mosaic kernel when shapes allow and we are not under
+    vmap (the batched steps), XLA otherwise."""
+    import jax as _jax
+
+    if allow_pallas and _jax.default_backend() == "tpu":
+        from ..estimate.pallas_ltu import SPAN, coverage_scores_pallas
+
+        if regions.shape[1] % SPAN == 0 and max(offsets) <= SPAN:
+            return coverage_scores_pallas(regions, valid_len, offsets)
+    return _coverage_scores(regions, valid_len, offsets)
 from ..ops import lanes, ycocg
 from ..ops.auto import _colour_region_row, _compact_pair, _decorrelated_pairs
 from ..settings import BC1_FAST_CANDIDATES, BC2_FAST_CANDIDATES, BC3_FAST_CANDIDATES
@@ -48,10 +61,11 @@ def _pick_and_decorrelate(colors, candidates, variant_col, scores):
     return d0, d1, best
 
 
-@partial(jax.jit, static_argnames=("candidates", "offsets"))
+@partial(jax.jit, static_argnames=("candidates", "offsets", "allow_pallas"))
 def bc1_auto_step_single(flat, valid_len=None,
                          candidates: Tuple[Tuple[int, bool], ...] = _BC1_CANDIDATES,
-                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS):
+                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS,
+                         allow_pallas: bool = True):
     """Flat uint32[2N] word image -> (c0, c1, indices, best)."""
     n = flat.shape[0] // 2
     if valid_len is None:
@@ -61,15 +75,16 @@ def bc1_auto_step_single(flat, valid_len=None,
     dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
     regions = jnp.stack([_colour_region_row(dec[v], split, n_valid)
                          for v, split in candidates])
-    scores = _coverage_scores(regions, valid_len, offsets)
+    scores = _scores(regions, valid_len, offsets, allow_pallas)
     d0, d1, best = _pick_and_decorrelate(colors, candidates, 0, scores)
     return d0, d1, indices, best
 
 
-@partial(jax.jit, static_argnames=("candidates", "offsets"))
+@partial(jax.jit, static_argnames=("candidates", "offsets", "allow_pallas"))
 def bc2_auto_step_single(flat, valid_len=None,
                          candidates: Tuple[Tuple[int, bool], ...] = _BC2_CANDIDATES,
-                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS):
+                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS,
+                         allow_pallas: bool = True):
     """Flat uint32[4N] word image -> (alpha_lo, alpha_hi, c0, c1, indices, best).
 
     ``valid_len`` counts colour-region bytes (4 per block).
@@ -82,15 +97,16 @@ def bc2_auto_step_single(flat, valid_len=None,
     dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
     regions = jnp.stack([_colour_region_row(dec[v], split, n_valid)
                          for v, split in candidates])
-    scores = _coverage_scores(regions, valid_len, offsets)
+    scores = _scores(regions, valid_len, offsets, allow_pallas)
     d0, d1, best = _pick_and_decorrelate(colors, candidates, 0, scores)
     return a_lo, a_hi, d0, d1, idx, best
 
 
-@partial(jax.jit, static_argnames=("candidates", "offsets"))
+@partial(jax.jit, static_argnames=("candidates", "offsets", "allow_pallas"))
 def bc3_auto_step_single(flat, valid_len=None,
                          candidates: Tuple[Tuple[int, bool, bool], ...] = _BC3_CANDIDATES,
-                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS):
+                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS,
+                         allow_pallas: bool = True):
     """Flat uint32[4N] word image -> (ep, h1, h2, h3, c0, c1, cidx, best).
 
     Alpha endpoints (``ep``) and the three alpha-index u16 lanes come back unpacked;
@@ -112,8 +128,8 @@ def bc3_auto_step_single(flat, valid_len=None,
                             for _, sa, _ in candidates])
     colour_rows = jnp.stack([_colour_region_row(dec[v], sc, n_valid)
                              for v, _, sc in candidates])
-    scores = (_coverage_scores(alpha_rows, valid_len // 2, offsets)
-              + _coverage_scores(colour_rows, valid_len, offsets))
+    scores = (_scores(alpha_rows, valid_len // 2, offsets, allow_pallas)
+              + _scores(colour_rows, valid_len, offsets, allow_pallas))
     d0, d1, best = _pick_and_decorrelate(colors, candidates, 0, scores)
     return ep, h1, h2, h3, d0, d1, cidx, best
 
@@ -123,7 +139,8 @@ def _batched(mesh: Mesh, single, n_outputs: int, candidates, offsets):
     files_sh = NamedSharding(mesh, P("files"))
 
     def step(flat, valid_len):
-        fn = partial(single.__wrapped__, candidates=candidates, offsets=offsets)
+        fn = partial(single.__wrapped__, candidates=candidates, offsets=offsets,
+                     allow_pallas=False)  # Mosaic kernels do not vmap here
         return jax.vmap(fn)(flat, valid_len)
 
     out_sh = (files_blocks,) * (n_outputs - 1) + (files_sh,)
