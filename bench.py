@@ -8,9 +8,16 @@ Details for all formats land in BENCH_DETAILS.json.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _stage(msg):
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 # Reference combined round-trip rate: 1 / (1/24 + 1/32.2) GB/s (decimal GB)
 BASELINE_ROUNDTRIP_GBPS = 1.0 / (1.0 / 24.0 + 1.0 / 32.2)
@@ -62,6 +69,7 @@ def main():
         else:
             fwd = lambda w: mod.transform_device(w, variant, True)
             inv = lambda s: mod.untransform_device(s, variant, True)
+        _stage(f"kernels: {name}")
         streams = fwd(words)
         t_fwd = _bench(fwd, words)
         t_inv = _bench(inv, streams)
@@ -78,6 +86,7 @@ def main():
 
     nbytes = 128 * 1024 * 1024
     flat = jnp.asarray(rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
+    _stage("auto-search")
     t_auto = _bench(lambda f: bc1_auto_step_single(f), flat, iters=20)
     details["bc1_auto_transform_MiBps"] = nbytes / t_auto / (1 << 20)
 
@@ -88,6 +97,7 @@ def main():
     from dxt_lossless_transform_tpu.ops import auto as _auto
     from dxt_lossless_transform_tpu.utils.encode import encode_bc1, procedural_texture
 
+    _stage("corpus ratio")
     cctx16 = _z.ZstdCompressor(level=16)
     est1 = _ZE(1)
     plain_total = trans_total = 0
@@ -122,6 +132,7 @@ def main():
     except (OSError, ImportError):
         pass
 
+    _stage("done")
     value = results["bc1"]["roundtrip_GBps"]
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(details, f, indent=2)
