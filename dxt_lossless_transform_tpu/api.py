@@ -173,3 +173,48 @@ class Bc5ManualTransformBuilder:
 class Bc5AutoTransformBuilder(_AutoBuilderBase):
     _auto_fn = staticmethod(ops_bc45.transform_bc5_auto)
     _manual_cls = Bc5ManualTransformBuilder
+
+
+class Bc7ManualTransformBuilder:
+    """Manual BC7 builder (framework extension; the reference's bc7-api crate is an
+    empty stub)."""
+
+    def __init__(self, settings=None):
+        from .settings import Bc7TransformSettings
+
+        self._settings = settings if settings is not None else Bc7TransformSettings()
+
+    def sort_by_mode(self, flag: bool):
+        from .settings import Bc7TransformSettings
+
+        self._settings = Bc7TransformSettings(bool(flag), self._settings.split_byte_planes)
+        return self
+
+    def split_byte_planes(self, flag: bool):
+        from .settings import Bc7TransformSettings
+
+        self._settings = Bc7TransformSettings(self._settings.sort_by_mode, bool(flag))
+        return self
+
+    def get_settings(self):
+        return self._settings
+
+    def transform(self, data: bytes) -> bytes:
+        from .ops import bc7 as ops_bc7
+
+        return ops_bc7.transform(data, self._settings)
+
+    def untransform(self, data: bytes) -> bytes:
+        from .ops import bc7 as ops_bc7
+
+        return ops_bc7.untransform(data, self._settings)
+
+
+class Bc7AutoTransformBuilder(_AutoBuilderBase):
+    _manual_cls = Bc7ManualTransformBuilder
+
+    @staticmethod
+    def _auto_fn(data, estimator, use_all):
+        from .ops import bc7 as ops_bc7
+
+        return ops_bc7.transform_bc7_auto(data, estimator, use_all)

@@ -13,9 +13,11 @@ from pathlib import Path
 from ..estimate import ZstdEstimation
 from ..formats.dds import BLOCK_SIZES, DdsFormat, parse_dds
 from ..oracle import decode as odecode
-from ..ops import auto as ops_auto, bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3
+from ..ops import auto as ops_auto, bc1 as ops_bc1, bc2 as ops_bc2, \
+    bc3 as ops_bc3, bc7 as ops_bc7
 from ..settings import (
     Bc1TransformSettings, Bc2TransformSettings, Bc3TransformSettings,
+    Bc7TransformSettings,
 )
 from ..utils.cache import CompressionSizeCache
 from ..utils.throughput import format_bytes, format_throughput
@@ -27,6 +29,10 @@ _FMT = {
             ops_auto.transform_bc2_auto),
     "bc3": (DdsFormat.BC3, Bc3TransformSettings, ops_bc3, odecode.decode_bc3,
             ops_auto.transform_bc3_auto),
+    # BC7: byte-exact roundtrip only (no pixel decoder; byte equality is strictly
+    # stronger than the reference's decode-compare anyway)
+    "bc7": (DdsFormat.BC7, Bc7TransformSettings, ops_bc7, None,
+            ops_bc7.transform_bc7_auto),
 }
 
 
@@ -53,13 +59,13 @@ def cmd_roundtrip(args):
     fmt, settings_cls, ops, decode, _ = _FMT[args.format]
     checked = 0
     for f, payload in _payloads(Path(args.input), fmt):
-        base = decode(payload)
+        base = decode(payload) if decode else None
         for s in settings_cls.all_combinations():
             rt = ops.untransform(ops.transform(payload, s), s)
             if rt != payload:
                 print(f"FAIL (bytes) {f} {s}")
                 return 1
-            if not np.array_equal(decode(rt), base):
+            if decode and not np.array_equal(decode(rt), base):
                 print(f"FAIL (pixels) {f} {s}")
                 return 1
         checked += 1
@@ -116,17 +122,17 @@ def cmd_benchmark(args):
         transformed = ops.transform(payload, settings)
         blob_plain = est.compress(payload)
         blob_t = est.compress(transformed)
-        # warmup
+        # warmup (transformed may differ in size from the original: BC7 mode stream)
         for _ in range(args.warmup):
             est.decompress(blob_plain, len(payload))
-            ops.untransform(est.decompress(blob_t, len(payload)), settings)
+            ops.untransform(est.decompress(blob_t, len(transformed)), settings)
         t0 = time.perf_counter()
         for _ in range(args.iterations):
             est.decompress(blob_plain, len(payload))
         t_plain = (time.perf_counter() - t0) / args.iterations
         t0 = time.perf_counter()
         for _ in range(args.iterations):
-            ops.untransform(est.decompress(blob_t, len(payload)), settings)
+            ops.untransform(est.decompress(blob_t, len(transformed)), settings)
         t_both = (time.perf_counter() - t0) / args.iterations
         rows.append((f, len(payload), t_plain, t_both, len(blob_plain), len(blob_t)))
     for f, n, t_plain, t_both, sp, st in rows:
@@ -214,7 +220,7 @@ def register(sub):
     p_fa.add_argument("input")
     p_fa.set_defaults(fn=cmd_format_analysis)
 
-    for fmt in ("bc1", "bc2", "bc3"):
+    for fmt in ("bc1", "bc2", "bc3", "bc7"):
         p = sub.add_parser(f"debug-{fmt}", help=f"debug commands for {fmt.upper()}")
         dsub = p.add_subparsers(dest="debug_command", required=True)
 

@@ -21,7 +21,7 @@ from pathlib import Path
 
 from ..api import (
     Bc1AutoTransformBuilder, Bc2AutoTransformBuilder, Bc3AutoTransformBuilder,
-    Bc4AutoTransformBuilder, Bc5AutoTransformBuilder,
+    Bc4AutoTransformBuilder, Bc5AutoTransformBuilder, Bc7AutoTransformBuilder,
 )
 from ..estimate import LtuEstimation, ZstdEstimation
 from ..formats import TransformBundle, file_io
@@ -70,7 +70,8 @@ def make_preset_bundle(preset: str) -> TransformBundle:
                            bc2=mk(Bc2AutoTransformBuilder),
                            bc3=mk(Bc3AutoTransformBuilder),
                            bc4=mk(Bc4AutoTransformBuilder),
-                           bc5=mk(Bc5AutoTransformBuilder))
+                           bc5=mk(Bc5AutoTransformBuilder),
+                           bc7=mk(Bc7AutoTransformBuilder))
 
 
 def find_all_files(root: Path):

@@ -3,7 +3,7 @@
 Analog of the reference's ``TransformBundle<T>`` (``file-formats-api/src/bundle/mod.rs:37-188``):
 holds an optional builder per texture format; ``default_all`` fills every slot with
 manual-default builders. Where the reference carries BC3/BC7 as ``PhantomData``
-placeholders, this build wires BC3 for real; BC7 remains reserved.
+placeholders, this build wires both for real (BC7 via the mode-aware transform).
 """
 
 from __future__ import annotations
@@ -16,6 +16,7 @@ from ..api import (
     Bc3AutoTransformBuilder, Bc3ManualTransformBuilder,
     Bc4AutoTransformBuilder, Bc4ManualTransformBuilder,
     Bc5AutoTransformBuilder, Bc5ManualTransformBuilder,
+    Bc7AutoTransformBuilder, Bc7ManualTransformBuilder,
 )
 from .embed import TransformFormat, TransformHeader
 from .errors import NoBuilderForFormat, UnsupportedTransformFormat
@@ -30,9 +31,9 @@ class TransformBundle:
     :class:`NoBuilderForFormat` on dispatch (``bundle/mod.rs:125-188``)."""
 
     def __init__(self, bc1: Optional[Bc1Builder] = None, bc2: Optional[Bc2Builder] = None,
-                 bc3: Optional[Bc3Builder] = None, bc4=None, bc5=None):
+                 bc3: Optional[Bc3Builder] = None, bc4=None, bc5=None, bc7=None):
         self.bc1, self.bc2, self.bc3 = bc1, bc2, bc3
-        self.bc4, self.bc5 = bc4, bc5
+        self.bc4, self.bc5, self.bc7 = bc4, bc5, bc7
 
     @staticmethod
     def default_all() -> "TransformBundle":
@@ -43,6 +44,7 @@ class TransformBundle:
             bc3=Bc3ManualTransformBuilder(),
             bc4=Bc4ManualTransformBuilder(),
             bc5=Bc5ManualTransformBuilder(),
+            bc7=Bc7ManualTransformBuilder(),
         )
 
     def dispatch_transform(self, fmt: TransformFormat, payload: bytes):
@@ -65,6 +67,9 @@ class TransformBundle:
         if fmt == TransformFormat.BC5:
             out, settings = self._run(self.bc5, fmt, payload)
             return out, TransformHeader.for_bc5(settings)
+        if fmt == TransformFormat.BC7:
+            out, settings = self._run(self.bc7, fmt, payload)
+            return out, TransformHeader.for_bc7(settings)
         raise UnsupportedTransformFormat(fmt)
 
     @staticmethod

@@ -26,8 +26,12 @@ Per-format bitfields (within the 28-bit data field):
     bit 5:    split alpha endpoints
     rest:     reserved
 
-BC7 needs 48 extra bytes and BC6H 80 beyond the header once implemented
-(``embed/mod.rs:97-103``); the constants are reserved here.
+  BC7 (framework extension; the reference reserves header space -- 48 extra bytes,
+  ``embed/mod.rs:97-103`` -- but ships no transform):
+    bits 0-1: header version (0)
+    bit 2:    sort blocks by mode (adds a packed mode stream before the payload)
+    bit 3:    split byte planes
+    rest:     reserved
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ from ..settings import (
     Bc3TransformSettings,
     Bc4TransformSettings,
     Bc5TransformSettings,
+    Bc7TransformSettings,
     YCoCgVariant,
 )
 from .errors import CorruptedEmbeddedData, UnknownTransformFormat
@@ -157,3 +162,15 @@ class TransformHeader:
         if self.data & 0x3:
             raise CorruptedEmbeddedData(f"unsupported BC5 header version {self.data & 0x3}")
         return Bc5TransformSettings(bool((self.data >> 2) & 1))
+
+    # BC7 (framework extension; version 2 bits + sort-by-mode bit 2 + plane-split bit 3)
+
+    @staticmethod
+    def for_bc7(settings: Bc7TransformSettings) -> "TransformHeader":
+        data = (int(settings.sort_by_mode) << 2) | (int(settings.split_byte_planes) << 3)
+        return TransformHeader(TransformFormat.BC7, data)
+
+    def bc7_settings(self) -> Bc7TransformSettings:
+        if self.data & 0x3:
+            raise CorruptedEmbeddedData(f"unsupported BC7 header version {self.data & 0x3}")
+        return Bc7TransformSettings(bool((self.data >> 2) & 1), bool((self.data >> 3) & 1))

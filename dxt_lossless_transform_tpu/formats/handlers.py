@@ -10,7 +10,9 @@ from __future__ import annotations
 
 from typing import Optional, Protocol, runtime_checkable
 
-from ..ops import bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3, bc45 as ops_bc45
+from ..ops import bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3, bc45 as ops_bc45, \
+    bc7 as ops_bc7
+from ..oracle import bc7 as oracle_bc7
 from .bundle import TransformBundle
 from .dds import DDS_MAGIC, DdsFormat, likely_dds, parse_dds, parse_dds_ignore_magic
 from .embed import TRANSFORM_HEADER_SIZE, TransformFormat, TransformHeader
@@ -35,9 +37,27 @@ def dispatch_transform(fmt: TransformFormat, payload: bytes, bundle: TransformBu
     return bundle.dispatch_transform(fmt, payload)
 
 
+def transformed_payload_len(header: TransformHeader, original_len: int) -> int:
+    """Transformed-payload size for an ``original_len``-byte texture.
+
+    Every transform except BC7-with-mode-sort is size-preserving; BC7 prepends a
+    packed 4-bit mode stream (see :mod:`..oracle.bc7`)."""
+    if header.format == TransformFormat.BC7:
+        return oracle_bc7.transformed_len(original_len, header.bc7_settings())
+    return original_len
+
+
 def dispatch_untransform(header: TransformHeader, payload: bytes) -> bytes:
     """Decode settings from the header and run the core untransform
     (``handlers/dispatch.rs:39-141``)."""
+    if header.format == TransformFormat.BC7:
+        settings = header.bc7_settings()
+        try:
+            oracle_bc7.original_len(len(payload), settings)
+        except ValueError:
+            raise InvalidDataAlignment(len(payload), _ALIGNMENT[TransformFormat.BC7]) \
+                from None
+        return ops_bc7.untransform(payload, settings)
     div = _ALIGNMENT.get(header.format)
     if div is not None and len(payload) % div:
         raise InvalidDataAlignment(len(payload), div)
@@ -107,7 +127,9 @@ class DdsHandler:
             raise InputTooShortForStatedTextureSize(end, len(data))
         payload, header = dispatch_transform(fmt, data[start:end], bundle)
         out = header.to_bytes() + data[TRANSFORM_HEADER_SIZE:start] + payload + data[end:]
-        assert len(out) == len(data)
+        # Size-preserving except BC7's mode stream (transformed_payload_len).
+        assert len(out) == len(data) + transformed_payload_len(header, end - start) \
+            - (end - start)
         return out
 
     def untransform(self, data: bytes) -> bytes:
@@ -117,7 +139,8 @@ class DdsHandler:
         info = parse_dds_ignore_magic(data)
         if info is None:
             raise InvalidRestoredFileHeader("not a parseable (transformed) DDS file")
-        start, end = info.data_offset, info.data_offset + info.data_length
+        start = info.data_offset
+        end = start + transformed_payload_len(header, info.data_length)
         if len(data) < end:
             raise InputTooShortForStatedTextureSize(end, len(data))
         payload = dispatch_untransform(header, data[start:end])

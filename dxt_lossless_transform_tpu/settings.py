@@ -115,6 +115,35 @@ class Bc5TransformSettings:
             yield Bc5TransformSettings(split)
 
 
+@dataclass(frozen=True)
+class Bc7TransformSettings:
+    """Settings for the BC7 mode-aware transform (this framework's extension).
+
+    The reference stubs BC7 (``bc7/src/lib.rs:8-13`` carries only MSB bit helpers) but
+    reserves header space for a real transform (``embed/mod.rs:97-103``). This build
+    implements one, TPU-first: BC7 blocks are 16 bytes whose field layout depends
+    entirely on the block *mode* (unary prefix in the low bits of byte 0), so:
+
+    - ``sort_by_mode``: stable-sort the blocks by mode id (XLA argsort + gather) so
+      same-layout blocks become contiguous; a packed 4-bit mode stream is prepended so
+      the inverse can rebuild the permutation. Expands the payload by
+      ``ceil(N/2)`` bytes (which the downstream LZ wins back on mixed-mode files).
+    - ``split_byte_planes``: transpose the (N, 16) block bytes to byte-plane-major
+      (16, N) so each output run holds the *same field byte* of many blocks.
+
+    Both knobs compose; (False, False) is the identity transform.
+    """
+
+    sort_by_mode: bool = True
+    split_byte_planes: bool = True
+
+    @staticmethod
+    def all_combinations() -> Iterator["Bc7TransformSettings"]:
+        for sort in (True, False):
+            for planes in (True, False):
+                yield Bc7TransformSettings(sort, planes)
+
+
 # Candidate test orders for the auto-search, matching the reference's measured
 # probability orderings (most likely LAST -- the reference keeps this ordering to avoid
 # a redundant final CPU re-transform; our batched device search evaluates all candidates
@@ -193,3 +222,15 @@ BC3_COMPREHENSIVE_CANDIDATES: Tuple[Bc3TransformSettings, ...] = tuple(
         (YCoCgVariant.VARIANT1, False, False),
     )
 )
+
+# BC7 candidates (framework extension; the reference has no BC7 transform to order
+# by measured frequency). Identity first, the full mode-aware layout last -- the most
+# likely winner on real encoder output, where modes run in streaks.
+BC7_FAST_CANDIDATES: Tuple[Bc7TransformSettings, ...] = (
+    Bc7TransformSettings(False, False),
+    Bc7TransformSettings(True, False),
+    Bc7TransformSettings(False, True),
+    Bc7TransformSettings(True, True),
+)
+
+BC7_COMPREHENSIVE_CANDIDATES: Tuple[Bc7TransformSettings, ...] = BC7_FAST_CANDIDATES

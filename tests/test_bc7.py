@@ -1,0 +1,132 @@
+"""BC7 mode-aware transform: oracle, device parity, header, auto-search, end-to-end.
+
+The reference stubs BC7 (``bc7/src/lib.rs:8-13``); this framework implements a real
+mode-aware transform (mode-stable sort + byte-plane split; see ``oracle/bc7.py``).
+"""
+
+import numpy as np
+import pytest
+
+from dxt_lossless_transform_tpu.estimate.zstd import ZstdEstimation
+from dxt_lossless_transform_tpu.formats.embed import TransformFormat, TransformHeader
+from dxt_lossless_transform_tpu.oracle import bc7 as oracle_bc7
+from dxt_lossless_transform_tpu.ops import bc7 as ops_bc7
+from dxt_lossless_transform_tpu.settings import BC7_FAST_CANDIDATES, Bc7TransformSettings
+
+ALL_SETTINGS = tuple(Bc7TransformSettings.all_combinations())
+
+
+def _random_blocks(n, seed=0, with_invalid=True):
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+    if with_invalid and n > 3:
+        blocks[2, 0] = 0  # byte0 == 0: invalid block, mode id 8
+    return blocks.tobytes()
+
+
+def test_block_modes_ctz():
+    # mode m <=> m zero bits then a one, LSB-first in byte 0
+    blocks = np.zeros((9, 16), dtype=np.uint8)
+    for m in range(8):
+        blocks[m, 0] = 1 << m
+    # blocks[8] keeps byte0 == 0 -> invalid sentinel 8
+    modes = oracle_bc7.block_modes(blocks.tobytes())
+    assert list(modes) == [0, 1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_mode_stream_pack_roundtrip():
+    rng = np.random.default_rng(1)
+    for n in (0, 1, 2, 5, 100):
+        modes = rng.integers(0, 9, n).astype(np.uint8)
+        stream = oracle_bc7.pack_mode_stream(modes)
+        assert len(stream) == (n + 1) // 2
+        assert list(oracle_bc7.unpack_mode_stream(stream, n)) == list(modes)
+
+
+@pytest.mark.parametrize("settings", ALL_SETTINGS)
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 64, 1000])
+def test_oracle_roundtrip(settings, n):
+    data = _random_blocks(n, seed=n)
+    t = oracle_bc7.transform(data, settings)
+    assert len(t) == oracle_bc7.transformed_len(len(data), settings)
+    assert oracle_bc7.original_len(len(t), settings) == len(data)
+    assert oracle_bc7.untransform(t, settings) == data
+
+
+@pytest.mark.parametrize("settings", ALL_SETTINGS)
+def test_device_matches_oracle(settings, monkeypatch):
+    monkeypatch.setenv("DLT_DEVICE_MIN_BYTES", "0")
+    for n in (1, 5, 1000):
+        data = _random_blocks(n, seed=n + 10)
+        t_dev = ops_bc7.transform(data, settings)
+        assert t_dev == oracle_bc7.transform(data, settings)
+        assert ops_bc7.untransform(t_dev, settings) == data
+
+
+def test_golden_bytes():
+    # Two blocks: mode 6 (byte0 bit 6) then mode 0 (byte0 bit 0); stable sort swaps
+    # them; planes interleave the sorted blocks' bytes column-major.
+    b0 = bytes([0x40]) + bytes(range(1, 16))          # mode 6
+    b1 = bytes([0x01]) + bytes(range(101, 116))       # mode 0
+    data = b0 + b1
+    t = oracle_bc7.transform(data, Bc7TransformSettings(True, False))
+    assert t[0] == 0x06 | (0x00 << 4) or t[0] == (6 | (0 << 4))  # nibbles: 6 then 0
+    assert t[0] == 0x06
+    assert t[1:] == b1 + b0  # sorted: mode 0 first
+    tp = oracle_bc7.transform(data, Bc7TransformSettings(True, True))
+    planes = bytes(x for pair in zip(b1, b0) for x in pair)
+    assert tp[1:] == planes
+    ti = oracle_bc7.transform(data, Bc7TransformSettings(False, False))
+    assert ti == data
+
+
+def test_empty_and_alignment():
+    assert oracle_bc7.transform(b"") == b""
+    assert ops_bc7.transform(b"") == b""
+    assert ops_bc7.untransform(b"") == b""
+    with pytest.raises(ValueError):
+        ops_bc7.transform(b"\x00" * 15)
+    assert oracle_bc7.original_len(17, Bc7TransformSettings(True, True)) == 16
+    with pytest.raises(ValueError):
+        oracle_bc7.original_len(18, Bc7TransformSettings(True, True))
+
+
+def test_header_roundtrip():
+    for s in ALL_SETTINGS:
+        h = TransformHeader.for_bc7(s)
+        assert h.format == TransformFormat.BC7
+        h2 = TransformHeader.from_bytes(h.to_bytes())
+        assert h2.bc7_settings() == s
+
+
+def test_auto_prefers_identity_on_noise():
+    data = _random_blocks(2048, seed=3, with_invalid=False)
+    out, best = ops_bc7.transform_bc7_auto(data, ZstdEstimation(1))
+    assert best == Bc7TransformSettings(False, False)
+    assert out == data
+
+
+def test_auto_prefers_transform_on_structured():
+    # Synthetic mode-6-like blocks with smoothly varying endpoint bytes and noisy
+    # index bytes: the plane split should win under the estimator.
+    n = 4096
+    rng = np.random.default_rng(4)
+    blocks = np.empty((n, 16), dtype=np.uint8)
+    ramp = (np.arange(n) // 16) % 200
+    for k in range(9):  # endpoint-ish bytes: smooth + tiny noise
+        blocks[:, k] = (ramp + 3 * k + rng.integers(0, 2, n)) % 256
+    blocks[:, 0] = 0x40  # mode 6 prefix
+    blocks[:, 9:] = rng.integers(0, 256, (n, 7))  # index-ish noise
+    data = blocks.tobytes()
+    out, best = ops_bc7.transform_bc7_auto(data, ZstdEstimation(1))
+    assert best.split_byte_planes
+    assert ops_bc7.untransform(out, best) == data
+    import zstandard as zstd
+
+    c = zstd.ZstdCompressor(level=16)
+    assert len(c.compress(out)) < len(c.compress(data))
+
+
+def test_candidate_set_includes_identity_and_full():
+    assert Bc7TransformSettings(False, False) in BC7_FAST_CANDIDATES
+    assert Bc7TransformSettings(True, True) == BC7_FAST_CANDIDATES[-1]

@@ -183,13 +183,15 @@ def test_reference_asset_roundtrip(reference_assets):
         assert len(cctx.compress(transformed)) < len(cctx.compress(data))
 
 
-def test_bc7_asset_unsupported_gracefully(reference_assets):
-    # BC7 is reserved (tags + header space) but has no transform yet: the handler
-    # must raise the typed error, and the CLI isolates it per file.
-    from dxt_lossless_transform_tpu.formats.errors import UnsupportedTransformFormat
-
+def test_bc7_asset_roundtrip(reference_assets):
+    # The mode-aware BC7 transform (framework extension; the reference only reserves
+    # header space) must round-trip the real asset bit-exactly, including the
+    # payload-size change from the prepended mode stream.
     data = open(f"{reference_assets}/r2-256-bc7.dds", "rb").read()
     handler = DdsHandler()
     assert handler.can_handle(data)
-    with pytest.raises(UnsupportedTransformFormat):
-        handler.transform_bundle(data, TransformBundle.default_all())
+    transformed = handler.transform_bundle(data, TransformBundle.default_all())
+    n_blocks = 65536 // 16
+    assert len(transformed) == len(data) + (n_blocks + 1) // 2
+    assert handler.can_handle_untransform(transformed)
+    assert handler.untransform(transformed) == data
