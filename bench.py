@@ -78,6 +78,28 @@ def main():
             "untransform_GBps": nbytes / t_inv / 1e9,
             "roundtrip_GBps": nbytes / (t_fwd + t_inv) / 1e9,
         }
+    # BC7 mode-aware kernel (framework extension): sort-gather + byte-plane relayout
+    from dxt_lossless_transform_tpu.ops import bc7 as ops_bc7
+
+    _stage("kernels: bc7")
+    nbytes = 128 * 1024 * 1024
+    nblk = nbytes // 16
+    words7 = jnp.asarray(rng.integers(0, 2**32, (nblk, 4), dtype=np.uint32))
+    fwd7 = lambda w: ops_bc7.transform_device(w, nblk, True, True)
+    planes, stream = fwd7(words7)
+    sraw = np.asarray(stream)  # unpack nibbles (low first) on host, as untransform does
+    m_np = np.empty(2 * len(sraw), np.uint8)
+    m_np[0::2] = sraw & 0x0F
+    m_np[1::2] = sraw >> 4
+    modes7 = jnp.asarray(m_np)
+    inv7 = lambda p: ops_bc7.untransform_device(p, modes7, nblk, True, True)
+    t_fwd = _bench(fwd7, words7)
+    t_inv = _bench(inv7, planes)
+    results["bc7"] = {
+        "transform_GBps": nbytes / t_fwd / 1e9,
+        "untransform_GBps": nbytes / t_inv / 1e9,
+        "roundtrip_GBps": nbytes / (t_fwd + t_inv) / 1e9,
+    }
     details["kernels"] = results
 
     # Auto-search throughput: batched candidate search + estimator + winning

@@ -63,6 +63,22 @@ def test_device_matches_oracle(settings, monkeypatch):
         assert ops_bc7.untransform(t_dev, settings) == data
 
 
+@pytest.mark.parametrize("n", [4096, 4097, 10000, 12289])
+def test_cross_chunk_roundtrip(n, monkeypatch):
+    # The mode sort is chunk-local (4096 blocks); cover exact/ragged chunk boundaries
+    # on both the oracle and the device path, with invalid (byte0 == 0) blocks mixed in.
+    monkeypatch.setenv("DLT_DEVICE_MIN_BYTES", "0")
+    rng = np.random.default_rng(n)
+    blocks = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+    blocks[rng.integers(0, n, 20), 0] = 0
+    data = blocks.tobytes()
+    s = Bc7TransformSettings(True, True)
+    t = oracle_bc7.transform(data, s)
+    assert oracle_bc7.untransform(t, s) == data
+    assert ops_bc7.transform(data, s) == t
+    assert ops_bc7.untransform(t, s) == data
+
+
 def test_golden_bytes():
     # Two blocks: mode 6 (byte0 bit 6) then mode 0 (byte0 bit 0); stable sort swaps
     # them; planes interleave the sorted blocks' bytes column-major.
