@@ -218,3 +218,70 @@ class Bc7AutoTransformBuilder(_AutoBuilderBase):
         from .ops import bc7 as ops_bc7
 
         return ops_bc7.transform_bc7_auto(data, estimator, use_all)
+
+
+class RgbManualTransformBuilder:
+    """Manual builder for uncompressed RGBA8888 / BGRA8888 / BGR888 pixel formats
+    (framework extension; the reference reserves the header flag without a transform).
+
+    ``layout`` is one of ``"rgba8888"``, ``"bgra8888"``, ``"bgr888"``.
+    """
+
+    def __init__(self, layout: str, settings=None):
+        from .oracle.rgb import _LAYOUTS
+        from .settings import RgbTransformSettings
+
+        if layout not in _LAYOUTS:
+            raise ValueError(f"unknown pixel layout {layout!r}")
+        self.layout = layout
+        self._settings = settings if settings is not None else RgbTransformSettings()
+
+    def decorrelate(self, flag: bool):
+        from .settings import RgbTransformSettings
+
+        self._settings = RgbTransformSettings(bool(flag), self._settings.split_channels)
+        return self
+
+    def split_channels(self, flag: bool):
+        from .settings import RgbTransformSettings
+
+        self._settings = RgbTransformSettings(self._settings.decorrelate, bool(flag))
+        return self
+
+    def get_settings(self):
+        return self._settings
+
+    def transform(self, data: bytes) -> bytes:
+        from .ops import rgb as ops_rgb
+
+        return ops_rgb.transform(data, self.layout, self._settings)
+
+    def untransform(self, data: bytes) -> bytes:
+        from .ops import rgb as ops_rgb
+
+        return ops_rgb.untransform(data, self.layout, self._settings)
+
+
+class RgbAutoTransformBuilder(_AutoBuilderBase):
+    """Auto builder for uncompressed pixel formats; estimator picks the layout."""
+
+    def __init__(self, layout: str, estimator: Optional[SizeEstimation] = None):
+        super().__init__(estimator)
+        from .oracle.rgb import _LAYOUTS
+
+        if layout not in _LAYOUTS:
+            raise ValueError(f"unknown pixel layout {layout!r}")
+        self.layout = layout
+
+    @classmethod
+    def new_ultra(cls, layout: str, estimator: SizeEstimation):
+        b = cls(layout, estimator)
+        b._use_all = True
+        return b
+
+    def transform(self, data: bytes):
+        from .ops import rgb as ops_rgb
+
+        out, settings = ops_rgb.transform_rgb_auto(data, self.layout, self._estimator,
+                                                   self._use_all)
+        return out, RgbManualTransformBuilder(self.layout, settings)

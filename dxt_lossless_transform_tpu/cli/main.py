@@ -22,6 +22,7 @@ from pathlib import Path
 from ..api import (
     Bc1AutoTransformBuilder, Bc2AutoTransformBuilder, Bc3AutoTransformBuilder,
     Bc4AutoTransformBuilder, Bc5AutoTransformBuilder, Bc7AutoTransformBuilder,
+    RgbAutoTransformBuilder,
 )
 from ..estimate import LtuEstimation, ZstdEstimation
 from ..formats import TransformBundle, file_io
@@ -66,12 +67,17 @@ def make_preset_bundle(preset: str) -> TransformBundle:
     else:
         raise ValueError(f"unknown preset {preset!r}")
     mk = (lambda cls: cls.new_ultra(est) if ultra else cls(est))
+    mkrgb = (lambda layout: RgbAutoTransformBuilder.new_ultra(layout, est) if ultra
+             else RgbAutoTransformBuilder(layout, est))
     return TransformBundle(bc1=mk(Bc1AutoTransformBuilder),
                            bc2=mk(Bc2AutoTransformBuilder),
                            bc3=mk(Bc3AutoTransformBuilder),
                            bc4=mk(Bc4AutoTransformBuilder),
                            bc5=mk(Bc5AutoTransformBuilder),
-                           bc7=mk(Bc7AutoTransformBuilder))
+                           bc7=mk(Bc7AutoTransformBuilder),
+                           rgba8888=mkrgb("rgba8888"),
+                           bgra8888=mkrgb("bgra8888"),
+                           bgr888=mkrgb("bgr888"))
 
 
 def find_all_files(root: Path):

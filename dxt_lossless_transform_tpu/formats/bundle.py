@@ -17,6 +17,7 @@ from ..api import (
     Bc4AutoTransformBuilder, Bc4ManualTransformBuilder,
     Bc5AutoTransformBuilder, Bc5ManualTransformBuilder,
     Bc7AutoTransformBuilder, Bc7ManualTransformBuilder,
+    RgbManualTransformBuilder,
 )
 from .embed import TransformFormat, TransformHeader
 from .errors import NoBuilderForFormat, UnsupportedTransformFormat
@@ -31,9 +32,11 @@ class TransformBundle:
     :class:`NoBuilderForFormat` on dispatch (``bundle/mod.rs:125-188``)."""
 
     def __init__(self, bc1: Optional[Bc1Builder] = None, bc2: Optional[Bc2Builder] = None,
-                 bc3: Optional[Bc3Builder] = None, bc4=None, bc5=None, bc7=None):
+                 bc3: Optional[Bc3Builder] = None, bc4=None, bc5=None, bc7=None,
+                 rgba8888=None, bgra8888=None, bgr888=None):
         self.bc1, self.bc2, self.bc3 = bc1, bc2, bc3
         self.bc4, self.bc5, self.bc7 = bc4, bc5, bc7
+        self.rgba8888, self.bgra8888, self.bgr888 = rgba8888, bgra8888, bgr888
 
     @staticmethod
     def default_all() -> "TransformBundle":
@@ -45,6 +48,9 @@ class TransformBundle:
             bc4=Bc4ManualTransformBuilder(),
             bc5=Bc5ManualTransformBuilder(),
             bc7=Bc7ManualTransformBuilder(),
+            rgba8888=RgbManualTransformBuilder("rgba8888"),
+            bgra8888=RgbManualTransformBuilder("bgra8888"),
+            bgr888=RgbManualTransformBuilder("bgr888"),
         )
 
     def dispatch_transform(self, fmt: TransformFormat, payload: bytes):
@@ -70,6 +76,13 @@ class TransformBundle:
         if fmt == TransformFormat.BC7:
             out, settings = self._run(self.bc7, fmt, payload)
             return out, TransformHeader.for_bc7(settings)
+        if fmt in (TransformFormat.RGBA8888, TransformFormat.BGRA8888,
+                   TransformFormat.BGR888):
+            builder = {TransformFormat.RGBA8888: self.rgba8888,
+                       TransformFormat.BGRA8888: self.bgra8888,
+                       TransformFormat.BGR888: self.bgr888}[fmt]
+            out, settings = self._run(builder, fmt, payload)
+            return out, TransformHeader.for_rgb(fmt, settings)
         raise UnsupportedTransformFormat(fmt)
 
     @staticmethod

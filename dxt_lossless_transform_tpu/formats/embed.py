@@ -32,6 +32,14 @@ Per-format bitfields (within the 28-bit data field):
     bit 2:    sort blocks by mode (adds a packed mode stream before the payload)
     bit 3:    split byte planes
     rest:     reserved
+
+  RGBA8888 / BGRA8888 / BGR888 (framework extension; the reference reserves the
+  decorrelation flag at bit 2 -- ``embed/formats/rgba8888.rs`` bitfield -- but ships
+  no transform; bit 3 takes the channel-split knob from the reserved space):
+    bits 0-1: header version (0)
+    bit 2:    decorrelate (r' = r - g, b' = b - g mod 256)
+    bit 3:    split channels into planes
+    rest:     reserved
 """
 
 from __future__ import annotations
@@ -47,6 +55,7 @@ from ..settings import (
     Bc4TransformSettings,
     Bc5TransformSettings,
     Bc7TransformSettings,
+    RgbTransformSettings,
     YCoCgVariant,
 )
 from .errors import CorruptedEmbeddedData, UnknownTransformFormat
@@ -174,3 +183,19 @@ class TransformHeader:
         if self.data & 0x3:
             raise CorruptedEmbeddedData(f"unsupported BC7 header version {self.data & 0x3}")
         return Bc7TransformSettings(bool((self.data >> 2) & 1), bool((self.data >> 3) & 1))
+
+    # Uncompressed RGB(A) formats (framework extension; the reference reserves the
+    # decorrelation bit -- rgba8888.rs -- without implementing the transform)
+
+    @staticmethod
+    def for_rgb(fmt: "TransformFormat", settings: RgbTransformSettings) -> "TransformHeader":
+        assert fmt in (TransformFormat.RGBA8888, TransformFormat.BGRA8888,
+                       TransformFormat.BGR888)
+        data = (int(settings.decorrelate) << 2) | (int(settings.split_channels) << 3)
+        return TransformHeader(fmt, data)
+
+    def rgb_settings(self) -> RgbTransformSettings:
+        if self.data & 0x3:
+            raise CorruptedEmbeddedData(
+                f"unsupported RGB header version {self.data & 0x3}")
+        return RgbTransformSettings(bool((self.data >> 2) & 1), bool((self.data >> 3) & 1))

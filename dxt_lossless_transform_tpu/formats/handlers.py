@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Optional, Protocol, runtime_checkable
 
 from ..ops import bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3, bc45 as ops_bc45, \
-    bc7 as ops_bc7
+    bc7 as ops_bc7, rgb as ops_rgb
 from ..oracle import bc7 as oracle_bc7
 from .bundle import TransformBundle
 from .dds import DDS_MAGIC, DdsFormat, likely_dds, parse_dds, parse_dds_ignore_magic
@@ -26,7 +26,13 @@ from .errors import (
 )
 
 _ALIGNMENT = {TransformFormat.BC1: 8, TransformFormat.BC2: 16, TransformFormat.BC3: 16,
-              TransformFormat.BC4: 8, TransformFormat.BC5: 16, TransformFormat.BC7: 16}
+              TransformFormat.BC4: 8, TransformFormat.BC5: 16, TransformFormat.BC7: 16,
+              TransformFormat.RGBA8888: 4, TransformFormat.BGRA8888: 4,
+              TransformFormat.BGR888: 3}
+
+_RGB_LAYOUT = {TransformFormat.RGBA8888: "rgba8888",
+               TransformFormat.BGRA8888: "bgra8888",
+               TransformFormat.BGR888: "bgr888"}
 
 
 def dispatch_transform(fmt: TransformFormat, payload: bytes, bundle: TransformBundle):
@@ -71,6 +77,9 @@ def dispatch_untransform(header: TransformHeader, payload: bytes) -> bytes:
         return ops_bc45.untransform_bc4(payload, header.bc4_settings())
     if header.format == TransformFormat.BC5:
         return ops_bc45.untransform_bc5(payload, header.bc5_settings())
+    if header.format in _RGB_LAYOUT:
+        return ops_rgb.untransform(payload, _RGB_LAYOUT[header.format],
+                                   header.rgb_settings())
     raise UnsupportedTransformFormat(header.format)
 
 

@@ -234,3 +234,32 @@ BC7_FAST_CANDIDATES: Tuple[Bc7TransformSettings, ...] = (
 )
 
 BC7_COMPREHENSIVE_CANDIDATES: Tuple[Bc7TransformSettings, ...] = BC7_FAST_CANDIDATES
+
+
+@dataclass(frozen=True)
+class RgbTransformSettings:
+    """Settings for uncompressed RGBA8888 / BGRA8888 / BGR888 transforms (framework
+    extension; the reference reserves a decorrelation header flag for these formats
+    -- ``embed/formats/rgba8888.rs`` -- but ships no transform).
+
+    - ``decorrelate``: reversible r' = r - g, b' = b - g (mod 256) lifting transform.
+    - ``split_channels``: de-interleave pixels into per-channel planes.
+    """
+
+    decorrelate: bool = True
+    split_channels: bool = True
+
+    @staticmethod
+    def all_combinations() -> Iterator["RgbTransformSettings"]:
+        for dec in (True, False):
+            for split in (True, False):
+                yield RgbTransformSettings(dec, split)
+
+
+# RGB candidates: identity first, the full planar+decorrelated layout last.
+RGB_FAST_CANDIDATES: Tuple[RgbTransformSettings, ...] = (
+    RgbTransformSettings(False, False),
+    RgbTransformSettings(True, False),
+    RgbTransformSettings(False, True),
+    RgbTransformSettings(True, True),
+)
