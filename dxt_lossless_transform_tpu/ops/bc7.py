@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle import bc7 as _oracle
+from .. import runtime as _native
 from ..settings import Bc7TransformSettings
 from . import lanes
 
@@ -185,6 +186,9 @@ def transform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -> 
         return b""
     if len(data) < lanes.device_threshold_bytes() or \
             settings == Bc7TransformSettings(False, False):
+        if _native.available():
+            return _native.bc7_transform(data, settings.sort_by_mode,
+                                         settings.split_byte_planes)
         return _oracle.transform(data, settings)
     words = np.frombuffer(data, "<u4").reshape(n, 4)
     n_pad = lanes.bucket_size(n)
@@ -204,6 +208,10 @@ def untransform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -
     n = _oracle.original_len(len(data), settings) // BLOCK_SIZE
     if n * BLOCK_SIZE < lanes.device_threshold_bytes() or \
             settings == Bc7TransformSettings(False, False):
+        if _native.available():
+            return _native.bc7_untransform(data, n * BLOCK_SIZE,
+                                           settings.sort_by_mode,
+                                           settings.split_byte_planes)
         return _oracle.untransform(data, settings)
     msl = _oracle.mode_stream_len(n) if settings.sort_by_mode else 0
     payload = np.frombuffer(data, np.uint8, offset=msl, count=n * BLOCK_SIZE)

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..oracle import rgb as _oracle
 from ..oracle.rgb import _LAYOUTS
+from .. import runtime as _native
 from ..settings import RgbTransformSettings
 from . import lanes
 
@@ -52,6 +53,9 @@ def transform(data, layout: str,
         return b""
     if len(data) < lanes.device_threshold_bytes() or \
             settings == RgbTransformSettings(False, False):
+        if _native.available():
+            return _native.rgb_transform(data, layout, settings.decorrelate,
+                                         settings.split_channels)
         return _oracle.transform(data, layout, settings)
     px = np.frombuffer(data, np.uint8).reshape(n, size)
     n_pad = lanes.bucket_size(n)
@@ -71,6 +75,9 @@ def untransform(data, layout: str,
         return b""
     if len(data) < lanes.device_threshold_bytes() or \
             settings == RgbTransformSettings(False, False):
+        if _native.available():
+            return _native.rgb_untransform(data, layout, settings.decorrelate,
+                                           settings.split_channels)
         return _oracle.untransform(data, layout, settings)
     raw = np.frombuffer(data, np.uint8)
     n_pad = lanes.bucket_size(n)

@@ -169,3 +169,43 @@ def zstd_estimate_batch(buffers: Sequence[bytes], level: int = 1,
 
 def ltu_estimate(data: bytes) -> int:
     return int(_try_load().dlt_ltu_estimate(_buf(data), len(data)))
+
+
+def bc7_transform(data: bytes, sort: bool, planes: bool) -> bytes:
+    import numpy as np
+
+    n = len(data) // 16
+    out = np.empty(len(data) + ((n + 1) // 2 if sort else 0), np.uint8)
+    rc = _try_load().dlt_bc7_transform(
+        _buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data), int(sort), int(planes))
+    if rc != 0:
+        raise ValueError(f"native bc7 transform failed (rc={rc}, len={len(data)})")
+    return out.tobytes()
+
+
+def bc7_untransform(data: bytes, original_len: int, sort: bool, planes: bool) -> bytes:
+    import numpy as np
+
+    out = np.empty(original_len, np.uint8)
+    rc = _try_load().dlt_bc7_untransform(
+        _buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        original_len, int(sort), int(planes))
+    if rc != 0:
+        raise ValueError(f"native bc7 untransform failed (rc={rc})")
+    return out.tobytes()
+
+
+_RGB_ARGS = {"rgba8888": (4, 0, 1, 2), "bgra8888": (4, 2, 1, 0), "bgr888": (3, 2, 1, 0)}
+
+
+def rgb_transform(data: bytes, layout: str, dec: bool, split: bool) -> bytes:
+    size, ri, gi, bi = _RGB_ARGS[layout]
+    return _run_transform(_try_load().dlt_rgb_transform, data, size, ri, gi, bi,
+                          dec, split)
+
+
+def rgb_untransform(data: bytes, layout: str, dec: bool, split: bool) -> bytes:
+    size, ri, gi, bi = _RGB_ARGS[layout]
+    return _run_transform(_try_load().dlt_rgb_untransform, data, size, ri, gi, bi,
+                          dec, split)

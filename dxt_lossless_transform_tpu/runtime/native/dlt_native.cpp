@@ -418,4 +418,138 @@ extern "C" size_t dlt_ltu_estimate(const uint8_t* data, size_t len) {
     return len - matches;
 }
 
+
+// ------------------------------------------------------------------ BC7 -------------
+// Mode-aware transform (framework extension; see oracle/bc7.py for the layout):
+// chunk-local (4096 blocks) stable counting sort by mode id + optional byte-plane
+// split, with a packed 4-bit mode stream for the inverse.
+
+static const size_t BC7_CHUNK = 4096;
+
+static inline uint8_t bc7_mode(uint8_t b0) {
+    return b0 ? (uint8_t)__builtin_ctz((unsigned)b0) : (uint8_t)8;
+}
+
+// Stable chunk-local counting-sort permutation: order[p] = source block of output p.
+static void bc7_sort_order(const uint8_t* modes, size_t n, uint32_t* order) {
+    for (size_t s = 0; s < n; s += BC7_CHUNK) {
+        size_t c = std::min(BC7_CHUNK, n - s);
+        size_t cnt[9] = {0};
+        for (size_t j = 0; j < c; j++) cnt[modes[s + j]]++;
+        size_t offs[9], acc = 0;
+        for (int m = 0; m < 9; m++) { offs[m] = acc; acc += cnt[m]; }
+        for (size_t j = 0; j < c; j++)
+            order[s + offs[modes[s + j]]++] = (uint32_t)(s + j);
+    }
+}
+
+// out must hold len + (sort ? (len/16 + 1) / 2 : 0) bytes (mode stream first).
+extern "C" int dlt_bc7_transform(const uint8_t* in, uint8_t* out, size_t len,
+                                 int sort, int planes) {
+    if (len % 16) return -1;
+    size_t n = len / 16;
+    uint8_t* payload = out;
+    std::vector<uint32_t> order(n);
+    if (sort) {
+        std::vector<uint8_t> modes(n);
+        for (size_t i = 0; i < n; i++) modes[i] = bc7_mode(in[16 * i]);
+        size_t msl = (n + 1) / 2;
+        for (size_t i = 0; i < msl; i++)
+            out[i] = (uint8_t)(modes[2 * i] |
+                               ((2 * i + 1 < n) ? (modes[2 * i + 1] << 4) : 0));
+        payload = out + msl;
+        bc7_sort_order(modes.data(), n, order.data());
+    } else {
+        for (size_t i = 0; i < n; i++) order[i] = (uint32_t)i;
+    }
+    if (planes) {
+        for (int k = 0; k < 16; k++)
+            for (size_t p = 0; p < n; p++)
+                payload[(size_t)k * n + p] = in[16 * (size_t)order[p] + k];
+    } else {
+        for (size_t p = 0; p < n; p++)
+            std::memcpy(payload + 16 * p, in + 16 * (size_t)order[p], 16);
+    }
+    return 0;
+}
+
+// in holds the transformed stream; out_len is the ORIGINAL payload size (16 * n).
+extern "C" int dlt_bc7_untransform(const uint8_t* in, uint8_t* out, size_t out_len,
+                                   int sort, int planes) {
+    if (out_len % 16) return -1;
+    size_t n = out_len / 16;
+    const uint8_t* payload = in;
+    std::vector<uint32_t> order(n);
+    if (sort) {
+        size_t msl = (n + 1) / 2;
+        std::vector<uint8_t> modes(n);
+        for (size_t i = 0; i < n; i++)
+            modes[i] = (i & 1) ? (uint8_t)(in[i / 2] >> 4) : (uint8_t)(in[i / 2] & 0xF);
+        payload = in + msl;
+        bc7_sort_order(modes.data(), n, order.data());
+    } else {
+        for (size_t i = 0; i < n; i++) order[i] = (uint32_t)i;
+    }
+    if (planes) {
+        for (int k = 0; k < 16; k++)
+            for (size_t p = 0; p < n; p++)
+                out[16 * (size_t)order[p] + k] = payload[(size_t)k * n + p];
+    } else {
+        for (size_t p = 0; p < n; p++)
+            std::memcpy(out + 16 * (size_t)order[p], payload + 16 * p, 16);
+    }
+    return 0;
+}
+
+// ------------------------------------------------------ uncompressed RGB(A) ---------
+// Channel-plane split + reversible r-g / b-g (mod 256) lifting (see oracle/rgb.py).
+// size = bytes per pixel (3 or 4); ri/gi/bi = channel byte indices within a pixel.
+
+extern "C" int dlt_rgb_transform(const uint8_t* in, uint8_t* out, size_t len,
+                                 int size, int ri, int gi, int bi,
+                                 int dec, int split) {
+    if (size < 3 || size > 4 || len % (size_t)size) return -1;
+    size_t n = len / (size_t)size;
+    for (int k = 0; k < size; k++) {
+        const uint8_t* src = in + k;
+        uint8_t* dst = split ? out + (size_t)k * n : out + k;
+        size_t stride = split ? 1 : (size_t)size;
+        if (dec && (k == ri || k == bi)) {
+            const uint8_t* g = in + gi;
+            for (size_t i = 0; i < n; i++)
+                dst[i * stride] = (uint8_t)(src[i * (size_t)size] - g[i * (size_t)size]);
+        } else {
+            for (size_t i = 0; i < n; i++)
+                dst[i * stride] = src[i * (size_t)size];
+        }
+    }
+    return 0;
+}
+
+extern "C" int dlt_rgb_untransform(const uint8_t* in, uint8_t* out, size_t len,
+                                   int size, int ri, int gi, int bi,
+                                   int dec, int split) {
+    if (size < 3 || size > 4 || len % (size_t)size) return -1;
+    size_t n = len / (size_t)size;
+    // green first (r/b reconstruction needs it), then the rest
+    for (int pass = 0; pass < 2; pass++) {
+        for (int k = 0; k < size; k++) {
+            if ((pass == 0) != (k == gi)) continue;
+            const uint8_t* src = split ? in + (size_t)k * n : in + k;
+            size_t stride = split ? 1 : (size_t)size;
+            uint8_t* dst = out + k;
+            if (dec && (k == ri || k == bi)) {
+                const uint8_t* g = out + gi;  // already restored (pass 0)
+                for (size_t i = 0; i < n; i++)
+                    dst[i * (size_t)size] =
+                        (uint8_t)(src[i * stride] + g[i * (size_t)size]);
+            } else {
+                for (size_t i = 0; i < n; i++)
+                    dst[i * (size_t)size] = src[i * stride];
+            }
+        }
+    }
+    return 0;
+}
+
 extern "C" int dlt_version(void) { return 1; }

@@ -63,3 +63,35 @@ def test_native_batch_estimate():
 def test_invalid_length_rejected():
     with pytest.raises(ValueError):
         runtime.bc1_transform(b"\x00" * 7, 1, True)
+
+
+def test_native_bc7_matches_oracle():
+    from dxt_lossless_transform_tpu.oracle import bc7 as o7
+    from dxt_lossless_transform_tpu.settings import Bc7TransformSettings
+
+    rng = np.random.default_rng(7)
+    for n in (1, 5, 4097, 10000):  # ragged + cross-chunk cases
+        blocks = rng.integers(0, 256, (n, 16), dtype=np.uint8)
+        if n > 3:
+            blocks[2, 0] = 0  # invalid block (mode id 8)
+        data = blocks.tobytes()
+        for s in Bc7TransformSettings.all_combinations():
+            t = runtime.bc7_transform(data, s.sort_by_mode, s.split_byte_planes)
+            assert t == o7.transform(data, s), (n, s)
+            assert runtime.bc7_untransform(t, len(data), s.sort_by_mode,
+                                           s.split_byte_planes) == data, (n, s)
+
+
+def test_native_rgb_matches_oracle():
+    from dxt_lossless_transform_tpu.oracle import rgb as org
+    from dxt_lossless_transform_tpu.settings import RgbTransformSettings
+
+    rng = np.random.default_rng(8)
+    for layout in ("rgba8888", "bgra8888", "bgr888"):
+        size = org._LAYOUTS[layout][0]
+        data = rng.integers(0, 256, 1237 * size, dtype=np.uint8).tobytes()
+        for s in RgbTransformSettings.all_combinations():
+            t = runtime.rgb_transform(data, layout, s.decorrelate, s.split_channels)
+            assert t == org.transform(data, layout, s), (layout, s)
+            assert runtime.rgb_untransform(t, layout, s.decorrelate,
+                                           s.split_channels) == data, (layout, s)
