@@ -285,3 +285,49 @@ class RgbAutoTransformBuilder(_AutoBuilderBase):
         out, settings = ops_rgb.transform_rgb_auto(data, self.layout, self._estimator,
                                                    self._use_all)
         return out, RgbManualTransformBuilder(self.layout, settings)
+
+
+class Bc6hManualTransformBuilder:
+    """Manual BC6H builder (framework extension; the reference only reserves header
+    space for BC6H)."""
+
+    def __init__(self, settings=None):
+        from .settings import Bc6hTransformSettings
+
+        self._settings = settings if settings is not None else Bc6hTransformSettings()
+
+    def sort_by_mode(self, flag: bool):
+        from .settings import Bc6hTransformSettings
+
+        self._settings = Bc6hTransformSettings(bool(flag),
+                                               self._settings.split_byte_planes)
+        return self
+
+    def split_byte_planes(self, flag: bool):
+        from .settings import Bc6hTransformSettings
+
+        self._settings = Bc6hTransformSettings(self._settings.sort_by_mode, bool(flag))
+        return self
+
+    def get_settings(self):
+        return self._settings
+
+    def transform(self, data: bytes) -> bytes:
+        from .ops import bc6h as ops_bc6h
+
+        return ops_bc6h.transform(data, self._settings)
+
+    def untransform(self, data: bytes) -> bytes:
+        from .ops import bc6h as ops_bc6h
+
+        return ops_bc6h.untransform(data, self._settings)
+
+
+class Bc6hAutoTransformBuilder(_AutoBuilderBase):
+    _manual_cls = Bc6hManualTransformBuilder
+
+    @staticmethod
+    def _auto_fn(data, estimator, use_all):
+        from .ops import bc6h as ops_bc6h
+
+        return ops_bc6h.transform_bc6h_auto(data, estimator, use_all)

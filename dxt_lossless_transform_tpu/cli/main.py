@@ -21,7 +21,8 @@ from pathlib import Path
 
 from ..api import (
     Bc1AutoTransformBuilder, Bc2AutoTransformBuilder, Bc3AutoTransformBuilder,
-    Bc4AutoTransformBuilder, Bc5AutoTransformBuilder, Bc7AutoTransformBuilder,
+    Bc4AutoTransformBuilder, Bc5AutoTransformBuilder, Bc6hAutoTransformBuilder,
+    Bc7AutoTransformBuilder,
     RgbAutoTransformBuilder,
 )
 from ..estimate import LtuEstimation, ZstdEstimation
@@ -75,6 +76,7 @@ def make_preset_bundle(preset: str) -> TransformBundle:
                            bc4=mk(Bc4AutoTransformBuilder),
                            bc5=mk(Bc5AutoTransformBuilder),
                            bc7=mk(Bc7AutoTransformBuilder),
+                           bc6h=mk(Bc6hAutoTransformBuilder),
                            rgba8888=mkrgb("rgba8888"),
                            bgra8888=mkrgb("bgra8888"),
                            bgr888=mkrgb("bgr888"))

@@ -16,6 +16,7 @@ from ..api import (
     Bc3AutoTransformBuilder, Bc3ManualTransformBuilder,
     Bc4AutoTransformBuilder, Bc4ManualTransformBuilder,
     Bc5AutoTransformBuilder, Bc5ManualTransformBuilder,
+    Bc6hAutoTransformBuilder, Bc6hManualTransformBuilder,
     Bc7AutoTransformBuilder, Bc7ManualTransformBuilder,
     RgbManualTransformBuilder,
 )
@@ -33,9 +34,9 @@ class TransformBundle:
 
     def __init__(self, bc1: Optional[Bc1Builder] = None, bc2: Optional[Bc2Builder] = None,
                  bc3: Optional[Bc3Builder] = None, bc4=None, bc5=None, bc7=None,
-                 rgba8888=None, bgra8888=None, bgr888=None):
+                 bc6h=None, rgba8888=None, bgra8888=None, bgr888=None):
         self.bc1, self.bc2, self.bc3 = bc1, bc2, bc3
-        self.bc4, self.bc5, self.bc7 = bc4, bc5, bc7
+        self.bc4, self.bc5, self.bc7, self.bc6h = bc4, bc5, bc7, bc6h
         self.rgba8888, self.bgra8888, self.bgr888 = rgba8888, bgra8888, bgr888
 
     @staticmethod
@@ -48,6 +49,7 @@ class TransformBundle:
             bc4=Bc4ManualTransformBuilder(),
             bc5=Bc5ManualTransformBuilder(),
             bc7=Bc7ManualTransformBuilder(),
+            bc6h=Bc6hManualTransformBuilder(),
             rgba8888=RgbManualTransformBuilder("rgba8888"),
             bgra8888=RgbManualTransformBuilder("bgra8888"),
             bgr888=RgbManualTransformBuilder("bgr888"),
@@ -76,6 +78,9 @@ class TransformBundle:
         if fmt == TransformFormat.BC7:
             out, settings = self._run(self.bc7, fmt, payload)
             return out, TransformHeader.for_bc7(settings)
+        if fmt == TransformFormat.BC6H:
+            out, settings = self._run(self.bc6h, fmt, payload)
+            return out, TransformHeader.for_bc6h(settings)
         if fmt in (TransformFormat.RGBA8888, TransformFormat.BGRA8888,
                    TransformFormat.BGR888):
             builder = {TransformFormat.RGBA8888: self.rgba8888,

@@ -26,8 +26,8 @@ Per-format bitfields (within the 28-bit data field):
     bit 5:    split alpha endpoints
     rest:     reserved
 
-  BC7 (framework extension; the reference reserves header space -- 48 extra bytes,
-  ``embed/mod.rs:97-103`` -- but ships no transform):
+  BC7 / BC6H (framework extensions; the reference reserves header space -- 48 and
+  80 extra bytes, ``embed/mod.rs:97-103`` -- but ships no transform):
     bits 0-1: header version (0)
     bit 2:    sort blocks by mode (adds a packed mode stream before the payload)
     bit 3:    split byte planes
@@ -54,6 +54,7 @@ from ..settings import (
     Bc3TransformSettings,
     Bc4TransformSettings,
     Bc5TransformSettings,
+    Bc6hTransformSettings,
     Bc7TransformSettings,
     RgbTransformSettings,
     YCoCgVariant,
@@ -183,6 +184,18 @@ class TransformHeader:
         if self.data & 0x3:
             raise CorruptedEmbeddedData(f"unsupported BC7 header version {self.data & 0x3}")
         return Bc7TransformSettings(bool((self.data >> 2) & 1), bool((self.data >> 3) & 1))
+
+    @staticmethod
+    def for_bc6h(settings: Bc6hTransformSettings) -> "TransformHeader":
+        data = (int(settings.sort_by_mode) << 2) | (int(settings.split_byte_planes) << 3)
+        return TransformHeader(TransformFormat.BC6H, data)
+
+    def bc6h_settings(self) -> Bc6hTransformSettings:
+        if self.data & 0x3:
+            raise CorruptedEmbeddedData(
+                f"unsupported BC6H header version {self.data & 0x3}")
+        return Bc6hTransformSettings(bool((self.data >> 2) & 1),
+                                     bool((self.data >> 3) & 1))
 
     # Uncompressed RGB(A) formats (framework extension; the reference reserves the
     # decorrelation bit -- rgba8888.rs -- without implementing the transform)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Optional, Protocol, runtime_checkable
 
 from ..ops import bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3, bc45 as ops_bc45, \
-    bc7 as ops_bc7, rgb as ops_rgb
+    bc6h as ops_bc6h, bc7 as ops_bc7, rgb as ops_rgb
 from ..oracle import bc7 as oracle_bc7
 from .bundle import TransformBundle
 from .dds import DDS_MAGIC, DdsFormat, likely_dds, parse_dds, parse_dds_ignore_magic
@@ -27,6 +27,7 @@ from .errors import (
 
 _ALIGNMENT = {TransformFormat.BC1: 8, TransformFormat.BC2: 16, TransformFormat.BC3: 16,
               TransformFormat.BC4: 8, TransformFormat.BC5: 16, TransformFormat.BC7: 16,
+              TransformFormat.BC6H: 16,
               TransformFormat.RGBA8888: 4, TransformFormat.BGRA8888: 4,
               TransformFormat.BGR888: 3}
 
@@ -50,20 +51,23 @@ def transformed_payload_len(header: TransformHeader, original_len: int) -> int:
     packed 4-bit mode stream (see :mod:`..oracle.bc7`)."""
     if header.format == TransformFormat.BC7:
         return oracle_bc7.transformed_len(original_len, header.bc7_settings())
+    if header.format == TransformFormat.BC6H:
+        return oracle_bc7.transformed_len(original_len, header.bc6h_settings())
     return original_len
 
 
 def dispatch_untransform(header: TransformHeader, payload: bytes) -> bytes:
     """Decode settings from the header and run the core untransform
     (``handlers/dispatch.rs:39-141``)."""
-    if header.format == TransformFormat.BC7:
-        settings = header.bc7_settings()
+    if header.format in (TransformFormat.BC7, TransformFormat.BC6H):
+        is_bc7 = header.format == TransformFormat.BC7
+        settings = header.bc7_settings() if is_bc7 else header.bc6h_settings()
         try:
             oracle_bc7.original_len(len(payload), settings)
         except ValueError:
-            raise InvalidDataAlignment(len(payload), _ALIGNMENT[TransformFormat.BC7]) \
+            raise InvalidDataAlignment(len(payload), _ALIGNMENT[header.format]) \
                 from None
-        return ops_bc7.untransform(payload, settings)
+        return (ops_bc7 if is_bc7 else ops_bc6h).untransform(payload, settings)
     div = _ALIGNMENT.get(header.format)
     if div is not None and len(payload) % div:
         raise InvalidDataAlignment(len(payload), div)

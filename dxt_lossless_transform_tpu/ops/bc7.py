@@ -67,14 +67,30 @@ def insert_msb_bits(byte, value, start: int, end: int):
 
 # --- device kernels ---------------------------------------------------------------------
 
-def _modes_from_words(w0, n_valid):
-    """Per-block mode id (u32 lanes): ctz of byte 0, 8 for the invalid byte0 == 0;
-    padding rows (index >= n_valid) are forced to 8 so they stay last in the sort."""
+def _modes_from_words(w0, n_valid, fmt: str = "bc7"):
+    """Per-block mode id (u32 lanes) from byte 0; padding rows (index >= n_valid) get
+    the format's pad sentinel (> any real id) so they stay last in the sort.
+
+    bc7: ctz of byte 0 (0..7), 8 for the invalid byte0 == 0; pad = 8 (stable order
+    keeps real invalid blocks ahead of padding). bc6h: the grouping-id map from
+    :mod:`..oracle.bc6h` (0..14); pad = 15."""
     b0 = w0 & jnp.uint32(0xFF)
-    lsb = b0 & (jnp.uint32(0) - b0)
-    mode = jnp.minimum(jax.lax.population_count(lsb - jnp.uint32(1)), jnp.uint32(8))
+    if fmt == "bc7":
+        lsb = b0 & (jnp.uint32(0) - b0)
+        mode = jnp.minimum(jax.lax.population_count(lsb - jnp.uint32(1)),
+                           jnp.uint32(8))
+        pad = jnp.uint32(8)
+    else:
+        assert fmt == "bc6h"
+        two = b0 & jnp.uint32(3)
+        v = b0 & jnp.uint32(31)
+        id5 = jnp.where(v & 1,
+                        jnp.uint32(10) + jnp.minimum(v >> 2, jnp.uint32(4)),
+                        jnp.uint32(2) + (v >> 2))
+        mode = jnp.where(two < 2, two, id5)
+        pad = jnp.uint32(15)
     idx = jnp.arange(w0.shape[0], dtype=jnp.uint32)
-    return jnp.where(idx < n_valid, mode, jnp.uint32(8))
+    return jnp.where(idx < n_valid, mode, pad)
 
 
 def _pack_nibbles(modes, n_valid):
@@ -124,14 +140,14 @@ def _cols_from_blocks(blocks):
     return jax.lax.bitcast_convert_type(blocks.reshape(-1, 4, 4), jnp.uint32).T
 
 
-@partial(jax.jit, static_argnames=("sort", "planes"))
-def _transform_xla(words, n_valid, sort: bool, planes: bool):
+@partial(jax.jit, static_argnames=("sort", "planes", "fmt"))
+def _transform_xla(words, n_valid, sort: bool, planes: bool, fmt: str = "bc7"):
     """uint32[Np, 4] block words (+ valid count) -> (payload 2D, packed mode stream).
 
     Padding rows sort to the end; callers slice the first n columns/rows."""
     cols = words.T
     if sort:
-        modes = _modes_from_words(cols[0], n_valid)
+        modes = _modes_from_words(cols[0], n_valid, fmt)
         stream = _pack_nibbles(modes, n_valid)
         key = _chunk_keys(modes)
         sorted_ = jax.lax.sort(
@@ -146,11 +162,12 @@ def _transform_xla(words, n_valid, sort: bool, planes: bool):
 def _untransform_xla(payload, modes, n_valid, sort: bool, planes: bool):
     """Transformed payload (+ original-order modes) -> uint8[Np, 16] original blocks.
 
-    ``modes`` must put padding entries at >= n_valid (any value; forced to 8 here)."""
+    ``modes`` must put padding entries at >= n_valid (any value; forced to the max
+    id 15 here, which sorts after every real id in both formats)."""
     cols = _cols_from_planes(payload) if planes else _cols_from_blocks(payload)
     if sort:
         idx = jnp.arange(cols.shape[1], dtype=jnp.uint32)
-        m = jnp.where(idx < n_valid, modes.astype(jnp.uint32), jnp.uint32(8))
+        m = jnp.where(idx < n_valid, modes.astype(jnp.uint32), jnp.uint32(15))
         key = _chunk_keys(m)
         # re-derive the permutation: order[c, p] = within-chunk index of the block at
         # sorted position p of chunk c
@@ -163,12 +180,12 @@ def _untransform_xla(payload, modes, n_valid, sort: bool, planes: bool):
     return _blocks_from_cols(cols)
 
 
-def transform_device(words, n_valid, sort: bool, planes: bool):
+def transform_device(words, n_valid, sort: bool, planes: bool, fmt: str = "bc7"):
     """Device entry: uint32[Np, 4] little-endian block words, ``n_valid`` real blocks.
 
     Returns ``(payload2d, mode_stream)``: (16, Np) plane-major or (Np, 16) block-major
     uint8 plus the packed uint8[Np/2] mode stream; callers slice off padding."""
-    return _transform_xla(words, jnp.uint32(n_valid), sort, planes)
+    return _transform_xla(words, jnp.uint32(n_valid), sort, planes, fmt)
 
 
 def untransform_device(payload2d, modes, n_valid, sort: bool, planes: bool):
@@ -176,48 +193,50 @@ def untransform_device(payload2d, modes, n_valid, sort: bool, planes: bool):
     return _untransform_xla(payload2d, modes, jnp.uint32(n_valid), sort, planes)
 
 
-# --- host wrappers (bytes -> bytes, bit-exact) ------------------------------------------
+# --- host wrappers (bytes -> bytes, bit-exact; shared by BC7 and BC6H) ------------------
 
-def transform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -> bytes:
+def _is_identity(settings) -> bool:
+    return not settings.sort_by_mode and not settings.split_byte_planes
+
+
+def _transform_bytes(data, settings, fmt: str, oracle_mod, native_fn) -> bytes:
     if len(data) % BLOCK_SIZE:
-        raise ValueError(f"BC7 data length {len(data)} not divisible by {BLOCK_SIZE}")
+        raise ValueError(
+            f"{fmt} data length {len(data)} not divisible by {BLOCK_SIZE}")
     n = len(data) // BLOCK_SIZE
     if n == 0:
         return b""
-    if len(data) < lanes.device_threshold_bytes() or \
-            settings == Bc7TransformSettings(False, False):
-        if _native.available():
-            return _native.bc7_transform(data, settings.sort_by_mode,
-                                         settings.split_byte_planes)
-        return _oracle.transform(data, settings)
+    if len(data) < lanes.device_threshold_bytes() or _is_identity(settings):
+        if native_fn is not None and _native.available():
+            return native_fn(data, settings.sort_by_mode, settings.split_byte_planes)
+        return oracle_mod.transform(data, settings)
     words = np.frombuffer(data, "<u4").reshape(n, 4)
     n_pad = lanes.bucket_size(n)
     out2d, stream = transform_device(lanes.pad_rows(words, n_pad), n,
-                                     settings.sort_by_mode, settings.split_byte_planes)
+                                     settings.sort_by_mode,
+                                     settings.split_byte_planes, fmt)
     prefix = b""
     if settings.sort_by_mode:
-        prefix = np.asarray(stream).tobytes()[:_oracle.mode_stream_len(n)]
+        prefix = np.asarray(stream).tobytes()[:oracle_mod.mode_stream_len(n)]
     out2d = np.asarray(out2d)
     body = out2d[:, :n] if settings.split_byte_planes else out2d[:n]
     return prefix + np.ascontiguousarray(body).tobytes()
 
 
-def untransform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -> bytes:
+def _untransform_bytes(data, settings, fmt: str, oracle_mod, native_fn) -> bytes:
     if len(data) == 0:
         return b""
-    n = _oracle.original_len(len(data), settings) // BLOCK_SIZE
-    if n * BLOCK_SIZE < lanes.device_threshold_bytes() or \
-            settings == Bc7TransformSettings(False, False):
-        if _native.available():
-            return _native.bc7_untransform(data, n * BLOCK_SIZE,
-                                           settings.sort_by_mode,
-                                           settings.split_byte_planes)
-        return _oracle.untransform(data, settings)
-    msl = _oracle.mode_stream_len(n) if settings.sort_by_mode else 0
+    n = oracle_mod.original_len(len(data), settings) // BLOCK_SIZE
+    if n * BLOCK_SIZE < lanes.device_threshold_bytes() or _is_identity(settings):
+        if native_fn is not None and _native.available():
+            return native_fn(data, n * BLOCK_SIZE, settings.sort_by_mode,
+                             settings.split_byte_planes)
+        return oracle_mod.untransform(data, settings)
+    msl = oracle_mod.mode_stream_len(n) if settings.sort_by_mode else 0
     payload = np.frombuffer(data, np.uint8, offset=msl, count=n * BLOCK_SIZE)
     n_pad = lanes.bucket_size(n)
     if settings.sort_by_mode:
-        modes = lanes.pad_rows(_oracle.unpack_mode_stream(data[:msl], n), n_pad)
+        modes = lanes.pad_rows(oracle_mod.unpack_mode_stream(data[:msl], n), n_pad)
     else:
         modes = np.zeros(n_pad, np.uint8)
     if settings.split_byte_planes:
@@ -228,6 +247,16 @@ def untransform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -
     out = np.asarray(untransform_device(pl, modes, n, settings.sort_by_mode,
                                         settings.split_byte_planes))
     return np.ascontiguousarray(out[:n]).tobytes()
+
+
+def transform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -> bytes:
+    return _transform_bytes(data, settings, "bc7", _oracle,
+                            _native.bc7_transform)
+
+
+def untransform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -> bytes:
+    return _untransform_bytes(data, settings, "bc7", _oracle,
+                              _native.bc7_untransform)
 
 
 # --- auto-search ------------------------------------------------------------------------

@@ -50,12 +50,15 @@ def _require_len(data) -> int:
     return len(data) // BLOCK_SIZE
 
 
-def block_modes(data) -> np.ndarray:
-    """Per-block mode ids (uint8[N], values 0..8) from the interleaved block bytes."""
+def block_modes(data, lut: np.ndarray = _CTZ8) -> np.ndarray:
+    """Per-block mode ids (uint8[N]) from byte 0 of each block via a 256-entry LUT.
+
+    The default LUT is BC7's ctz (ids 0..8); :mod:`.bc6h` passes its own (the mode id
+    is only a grouping key -- the mode bits themselves stay inside the payload)."""
     n = _require_len(data)
     b0 = np.frombuffer(data, dtype=np.uint8)[:: BLOCK_SIZE] if n else \
         np.empty(0, np.uint8)
-    return _CTZ8[b0]
+    return lut[b0]
 
 
 def mode_stream_len(n_blocks: int) -> int:
@@ -117,7 +120,8 @@ def sort_order(modes: np.ndarray) -> np.ndarray:
     return order
 
 
-def transform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -> bytes:
+def transform(data, settings: Bc7TransformSettings = Bc7TransformSettings(),
+              lut: np.ndarray = _CTZ8) -> bytes:
     """Transform interleaved BC7 blocks into the mode-grouped/plane-split layout."""
     n = _require_len(data)
     if n == 0:
@@ -125,7 +129,7 @@ def transform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -> 
     blocks = np.frombuffer(data, dtype=np.uint8).reshape(n, BLOCK_SIZE)
     prefix = b""
     if settings.sort_by_mode:
-        modes = block_modes(data)
+        modes = block_modes(data, lut)
         prefix = pack_mode_stream(modes)
         blocks = blocks[sort_order(modes)]
     payload = blocks.T if settings.split_byte_planes else blocks

@@ -60,6 +60,17 @@ def _try_load() -> Optional[ctypes.CDLL]:
     lib.dlt_zstd_estimate_batch.restype = ctypes.c_int
     lib.dlt_ltu_estimate.argtypes = [u8p, ctypes.c_size_t]
     lib.dlt_ltu_estimate.restype = ctypes.c_size_t
+    for name in ("dlt_bc7_transform", "dlt_bc7_untransform",
+                 "dlt_bc6h_transform", "dlt_bc6h_untransform"):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.argtypes = [u8p, u8p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
+            fn.restype = ctypes.c_int
+    for name in ("dlt_rgb_transform", "dlt_rgb_untransform"):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.argtypes = [u8p, u8p, ctypes.c_size_t] + [ctypes.c_int] * 5
+            fn.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -209,3 +220,28 @@ def rgb_untransform(data: bytes, layout: str, dec: bool, split: bool) -> bytes:
     size, ri, gi, bi = _RGB_ARGS[layout]
     return _run_transform(_try_load().dlt_rgb_untransform, data, size, ri, gi, bi,
                           dec, split)
+
+
+def bc6h_transform(data: bytes, sort: bool, planes: bool) -> bytes:
+    import numpy as np
+
+    n = len(data) // 16
+    out = np.empty(len(data) + ((n + 1) // 2 if sort else 0), np.uint8)
+    rc = _try_load().dlt_bc6h_transform(
+        _buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(data), int(sort), int(planes))
+    if rc != 0:
+        raise ValueError(f"native bc6h transform failed (rc={rc}, len={len(data)})")
+    return out.tobytes()
+
+
+def bc6h_untransform(data: bytes, original_len: int, sort: bool, planes: bool) -> bytes:
+    import numpy as np
+
+    out = np.empty(original_len, np.uint8)
+    rc = _try_load().dlt_bc6h_untransform(
+        _buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        original_len, int(sort), int(planes))
+    if rc != 0:
+        raise ValueError(f"native bc6h untransform failed (rc={rc})")
+    return out.tobytes()

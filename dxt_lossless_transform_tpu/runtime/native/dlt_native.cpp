@@ -430,29 +430,39 @@ static inline uint8_t bc7_mode(uint8_t b0) {
     return b0 ? (uint8_t)__builtin_ctz((unsigned)b0) : (uint8_t)8;
 }
 
+// BC6H grouping id (see oracle/bc6h.py): 2-bit modes -> 0,1; valid 5-bit two-region
+// -> 2..9; one-region -> 10..13; reserved -> 14.
+static inline uint8_t bc6h_mode(uint8_t b0) {
+    unsigned two = b0 & 3u;
+    if (two < 2) return (uint8_t)two;
+    unsigned v = b0 & 31u;
+    if (v & 1u) return (uint8_t)(10u + std::min(v >> 2, 4u));
+    return (uint8_t)(2u + (v >> 2));
+}
+
 // Stable chunk-local counting-sort permutation: order[p] = source block of output p.
 static void bc7_sort_order(const uint8_t* modes, size_t n, uint32_t* order) {
     for (size_t s = 0; s < n; s += BC7_CHUNK) {
         size_t c = std::min(BC7_CHUNK, n - s);
-        size_t cnt[9] = {0};
-        for (size_t j = 0; j < c; j++) cnt[modes[s + j]]++;
-        size_t offs[9], acc = 0;
-        for (int m = 0; m < 9; m++) { offs[m] = acc; acc += cnt[m]; }
+        size_t cnt[16] = {0};  // ids are 4-bit: bc7 uses 0..8, bc6h 0..14
+        for (size_t j = 0; j < c; j++) cnt[modes[s + j] & 0xF]++;
+        size_t offs[16], acc = 0;
+        for (int m = 0; m < 16; m++) { offs[m] = acc; acc += cnt[m]; }
         for (size_t j = 0; j < c; j++)
-            order[s + offs[modes[s + j]]++] = (uint32_t)(s + j);
+            order[s + offs[modes[s + j] & 0xF]++] = (uint32_t)(s + j);
     }
 }
 
 // out must hold len + (sort ? (len/16 + 1) / 2 : 0) bytes (mode stream first).
-extern "C" int dlt_bc7_transform(const uint8_t* in, uint8_t* out, size_t len,
-                                 int sort, int planes) {
+static int modesort_transform(const uint8_t* in, uint8_t* out, size_t len,
+                              int sort, int planes, uint8_t (*mode_fn)(uint8_t)) {
     if (len % 16) return -1;
     size_t n = len / 16;
     uint8_t* payload = out;
     std::vector<uint32_t> order(n);
     if (sort) {
         std::vector<uint8_t> modes(n);
-        for (size_t i = 0; i < n; i++) modes[i] = bc7_mode(in[16 * i]);
+        for (size_t i = 0; i < n; i++) modes[i] = mode_fn(in[16 * i]);
         size_t msl = (n + 1) / 2;
         for (size_t i = 0; i < msl; i++)
             out[i] = (uint8_t)(modes[2 * i] |
@@ -473,7 +483,18 @@ extern "C" int dlt_bc7_transform(const uint8_t* in, uint8_t* out, size_t len,
     return 0;
 }
 
+extern "C" int dlt_bc7_transform(const uint8_t* in, uint8_t* out, size_t len,
+                                 int sort, int planes) {
+    return modesort_transform(in, out, len, sort, planes, bc7_mode);
+}
+
+extern "C" int dlt_bc6h_transform(const uint8_t* in, uint8_t* out, size_t len,
+                                  int sort, int planes) {
+    return modesort_transform(in, out, len, sort, planes, bc6h_mode);
+}
+
 // in holds the transformed stream; out_len is the ORIGINAL payload size (16 * n).
+// The inverse reads grouping ids from the mode stream, so it is format-agnostic.
 extern "C" int dlt_bc7_untransform(const uint8_t* in, uint8_t* out, size_t out_len,
                                    int sort, int planes) {
     if (out_len % 16) return -1;
@@ -550,6 +571,11 @@ extern "C" int dlt_rgb_untransform(const uint8_t* in, uint8_t* out, size_t len,
         }
     }
     return 0;
+}
+
+extern "C" int dlt_bc6h_untransform(const uint8_t* in, uint8_t* out, size_t out_len,
+                                    int sort, int planes) {
+    return dlt_bc7_untransform(in, out, out_len, sort, planes);
 }
 
 extern "C" int dlt_version(void) { return 1; }

@@ -263,3 +263,28 @@ RGB_FAST_CANDIDATES: Tuple[RgbTransformSettings, ...] = (
     RgbTransformSettings(False, True),
     RgbTransformSettings(True, True),
 )
+
+
+@dataclass(frozen=True)
+class Bc6hTransformSettings:
+    """Settings for the BC6H mode-aware transform (framework extension; the reference
+    reserves 80 header bytes for BC6H -- ``embed/mod.rs:97-103`` -- and ships
+    nothing). Same two knobs as :class:`Bc7TransformSettings`; the mode-id map
+    differs (see ``oracle/bc6h.py``)."""
+
+    sort_by_mode: bool = True
+    split_byte_planes: bool = True
+
+    @staticmethod
+    def all_combinations() -> Iterator["Bc6hTransformSettings"]:
+        for sort in (True, False):
+            for planes in (True, False):
+                yield Bc6hTransformSettings(sort, planes)
+
+
+BC6H_FAST_CANDIDATES: Tuple[Bc6hTransformSettings, ...] = (
+    Bc6hTransformSettings(False, False),
+    Bc6hTransformSettings(True, False),
+    Bc6hTransformSettings(False, True),
+    Bc6hTransformSettings(True, True),
+)
