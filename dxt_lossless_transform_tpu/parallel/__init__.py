@@ -10,6 +10,9 @@ ordered device_get of the sharded output (submission order preserved by construc
 """
 
 from .mesh import make_mesh  # noqa: F401
-from .sharded import bc1_auto_step, bc1_auto_step_single  # noqa: F401
+from .sharded import (  # noqa: F401
+    bc1_auto_step, bc1_auto_step_single, modesort_step_single,
+    modesort_transform_step,
+)
 from .pipeline import Bc1BatchProcessor, transform_corpus_bc1  # noqa: F401
 from .distributed import initialize, is_primary  # noqa: F401

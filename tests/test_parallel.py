@@ -88,3 +88,35 @@ def test_batch_pipeline_bc2_bc3(fmt):
     for r, data in zip(results, payloads):
         assert r.transformed == oracle.transform(data, r.settings)
         assert oracle.untransform(r.transformed, r.settings) == data
+
+
+def test_sharded_modesort_step_matches_oracle():
+    # BC7/BC6H sharded step: blocks axis sharded across the mesh; chunk-local sort
+    # keeps every chunk inside one shard, so the result must equal the host oracle.
+    import jax
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.oracle import bc6h as o6h, bc7 as o7
+    from dxt_lossless_transform_tpu.parallel import make_mesh, modesort_transform_step
+    from dxt_lossless_transform_tpu.settings import (
+        Bc6hTransformSettings, Bc7TransformSettings,
+    )
+
+    mesh = make_mesh(8)
+    assert mesh.shape["files"] * mesh.shape["blocks"] == 8
+    rng = np.random.default_rng(0)
+    blocks_axis = mesh.shape["blocks"]
+    n_per_file = 4096 * blocks_axis  # chunk multiple so chunks stay shard-local
+    B = 2 * mesh.shape["files"]
+    words = jnp.asarray(rng.integers(0, 2**32, (B, n_per_file, 4), dtype=np.uint32))
+    valid = jnp.full((B,), n_per_file, jnp.uint32)
+    for fmt, oracle, settings in (("bc7", o7, Bc7TransformSettings(True, True)),
+                                  ("bc6h", o6h, Bc6hTransformSettings(True, True))):
+        step = modesort_transform_step(mesh, fmt)
+        planes, streams = jax.block_until_ready(step(words, valid))
+        assert planes.shape == (B, 16, n_per_file)
+        for b in range(B):
+            data = np.asarray(words[b]).astype("<u4").tobytes()
+            msl = (n_per_file + 1) // 2
+            got = np.asarray(streams[b]).tobytes()[:msl] + np.asarray(planes[b]).tobytes()
+            assert got == oracle.transform(data, settings), (fmt, b)
