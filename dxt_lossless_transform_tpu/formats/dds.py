@@ -32,6 +32,12 @@ _PF_BMASK_OFFSET = 0x64
 _PF_AMASK_OFFSET = 0x68
 
 _DDSD_MIPMAPCOUNT = 0x20000
+_CAPS2_OFFSET = 0x70
+_DDSCAPS2_CUBEMAP = 0x200
+_DDSCAPS2_CUBEMAP_FACES = 0xFC00  # six POSITIVEX..NEGATIVEZ bits
+_DX10_MISCFLAG_OFFSET = 0x88
+_DX10_ARRAYSIZE_OFFSET = 0x8C
+_DX10_MISC_TEXTURECUBE = 0x4
 _DDPF_ALPHAPIXELS = 0x1
 _DDPF_ALPHA = 0x2
 _DDPF_FOURCC = 0x4
@@ -172,8 +178,30 @@ def _mip_chain_length(width, height, mipmaps, per_level) -> int:
     return total
 
 
+def _surface_count(data: bytes) -> int:
+    """Number of full mip chains in the payload: cubemap faces x array size.
+
+    Beyond the reference, which computes a single chain (``parse_dds.rs:236-331``)
+    and leaves the remaining faces as verbatim-copied trailing bytes: counting them
+    transforms the whole payload. Legacy caps2 face bits (partial cubemaps allowed
+    pre-DX10), or DX10 arraySize x 6 for TEXTURECUBE. Volume (depth) textures keep
+    the reference's single-chain behavior."""
+    fourcc = _u32(data, _FOURCC_OFFSET)
+    if fourcc == _FOURCC_DX10 and len(data) >= DDS_HEADER_SIZE + DX10_HEADER_SIZE:
+        arr = max(_u32(data, _DX10_ARRAYSIZE_OFFSET), 1)
+        if _u32(data, _DX10_MISCFLAG_OFFSET) & _DX10_MISC_TEXTURECUBE:
+            return arr * 6
+        return arr
+    caps2 = _u32(data, _CAPS2_OFFSET)
+    if caps2 & _DDSCAPS2_CUBEMAP:
+        faces = bin(caps2 & _DDSCAPS2_CUBEMAP_FACES).count("1")
+        return faces or 6
+    return 1
+
+
 def _calculate_data_length(fmt: DdsFormat, data: bytes) -> Optional[int]:
-    """Whole-mip-chain payload length (``parse_dds.rs:236-331``)."""
+    """Whole-payload length: per-surface mip chain (``parse_dds.rs:236-331``) times
+    the cubemap-face/array surface count (framework extension)."""
     flags = _u32(data, _FLAGS_OFFSET)
     height = _u32(data, _HEIGHT_OFFSET)
     width = _u32(data, _WIDTH_OFFSET)
@@ -182,16 +210,20 @@ def _calculate_data_length(fmt: DdsFormat, data: bytes) -> Optional[int]:
 
     if fmt in BLOCK_SIZES:
         bs = BLOCK_SIZES[fmt]
-        return _mip_chain_length(
+        length = _mip_chain_length(
             width, height, mipmaps,
             lambda w, h: ((w + 3) // 4) * ((h + 3) // 4) * bs)
-    if fmt in (DdsFormat.RGBA8888, DdsFormat.BGRA8888):
-        return _mip_chain_length(width, height, mipmaps, lambda w, h: w * h * 4)
-    if fmt == DdsFormat.BGR888:
-        return _mip_chain_length(width, height, mipmaps, lambda w, h: w * h * 3)
-    if fmt == DdsFormat.UNKNOWN:
-        return _uncompressed_unknown_length(data, width, height, mipmaps)
-    return None
+    elif fmt in (DdsFormat.RGBA8888, DdsFormat.BGRA8888):
+        length = _mip_chain_length(width, height, mipmaps, lambda w, h: w * h * 4)
+    elif fmt == DdsFormat.BGR888:
+        length = _mip_chain_length(width, height, mipmaps, lambda w, h: w * h * 3)
+    elif fmt == DdsFormat.UNKNOWN:
+        length = _uncompressed_unknown_length(data, width, height, mipmaps)
+    else:
+        return None
+    if length is None:
+        return None
+    return min(length * _surface_count(data), 0xFFFFFFFF)
 
 
 def _uncompressed_unknown_length(data, width, height, mipmaps) -> Optional[int]:

@@ -80,3 +80,59 @@ def test_uncompressed_detection(bit_count, masks, expected, bpp):
     assert info.format == expected
     if expected != DdsFormat.UNKNOWN:
         assert info.data_length == 16 * 16 * bpp
+
+
+def make_cubemap_dds(width: int, height: int, payload: bytes, faces: int = 6) -> bytes:
+    """Legacy BC1 cubemap: caps2 carries DDSCAPS2_CUBEMAP + per-face bits."""
+    header = bytearray(0x80)
+    header[0:4] = b"DDS "
+    struct.pack_into("<7I", header, 4, 124, 0x1007, height, width, 0, 0, 1)
+    struct.pack_into("<2I", header, 0x4C, 32, 0x4)
+    header[0x54:0x58] = b"DXT1"
+    face_bits = 0
+    for i in range(faces):
+        face_bits |= 0x400 << i
+    struct.pack_into("<I", header, 0x70, 0x200 | face_bits)
+    return bytes(header) + payload
+
+
+def make_dx10_array_dds(dxgi_format: int, width: int, height: int, payload: bytes,
+                        array_size: int, cube: bool = False) -> bytes:
+    header = bytearray(make_dx10_dds(dxgi_format, width, height, b""))
+    struct.pack_into("<2I", header, 0x88, 0x4 if cube else 0, array_size)
+    return bytes(header) + payload
+
+
+def test_cubemap_counts_all_faces():
+    # Beyond the reference (which computes one face's chain and copies the other
+    # five verbatim): all six faces are part of data_length and get transformed.
+    per_face = 8 * 8 * 8  # 32x32 BC1
+    payload = testgen.bc1_realistic(64 * 6, seed=4)
+    data = make_cubemap_dds(32, 32, payload)
+    info = parse_dds(data)
+    assert info.data_length == per_face * 6
+    handler = DdsHandler()
+    t = handler.transform_bundle(data, TransformBundle.default_all())
+    assert handler.untransform(t) == data
+
+
+def test_partial_cubemap_faces():
+    payload = testgen.bc1_realistic(64 * 2, seed=5)
+    data = make_cubemap_dds(32, 32, payload, faces=2)
+    assert parse_dds(data).data_length == 8 * 8 * 8 * 2
+
+
+def test_dx10_texture_array():
+    per_surface = 8 * 8 * 8
+    payload = testgen.bc1_realistic(64 * 3, seed=6)
+    data = make_dx10_array_dds(71, 32, 32, payload, array_size=3)
+    assert parse_dds(data).data_length == per_surface * 3
+    handler = DdsHandler()
+    t = handler.transform_bundle(data, TransformBundle.default_all())
+    assert handler.untransform(t) == data
+
+
+def test_dx10_cubemap_array():
+    payload = testgen.bc1_realistic(64 * 12, seed=7)
+    data = make_dx10_array_dds(71, 32, 32, payload, array_size=2, cube=True)
+    assert parse_dds(data).data_length == 8 * 8 * 8 * 12
