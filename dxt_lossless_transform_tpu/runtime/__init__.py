@@ -22,6 +22,21 @@ _SO = os.path.join(_DIR, "native", "libdlt_native.so")
 
 _lib = None
 
+# Function-pointer types of the pluggable estimator vtable (the C analog of the
+# reference's DltSizeEstimator, api-common/src/c_api/size_estimation.rs:17-125).
+MAX_SIZE_FN = ctypes.CFUNCTYPE(ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t)
+ESTIMATE_FN = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.c_void_p,
+                               ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                               ctypes.POINTER(ctypes.c_size_t))
+
+
+class DltSizeEstimator(ctypes.Structure):
+    """{context, max_compressed_size, estimate_compressed_size} C vtable."""
+
+    _fields_ = [("context", ctypes.c_void_p),
+                ("max_compressed_size", MAX_SIZE_FN),
+                ("estimate_compressed_size", ESTIMATE_FN)]
+
 
 def _try_load() -> Optional[ctypes.CDLL]:
     global _lib
@@ -60,6 +75,20 @@ def _try_load() -> Optional[ctypes.CDLL]:
     lib.dlt_zstd_estimate_batch.restype = ctypes.c_int
     lib.dlt_ltu_estimate.argtypes = [u8p, ctypes.c_size_t]
     lib.dlt_ltu_estimate.restype = ctypes.c_size_t
+    for name in ("dlt_bc1_transform_auto", "dlt_bc2_transform_auto"):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.argtypes = [u8p, u8p, ctypes.c_size_t,
+                           ctypes.POINTER(DltSizeEstimator), ctypes.c_int,
+                           ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            fn.restype = ctypes.c_int
+    for name, argt in (("dlt_estimator_zstd", [ctypes.POINTER(DltSizeEstimator),
+                                               ctypes.c_int]),
+                       ("dlt_estimator_ltu", [ctypes.POINTER(DltSizeEstimator)])):
+        fn = getattr(lib, name, None)
+        if fn is not None:
+            fn.argtypes = argt
+            fn.restype = None
     for name in ("dlt_bc7_transform", "dlt_bc7_untransform",
                  "dlt_bc6h_transform", "dlt_bc6h_untransform"):
         fn = getattr(lib, name, None)
@@ -233,6 +262,74 @@ def bc6h_transform(data: bytes, sort: bool, planes: bool) -> bytes:
     if rc != 0:
         raise ValueError(f"native bc6h transform failed (rc={rc}, len={len(data)})")
     return out.tobytes()
+
+
+def make_estimator(fn) -> DltSizeEstimator:
+    """Wrap a Python ``bytes -> int`` callable as a C estimator vtable.
+
+    The returned struct keeps its callback thunks alive via attributes; hold a
+    reference to it for as long as the auto-search may run.
+    """
+    def _max(_ctx, length):
+        return length
+
+    def _est(_ctx, data_ptr, length, out_ptr):
+        try:
+            out_ptr[0] = int(fn(ctypes.string_at(data_ptr, length)))
+            return 0
+        except Exception:  # noqa: BLE001 -- must not unwind through C
+            return -1
+
+    est = DltSizeEstimator()
+    est.context = None
+    est.max_compressed_size = MAX_SIZE_FN(_max)
+    est.estimate_compressed_size = ESTIMATE_FN(_est)
+    est._keepalive = (est.max_compressed_size, est.estimate_compressed_size)
+    return est
+
+
+def builtin_estimator(kind: str, level: int = 1) -> DltSizeEstimator:
+    """Native built-in estimator vtable ('zstd' or 'ltu')."""
+    lib = _try_load()
+    est = DltSizeEstimator()
+    if kind == "zstd":
+        lib.dlt_estimator_zstd(ctypes.byref(est), level)
+    elif kind == "ltu":
+        lib.dlt_estimator_ltu(ctypes.byref(est))
+    else:
+        raise ValueError(f"unknown builtin estimator {kind!r}")
+    return est
+
+
+def _transform_auto(fn, data: bytes, estimator: DltSizeEstimator, use_all: bool):
+    import numpy as np
+
+    out = np.empty(len(data), np.uint8)
+    variant = ctypes.c_int(0)
+    split = ctypes.c_int(0)
+    rc = fn(_buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(data), ctypes.byref(estimator), int(use_all),
+            ctypes.byref(variant), ctypes.byref(split))
+    if rc != 0:
+        raise ValueError(f"native auto-transform failed (rc={rc})")
+    return out.tobytes(), variant.value, bool(split.value)
+
+
+def bc1_transform_auto(data: bytes, estimator: DltSizeEstimator,
+                       use_all: bool = False):
+    """Native brute-force BC1 auto-search with a pluggable estimator.
+
+    Returns (transformed, variant, split). Reference:
+    bc1/src/c_api/transform_auto.rs:143 + the DltSizeEstimator vtable contract.
+    """
+    return _transform_auto(_try_load().dlt_bc1_transform_auto, data, estimator,
+                           use_all)
+
+
+def bc2_transform_auto(data: bytes, estimator: DltSizeEstimator,
+                       use_all: bool = False):
+    return _transform_auto(_try_load().dlt_bc2_transform_auto, data, estimator,
+                           use_all)
 
 
 def bc6h_untransform(data: bytes, original_len: int, sort: bool, planes: bool) -> bytes:

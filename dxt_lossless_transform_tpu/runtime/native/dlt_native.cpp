@@ -578,4 +578,108 @@ extern "C" int dlt_bc6h_untransform(const uint8_t* in, uint8_t* out, size_t out_
     return dlt_bc7_untransform(in, out, out_len, sort, planes);
 }
 
-extern "C" int dlt_version(void) { return 1; }
+// ------------------------------------------------- pluggable estimator vtable -------
+// C analog of the reference's DltSizeEstimator (api-common/src/c_api/
+// size_estimation.rs:17-125): callers plug any {context, max_size, estimate}
+// triple into the auto-search. Only relative ordering of estimates matters.
+
+extern "C" {
+
+typedef struct DltSizeEstimator {
+    void* context;
+    // Optional (may be NULL): upper bound on the estimate buffer; unused here
+    // because the C++ side owns its scratch, kept for ABI parity.
+    size_t (*max_compressed_size)(void* context, size_t len);
+    // Required. Returns 0 on success and writes the (relative) size to *out_size.
+    int (*estimate_compressed_size)(void* context, const uint8_t* data, size_t len,
+                                    size_t* out_size);
+} DltSizeEstimator;
+
+}  // extern "C"
+
+static int vt_estimate(const DltSizeEstimator* est, const uint8_t* data, size_t len,
+                       size_t* out) {
+    if (!est || !est->estimate_compressed_size) return -1;
+    return est->estimate_compressed_size(est->context, data, len, out);
+}
+
+// Built-in estimators exposed as vtables (so C callers can mix & match).
+static size_t zstd_vt_max(void*, size_t len) { return ZSTD_compressBound(len); }
+static int zstd_vt_estimate(void* ctx, const uint8_t* data, size_t len, size_t* out) {
+    size_t r = dlt_zstd_estimate(data, len, (int)(intptr_t)ctx);
+    if (r == (size_t)-1) return -1;
+    *out = r;
+    return 0;
+}
+static size_t ltu_vt_max(void*, size_t len) { return len; }
+static int ltu_vt_estimate(void*, const uint8_t* data, size_t len, size_t* out) {
+    *out = dlt_ltu_estimate(data, len);
+    return 0;
+}
+
+extern "C" void dlt_estimator_zstd(DltSizeEstimator* out, int level) {
+    out->context = (void*)(intptr_t)level;
+    out->max_compressed_size = zstd_vt_max;
+    out->estimate_compressed_size = zstd_vt_estimate;
+}
+
+extern "C" void dlt_estimator_ltu(DltSizeEstimator* out) {
+    out->context = nullptr;
+    out->max_compressed_size = ltu_vt_max;
+    out->estimate_compressed_size = ltu_vt_estimate;
+}
+
+// --------------------------------------------------------- native auto-search -------
+// Brute-force candidate search with a caller-supplied estimator; candidate sets and
+// estimation regions match settings.py / ops/auto.py (reference:
+// bc1/transform_auto.rs:200-270, bc2/transform_auto.rs:252-254). First minimum wins
+// (ties resolve like jnp.argmin over the candidate order).
+
+struct CandVS { int variant; int split; };
+
+static const CandVS kBc12Fast[] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
+static const CandVS kBc12All[] = {{2, 0}, {0, 0}, {0, 1}, {3, 0},
+                                  {3, 1}, {2, 1}, {1, 0}, {1, 1}};
+
+typedef int (*transform_fn)(const uint8_t*, uint8_t*, size_t, int, int);
+
+static int transform_auto_vs(const uint8_t* in, uint8_t* out, size_t len,
+                             const DltSizeEstimator* est, int use_all,
+                             int* best_variant, int* best_split,
+                             transform_fn tf, size_t region_off, size_t region_len) {
+    const CandVS* cands = use_all ? kBc12All : kBc12Fast;
+    size_t count = use_all ? 8 : 4;
+    std::vector<uint8_t> scratch(len);
+    size_t best_size = (size_t)-1;
+    size_t best_i = 0;
+    for (size_t i = 0; i < count; i++) {
+        if (tf(in, scratch.data(), len, cands[i].variant, cands[i].split)) return -1;
+        size_t sz;
+        if (vt_estimate(est, scratch.data() + region_off, region_len, &sz)) return -2;
+        if (sz < best_size) { best_size = sz; best_i = i; }
+    }
+    if (tf(in, out, len, cands[best_i].variant, cands[best_i].split)) return -1;
+    if (best_variant) *best_variant = cands[best_i].variant;
+    if (best_split) *best_split = cands[best_i].split;
+    return 0;
+}
+
+// Estimation region: colour endpoints only -- BC1 first len/2 bytes, BC2 len/4
+// bytes at offset len/2 (indices never compress well; alphas aren't transformed).
+extern "C" int dlt_bc1_transform_auto(const uint8_t* in, uint8_t* out, size_t len,
+                                      const DltSizeEstimator* est, int use_all,
+                                      int* best_variant, int* best_split) {
+    if (len % 8) return -1;
+    return transform_auto_vs(in, out, len, est, use_all, best_variant, best_split,
+                             dlt_bc1_transform, 0, len / 2);
+}
+
+extern "C" int dlt_bc2_transform_auto(const uint8_t* in, uint8_t* out, size_t len,
+                                      const DltSizeEstimator* est, int use_all,
+                                      int* best_variant, int* best_split) {
+    if (len % 16) return -1;
+    return transform_auto_vs(in, out, len, est, use_all, best_variant, best_split,
+                             dlt_bc2_transform, len / 2, len / 4);
+}
+
+extern "C" int dlt_version(void) { return 2; }

@@ -51,3 +51,39 @@ class CompressionSizeCache:
         tmp.write_text(json.dumps(self._map))
         tmp.replace(self.path)
         self._dirty = False
+
+
+class CompressedDataCache:
+    """Persistent compressed-*blob* cache.
+
+    Analog of the reference CLI's ``CompressedDataCache``
+    (``debug_format/compressed_data_cache.rs``): stores the full compressed payload
+    keyed by (content hash, level, algo) so benchmark reruns skip recompression
+    entirely (the size cache only skips the *size* lookup; benchmarks also need the
+    bytes to time decompression). One file per blob under the cache dir.
+    """
+
+    def __init__(self, path: Optional[Path] = None):
+        self.dir = Path(path) if path else _default_cache_dir() / "compressed_blobs"
+
+    @staticmethod
+    def _name(content: bytes, level: int, algo: str) -> str:
+        h = hashlib.blake2b(content, digest_size=16).hexdigest()
+        return f"{h}-{level}-{algo}.bin"
+
+    def get_or_compute(self, content: bytes, level: int, algo: str,
+                       compute: Callable[[], bytes]) -> bytes:
+        blob_path = self.dir / self._name(content, level, algo)
+        try:
+            return blob_path.read_bytes()
+        except OSError:
+            pass
+        blob = compute()
+        try:
+            self.dir.mkdir(parents=True, exist_ok=True)
+            tmp = blob_path.with_suffix(".tmp")
+            tmp.write_bytes(blob)
+            tmp.replace(blob_path)
+        except OSError:
+            pass  # cache is best-effort
+        return blob

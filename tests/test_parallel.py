@@ -32,12 +32,17 @@ def test_auto_step_single_matches_host_auto():
     _, host_settings = ops_auto.transform_bc1_auto(
         data, LtuEstimation(), candidates=BC1_FAST_CANDIDATES)
     assert settings == host_settings
-    # And the streams match the oracle transform for those settings
+    # And the streams match the oracle transform for those settings. The step
+    # always returns maximally split lanes; the no-split on-disk layout is the
+    # u32 rejoin of the c0/c1 halves (host packing, as the pipeline does).
     expected = obc1.transform(data, settings)
-    got = (d0.astype("<u2").tobytes() + d1.astype("<u2").tobytes()
-           + idx.astype("<u4").tobytes())
     if settings.split_colour_endpoints:
-        assert got == expected
+        got = (d0.astype("<u2").tobytes() + d1.astype("<u2").tobytes()
+               + idx.astype("<u4").tobytes())
+    else:
+        colors = (d0.astype(np.uint32) | (d1.astype(np.uint32) << 16))
+        got = colors.astype("<u4").tobytes() + idx.astype("<u4").tobytes()
+    assert got == expected
 
 
 def test_sharded_step_matches_single():

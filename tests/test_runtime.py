@@ -65,6 +65,57 @@ def test_invalid_length_rejected():
         runtime.bc1_transform(b"\x00" * 7, 1, True)
 
 
+def test_estimator_vtable_custom():
+    """A caller-supplied Python estimator drives the native auto-search."""
+    import zstandard
+
+    calls = []
+
+    def my_estimate(buf: bytes) -> int:
+        calls.append(len(buf))
+        return len(zstandard.ZstdCompressor(level=1).compress(buf))
+
+    data = testgen.bc1_realistic(2048, seed=21)
+    est = runtime.make_estimator(my_estimate)
+    out, variant, split = runtime.bc1_transform_auto(data, est, use_all=True)
+    assert len(calls) == 8 and all(n == len(data) // 2 for n in calls)
+    s = Bc1TransformSettings(type(Bc1TransformSettings().decorrelation_mode)(variant),
+                             split)
+    assert out == o1.transform(data, s)
+    assert runtime.bc1_untransform(out, variant, split) == data
+    # same winner as the pure-Python zstd auto path (identical candidate set/regions)
+    from dxt_lossless_transform_tpu.ops import auto as ops_auto
+    _, py_settings = ops_auto.transform_bc1_auto(
+        data, ZstdEstimation(1), use_all_decorrelation_modes=True)
+    assert (int(py_settings.decorrelation_mode), py_settings.split_colour_endpoints) \
+        == (variant, split)
+
+
+def test_estimator_vtable_builtin_and_errors():
+    data = testgen.bc2_realistic(1024, seed=22)
+    est = runtime.builtin_estimator("ltu")
+    out, variant, split = runtime.bc2_transform_auto(data, est)
+    assert runtime.bc2_untransform(out, variant, split) == data
+
+    def boom(_buf):
+        raise RuntimeError("estimator failed")
+
+    with pytest.raises(ValueError):
+        runtime.bc1_transform_auto(testgen.bc1_realistic(64, seed=0),
+                                   runtime.make_estimator(boom))
+
+
+def test_c_vtable_consumer_program():
+    """The pure-C consumer test (make test) builds and passes."""
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(runtime.__file__), "native")
+    res = subprocess.run(["make", "-C", native_dir, "test"],
+                         capture_output=True, text=True)
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
 def test_native_bc7_matches_oracle():
     from dxt_lossless_transform_tpu.oracle import bc7 as o7
     from dxt_lossless_transform_tpu.settings import Bc7TransformSettings
