@@ -46,6 +46,7 @@ def _flat_shift_left(v, s: int):
 def _make_kernel(offsets, grid_j):
     def kernel(valid_ref, cur_ref, prev_ref, next_ref, out_ref, acc_ref):
         j = pl.program_id(1)
+        row_valid = valid_ref[pl.program_id(0)]
         both = jnp.concatenate(
             [prev_ref[0], cur_ref[0], next_ref[0]], axis=0).astype(jnp.int32)
         # Mosaic rotates are 32-bit only, so build the 3-byte grams as int32 lanes
@@ -68,7 +69,7 @@ def _make_kernel(offsets, grid_j):
                 if k >= W:
                     shifted = pltpu.roll(shifted, k // W, axis=0)
             covered |= ((g == shifted) & (pos >= k)).astype(jnp.int32)
-        valid = (in_cur & (pos < valid_ref[0] - 2)).astype(jnp.int32)
+        valid = (in_cur & (pos < row_valid - 2)).astype(jnp.int32)
         partial_count = jnp.sum((covered * valid).astype(jnp.float32))
 
         @pl.when(j == 0)
@@ -86,13 +87,19 @@ def _make_kernel(offsets, grid_j):
 
 @partial(jax.jit, static_argnames=("offsets",))
 def coverage_scores_pallas(regions, valid_len, offsets: tuple):
-    """(C, L) uint8 regions -> (C,) float32 scores (valid_len - covered positions)."""
+    """(C, L) uint8 regions -> (C,) float32 scores (valid_len - covered positions).
+
+    ``valid_len``: a scalar shared by all rows, or a (C,) per-row array (the
+    flattened (batch x candidates) corpus-pipeline grid).
+    """
     n_rows, length = regions.shape
     if length % SPAN:
         raise ValueError(f"region length {length} must be a multiple of {SPAN}")
     assert max(offsets) <= SPAN, "prev-tile halo covers offsets up to SPAN only"
     grid_j = length // SPAN
     tiled = regions.reshape(n_rows, grid_j * ROWS, W)
+    valid_rows = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32).reshape(-1),
+                                  (n_rows,))
 
     spec_cur = pl.BlockSpec((1, ROWS, W), lambda c, j: (c, j, 0),
                             memory_space=pltpu.VMEM)
@@ -112,5 +119,5 @@ def coverage_scores_pallas(regions, valid_len, offsets: tuple):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, 8, 128), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-    )(jnp.asarray(valid_len, jnp.int32).reshape(1), tiled, tiled, tiled)
-    return jnp.asarray(valid_len, jnp.float32) - counts[:, 0, 0]
+    )(valid_rows, tiled, tiled, tiled)
+    return valid_rows.astype(jnp.float32) - counts[:, 0, 0]

@@ -79,7 +79,7 @@ def untransform_device(streams, variant, split: bool):
     return _untransform_xla(tuple(streams), variant, split)
 
 
-@partial(jax.jit, static_argnames=("split",))
+@partial(jax.jit, static_argnames=("variant", "split"))
 def transform_words_fused(flat, variant, split: bool):
     """Whole-buffer path: uint32[2N] -> uint32[2N] flat transformed word image."""
     if _pk.pallas_available():
@@ -89,7 +89,7 @@ def transform_words_fused(flat, variant, split: bool):
     return jnp.concatenate(out)
 
 
-@partial(jax.jit, static_argnames=("split",))
+@partial(jax.jit, static_argnames=("variant", "split"))
 def untransform_words_fused(flat, variant, split: bool):
     """Inverse of :func:`transform_words_fused`: uint32[2N] -> uint32[2N]."""
     n = flat.shape[0] // 2
@@ -113,7 +113,7 @@ def transform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> 
             return _native.bc1_transform(data, int(settings.decorrelation_mode),
                                          settings.split_colour_endpoints)
         return _oracle.transform(data, settings)
-    variant = jnp.int32(int(settings.decorrelation_mode))
+    variant = int(settings.decorrelation_mode)
     split = settings.split_colour_endpoints
     return hostwrap.transform_chunked(
         data, BLOCK_SIZE, 2, hostwrap.bc1_stream_spec(settings),
@@ -130,7 +130,7 @@ def untransform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -
             return _native.bc1_untransform(data, int(settings.decorrelation_mode),
                                            settings.split_colour_endpoints)
         return _oracle.untransform(data, settings)
-    variant = jnp.int32(int(settings.decorrelation_mode))
+    variant = int(settings.decorrelation_mode)
     split = settings.split_colour_endpoints
     return hostwrap.untransform_chunked(
         data, BLOCK_SIZE, 2, hostwrap.bc1_stream_spec(settings),

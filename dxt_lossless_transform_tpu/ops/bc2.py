@@ -59,7 +59,7 @@ def untransform_device(streams, variant, split: bool):
     return _untransform_xla(tuple(streams), variant, split)
 
 
-@partial(jax.jit, static_argnames=("split",))
+@partial(jax.jit, static_argnames=("variant", "split"))
 def transform_words_fused(flat, variant, split: bool):
     """uint32[4N] -> uint32[4N] flat transformed word image."""
     if _pk.pallas_available():
@@ -69,7 +69,7 @@ def transform_words_fused(flat, variant, split: bool):
     return jnp.concatenate(out)
 
 
-@partial(jax.jit, static_argnames=("split",))
+@partial(jax.jit, static_argnames=("variant", "split"))
 def untransform_words_fused(flat, variant, split: bool):
     n = flat.shape[0] // 4
     alpha_words = flat[:2 * n]
@@ -93,7 +93,7 @@ def transform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> 
             return _native.bc2_transform(data, int(settings.decorrelation_mode),
                                          settings.split_colour_endpoints)
         return _oracle.transform(data, settings)
-    variant = jnp.int32(int(settings.decorrelation_mode))
+    variant = int(settings.decorrelation_mode)
     split = settings.split_colour_endpoints
     return hostwrap.transform_chunked(
         data, BLOCK_SIZE, 4, hostwrap.bc2_stream_spec(settings),
@@ -110,7 +110,7 @@ def untransform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -
             return _native.bc2_untransform(data, int(settings.decorrelation_mode),
                                            settings.split_colour_endpoints)
         return _oracle.untransform(data, settings)
-    variant = jnp.int32(int(settings.decorrelation_mode))
+    variant = int(settings.decorrelation_mode)
     split = settings.split_colour_endpoints
     return hostwrap.untransform_chunked(
         data, BLOCK_SIZE, 4, hostwrap.bc2_stream_spec(settings),

@@ -90,7 +90,7 @@ def _split_flat(flat, n, split_alpha: bool, split_colour: bool):
     return streams + (cidx,)
 
 
-@partial(jax.jit, static_argnames=("split_alpha", "split_colour"))
+@partial(jax.jit, static_argnames=("variant", "split_alpha", "split_colour"))
 def transform_words_fused(flat, variant, split_alpha: bool, split_colour: bool):
     """uint32[4N] -> uint32[4N] flat transformed word image."""
     if _pk.pallas_available():
@@ -101,7 +101,7 @@ def transform_words_fused(flat, variant, split_alpha: bool, split_colour: bool):
     return jnp.concatenate(out)
 
 
-@partial(jax.jit, static_argnames=("split_alpha", "split_colour"))
+@partial(jax.jit, static_argnames=("variant", "split_alpha", "split_colour"))
 def untransform_words_fused(flat, variant, split_alpha: bool, split_colour: bool):
     streams = _split_flat(flat, flat.shape[0] // 4, split_alpha, split_colour)
     if _pk.pallas_available():
@@ -123,7 +123,7 @@ def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> 
                                          settings.split_alpha_endpoints,
                                          settings.split_colour_endpoints)
         return _oracle.transform(data, settings)
-    variant = jnp.int32(int(settings.decorrelation_mode))
+    variant = int(settings.decorrelation_mode)
     sa, sc = settings.split_alpha_endpoints, settings.split_colour_endpoints
     return hostwrap.transform_chunked(
         data, BLOCK_SIZE, 4, hostwrap.bc3_stream_spec(settings),
@@ -141,7 +141,7 @@ def untransform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -
                                            settings.split_alpha_endpoints,
                                            settings.split_colour_endpoints)
         return _oracle.untransform(data, settings)
-    variant = jnp.int32(int(settings.decorrelation_mode))
+    variant = int(settings.decorrelation_mode)
     sa, sc = settings.split_alpha_endpoints, settings.split_colour_endpoints
     return hostwrap.untransform_chunked(
         data, BLOCK_SIZE, 4, hostwrap.bc3_stream_spec(settings),

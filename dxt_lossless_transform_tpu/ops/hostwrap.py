@@ -29,30 +29,51 @@ def _pad_words(buf: bytes, n_words: int) -> np.ndarray:
     return lanes.pad_rows(np.frombuffer(buf, "<u4"), n_words)
 
 
+# Chunks kept in flight before the host blocks on the oldest result. JAX dispatch
+# is async, so launching chunk N+1 (and its host->device transfer) before reading
+# chunk N's output overlaps host prep + PCIe/relay transfer with device compute
+# (SURVEY S7 "donation/double-buffering for host<->device overlap").
+PIPELINE_DEPTH = 2
+
+
+def _chunk_bounds(n: int):
+    start = 0
+    while start < n:
+        count = min(CHUNK_BLOCKS, n - start)
+        padded = (CHUNK_BLOCKS if count == CHUNK_BLOCKS else lanes.bucket_size(count))
+        yield start, count, padded
+        start += count
+
+
 def transform_chunked(data: bytes, block_size: int, words_per_block: int,
                       stream_spec: Sequence[int],
                       device_fn: Callable) -> bytes:
     """Run ``device_fn(flat_words) -> word-stream tuple`` over chunks and assemble.
 
     ``stream_spec[i]`` = bytes per block of output stream i (streams in on-disk
-    order; sum == block_size).
+    order; sum == block_size). Chunks are pipelined PIPELINE_DEPTH deep.
     """
     n = len(data) // block_size
     out = bytearray(len(data))
     offsets = np.concatenate([[0], np.cumsum(np.asarray(stream_spec) * n)])
-    start = 0
-    while start < n:
-        count = min(CHUNK_BLOCKS, n - start)
-        padded = (CHUNK_BLOCKS if count == CHUNK_BLOCKS else lanes.bucket_size(count))
-        chunk = data[start * block_size:(start + count) * block_size]
-        flat = _pad_words(chunk, padded * words_per_block)
-        streams = jax.device_get(device_fn(flat))
+    in_flight: list = []
+
+    def _drain(start, count, streams):
+        streams = jax.device_get(streams)
         assert len(streams) == len(stream_spec), (len(streams), stream_spec)
         for s, (bpb, arr) in enumerate(zip(stream_spec, streams)):
             piece = arr.astype("<u4").tobytes()[: bpb * count]
             pos = int(offsets[s]) + start * bpb
             out[pos:pos + len(piece)] = piece
-        start += count
+
+    for start, count, padded in _chunk_bounds(n):
+        chunk = data[start * block_size:(start + count) * block_size]
+        flat = _pad_words(chunk, padded * words_per_block)
+        in_flight.append((start, count, device_fn(flat)))
+        if len(in_flight) >= PIPELINE_DEPTH:
+            _drain(*in_flight.pop(0))
+    for item in in_flight:
+        _drain(*item)
     return bytes(out)
 
 
@@ -63,20 +84,25 @@ def untransform_chunked(data: bytes, block_size: int, words_per_block: int,
     n = len(data) // block_size
     out = bytearray(len(data))
     offsets = np.concatenate([[0], np.cumsum(np.asarray(stream_spec) * n)])
-    start = 0
-    while start < n:
-        count = min(CHUNK_BLOCKS, n - start)
-        padded = (CHUNK_BLOCKS if count == CHUNK_BLOCKS else lanes.bucket_size(count))
+    in_flight: list = []
+
+    def _drain(start, count, flat):
+        flat = np.asarray(jax.device_get(flat))
+        out[start * block_size:(start + count) * block_size] = \
+            flat.astype("<u4").tobytes()[: count * block_size]
+
+    for start, count, padded in _chunk_bounds(n):
         streams = []
         for s, bpb in enumerate(stream_spec):
             pos = int(offsets[s]) + start * bpb
             piece = data[pos:pos + bpb * count]
             # stream word count for `padded` blocks: bpb * padded / 4
             streams.append(_pad_words(piece, bpb * padded // 4))
-        flat = np.asarray(jax.device_get(device_fn(tuple(streams))))
-        out[start * block_size:(start + count) * block_size] = \
-            flat.astype("<u4").tobytes()[: count * block_size]
-        start += count
+        in_flight.append((start, count, device_fn(tuple(streams))))
+        if len(in_flight) >= PIPELINE_DEPTH:
+            _drain(*in_flight.pop(0))
+    for item in in_flight:
+        _drain(*item)
     return bytes(out)
 
 

@@ -62,6 +62,25 @@ def transform_bc1_auto_with_normalization(
     return best[0], best[1], best[2]
 
 
+def transform_bc2_auto_with_normalization(
+        data, estimator: SizeEstimation, use_all_decorrelation_modes: bool = False,
+        color_modes: Optional[Sequence] = None,
+) -> Tuple[bytes, Bc2TransformSettings, "ColorNormalizationMode"]:
+    """BC2 search over settings x color normalization modes (bc2 analog of
+    ``transform_bc1_auto_with_normalization``, bc2 experimental transform.rs)."""
+    modes = tuple(color_modes if color_modes is not None
+                  else ColorNormalizationMode.all_values())
+    best = None
+    for mode in modes:
+        normalized = onorm.normalize_blocks_bc2(data, mode)
+        out, settings, score = _scored_auto(
+            ops_auto.transform_bc2_auto, normalized, estimator,
+            use_all_decorrelation_modes, fmt="bc2")
+        if best is None or score < best[3]:
+            best = (out, settings, mode, score)
+    return best[0], best[1], best[2]
+
+
 def transform_bc3_auto_with_normalization(
         data, estimator: SizeEstimation, use_all_decorrelation_modes: bool = False,
         alpha_modes: Optional[Sequence] = None,
@@ -78,23 +97,26 @@ def transform_bc3_auto_with_normalization(
             normalized = onorm.normalize_blocks_bc3(data, am, cm)
             out, settings, score = _scored_auto(
                 ops_auto.transform_bc3_auto, normalized, estimator,
-                use_all_decorrelation_modes, bc3=True)
+                use_all_decorrelation_modes, fmt="bc3")
             if best is None or score < best[4]:
                 best = (out, settings, am, cm, score)
     return best[0], best[1], best[2], best[3]
 
 
-def _scored_auto(auto_fn, normalized: bytes, estimator, use_all, bc3: bool = False):
+def _scored_auto(auto_fn, normalized: bytes, estimator, use_all, fmt: str = "bc1"):
     """Run the candidate search and score the winner's output for cross-mode
     comparison (different normalized inputs need a common yardstick: the estimator
     on the same regions the per-format search uses)."""
     out, settings = auto_fn(normalized, estimator, use_all)
     n = len(normalized)
-    if bc3:
+    if fmt == "bc3":
         # alpha endpoints [0, 2B) + colours [8B, 12B) for B blocks (16 bytes each)
         blocks = n // 16
         score = (estimator.estimate(out[: 2 * blocks])
                  + estimator.estimate(out[8 * blocks:12 * blocks]))
+    elif fmt == "bc2":
+        # colours are 4B of 16B blocks, at offset n/2 in every BC2 layout
+        score = estimator.estimate(out[n // 2: n // 2 + n // 4])
     else:
         score = estimator.estimate(out[: n // 2])  # colours half (BC1 layout)
     return out, settings, score

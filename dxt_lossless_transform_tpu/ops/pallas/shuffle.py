@@ -1,24 +1,27 @@
 """Fused single-pass BC1/BC2/BC3 transform/untransform Pallas kernels.
 
-Key ideas:
+Round-2 design (measured on v5e; see scripts/perf_sweep*.py):
 
-- *Phase-space math*: stream words that pack multiple per-block values (u16 endpoint
-  pairs, u8 quads, the BC3 6-byte alpha-index lanes) are computed elementwise from
-  even/odd (or mod-4) block phases instead of by shuffling lanes -- e.g.
-  ``c0w[t] = c0[2t] | c0[2t+1] << 16`` is just ``c0E | c0O << 16``.
-- *Transpose sandwich*: the remaining AoS<->SoA steps (block-phase de-interleave of
-  the input words, block re-interleave of outputs) are lane-granularity shuffles,
-  which Mosaic cannot express directly; transposing in VMEM turns them into sublane
-  reshapes, which it can. Measured ~122 GB/s r+w vs ~146 GB/s Pallas memcpy.
-- The YCoCg variant is a traced SMEM scalar dispatched with ``lax.switch`` inside
-  the kernel: one compiled kernel serves all four variants.
+- *Transposed space*: each tile is transposed ONCE on entry; all block-phase
+  de-/re-interleaves then become sublane reshapes/slices of the (words, rows)
+  view, and each output is transposed back once on exit. Two full-tile
+  transposes per direction (the round-1 design paid ~3).
+- *SWAR pair math*: YCoCg-R runs on packed c0|c1<<16 uint32 lanes with guard
+  bits (twin of the C++ runtime's ``ycocg_*_pair``), so no 16-bit unpack/repack
+  lanes ever materialize.
+- *Static variant*: kernels specialize on the YCoCg variant (4 small compiles
+  per family, served by the persistent compile cache). The traced ``lax.switch``
+  form both compiled slower and crashes Mosaic at the 128-row tile.
+- Tiles are (128, 2048) u32 on the widest array: the transposed view has a full
+  128-lane minor dim, and sustained roundtrip reaches ~82 GB/s payload vs a
+  ~87 GB/s chained-memcpy ceiling.
 
-All kernels process flat little-endian u32 word images; tiles are (ROWS, 2048) u32
-on the widest array. Callers pad block counts to powers of two >= 2048
-(``lanes.bucket_size``), which guarantees divisibility by every tile shape here.
+All kernels process flat little-endian u32 word images; callers pad block counts
+to powers of two >= 2048 (``lanes.bucket_size``), which guarantees divisibility
+by every tile shape here.
 
-Behavioral reference for the stream layouts: ``transform_with_settings.rs`` of each
-format crate (see :mod:`...oracle`).
+Behavioral reference for the stream layouts: ``transform_with_settings.rs`` of
+each format crate (see :mod:`...oracle`).
 """
 
 from __future__ import annotations
@@ -27,14 +30,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import ycocg
+from ..ycocg import decorrelate_pair_swar, recorrelate_pair_swar
 
-MAX_ROWS = 32
+MAX_ROWS = 128
 WIDTH = 2048  # lanes of the widest (block-image) array per tile
+_U32 = jnp.uint32
 
 
 def pallas_available() -> bool:
@@ -54,249 +57,228 @@ def _grid_rows(total_words: int) -> tuple:
     return all_rows // rows, rows
 
 
-# --- in-VMEM shuffle helpers (transpose sandwich) ------------------------------------
+# --- transposed-space helpers ---------------------------------------------------------
+# Work happens on (words, rows) views; `k` consecutive-lane phases of the original
+# (rows, width) tile are sublane slices of a (w//k, k, rows) reshape.
 
-def _vmem_deinterleave(v, k: int):
-    """(R, W) tile -> k tiles (R, W/k); part c holds lanes c, c+k, c+2k, ..."""
-    rows, width = v.shape
-    vt = v.T.reshape(width // k, k, rows)
-    return tuple(vt[:, c, :].T for c in range(k))
+def _phases(vt, k: int):
+    """(W, R) transposed tile -> k phase views (W/k, R); phase c = lanes c::k."""
+    w, rows = vt.shape
+    v3 = vt.reshape(w // k, k, rows)
+    return tuple(v3[:, c, :] for c in range(k))
 
 
-def _vmem_interleave(parts):
-    """Inverse of :func:`_vmem_deinterleave`: k tiles (R, W) -> (R, k*W)."""
+def _weave(parts):
+    """Inverse of :func:`_phases`: k tiles (W, R) -> (k*W, R) interleaved."""
     k = len(parts)
-    rows, width = parts[0].shape
-    stacked = jnp.concatenate([p.T[:, None, :] for p in parts], axis=1)
-    return stacked.reshape(k * width, rows).T
+    w, rows = parts[0].shape
+    return jnp.concatenate([p[:, None, :] for p in parts], axis=1).reshape(k * w, rows)
 
 
-def _decorr(variant, x):
-    return lax.switch(variant, [lambda v: v, ycocg.decorrelate_var1,
-                                ycocg.decorrelate_var2, ycocg.decorrelate_var3], x)
+def _lo(p):
+    return p & _U32(0xFFFF)
 
 
-def _recorr(variant, x):
-    return lax.switch(variant, [lambda v: v, ycocg.recorrelate_var1,
-                                ycocg.recorrelate_var2, ycocg.recorrelate_var3], x)
+def _hi(p):
+    return p >> _U32(16)
 
 
-def _split_halves(w):
-    w = w.astype(jnp.uint32)
-    return ((w & jnp.uint32(0xFFFF)).astype(jnp.int32),
-            (w >> jnp.uint32(16)).astype(jnp.int32))
+def _pack_even_odd(dE, dO):
+    """Even/odd-phase u16 pairs -> (lo-halves word, hi-halves word) streams."""
+    return (_lo(dE) | (dO << _U32(16)),          # c0 stream: lo(E) | lo(O)<<16
+            _hi(dE) | (dO & _U32(0xFFFF0000)))   # c1 stream: hi(E) | hi(O)<<16
 
 
-def _join(lo, hi):
-    return lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << jnp.uint32(16))
-
-
-def _decorr_pairs(variant, colE, colO):
-    """Decorrelate both u16 halves of even/odd-phase color words in one switch."""
-    c0E, c1E = _split_halves(colE)
-    c0O, c1O = _split_halves(colO)
-    w = c0E.shape[1]
-    d = _decorr(variant, jnp.concatenate([c0E, c1E, c0O, c1O], axis=1))
-    return d[:, :w], d[:, w:2 * w], d[:, 2 * w:3 * w], d[:, 3 * w:]
-
-
-def _recorr_pairs(variant, c0E, c1E, c0O, c1O):
-    w = c0E.shape[1]
-    r = _recorr(variant, jnp.concatenate([c0E, c1E, c0O, c1O], axis=1))
-    return (_join(r[:, :w], r[:, w:2 * w]),       # colE
-            _join(r[:, 2 * w:3 * w], r[:, 3 * w:]))  # colO
+def _unpack_even_odd(c0w, c1w):
+    """Inverse of :func:`_pack_even_odd`: -> (even words, odd words)."""
+    return (_lo(c0w) | (c1w << _U32(16)),
+            _hi(c0w) | (c1w & _U32(0xFFFF0000)))
 
 
 def _vspec(w, rows):
     return pl.BlockSpec((rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
-def _call(kernel, variant, args, in_widths, out_widths, grid, rows,
-          interpret: bool):
+def _call(kernel, args, in_widths, out_widths, grid, rows, interpret: bool):
     res = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-                 + [_vspec(w, rows) for w in in_widths],
+        in_specs=[_vspec(w, rows) for w in in_widths],
         out_specs=[_vspec(w, rows) for w in out_widths],
         out_shape=[jax.ShapeDtypeStruct((grid * rows, w), jnp.uint32)
                    for w in out_widths],
         interpret=interpret,
-    )(jnp.asarray(variant, jnp.int32).reshape(1),
-      *(a.reshape(grid * rows, w) for a, w in zip(args, in_widths)))
+    )(*(a.reshape(grid * rows, w) for a, w in zip(args, in_widths)))
     return tuple(r.reshape(-1) for r in res)
 
 
 # ======================================== BC1 ========================================
-# Block image phases (2 words/block): flat[4t..4t+3] = [colE, idxE, colO, idxO].
+# 2 words/block: flat[2b] = colors, flat[2b+1] = indices. Lane phases mod 4 of the
+# tile are [colE, idxE, colO, idxO] (E/O = block parity).
 
-def _bc1_t_kernel(split: bool):
-    def kernel(variant_ref, x_ref, *out_refs):
-        variant = variant_ref[0]
-        cE, iE, cO, iO = _vmem_deinterleave(x_ref[:].astype(jnp.uint32), 4)
-        c0E, c1E, c0O, c1O = _decorr_pairs(variant, cE, cO)
-        idx = _vmem_interleave([iE, iO])
+def _bc1_t_kernel(variant: int, split: bool, rows: int):
+    def kernel(x_ref, *out_refs):
+        xt = x_ref[:].astype(_U32).T
+        colE, idxE, colO, idxO = _phases(xt, 4)
+        dE = decorrelate_pair_swar(colE, variant)
+        dO = decorrelate_pair_swar(colO, variant)
         if split:
-            out_refs[0][:] = _join(c0E, c0O)
-            out_refs[1][:] = _join(c1E, c1O)
-            out_refs[2][:] = idx
+            c0w, c1w = _pack_even_odd(dE, dO)
+            out_refs[0][:] = c0w.T
+            out_refs[1][:] = c1w.T
+            out_refs[2][:] = _weave([idxE, idxO]).T
         else:
-            out_refs[0][:] = _vmem_interleave([_join(c0E, c1E), _join(c0O, c1O)])
-            out_refs[1][:] = idx
+            out_refs[0][:] = _weave([dE, dO]).T
+            out_refs[1][:] = _weave([idxE, idxO]).T
     return kernel
 
 
-@partial(jax.jit, static_argnames=("split", "interpret"))
-def bc1_transform_tpu(flat, variant, split: bool, interpret: bool = False):
+@partial(jax.jit, static_argnames=("variant", "split", "interpret"))
+def bc1_transform_tpu(flat, variant: int, split: bool, interpret: bool = False):
     """Flat uint32[2N] -> stream word arrays, one fused pass.
 
     split: ``(c0w u32[N/2], c1w u32[N/2], idx u32[N])``; else ``(colors, idx)``.
     """
     grid, rows = _grid_rows(flat.shape[0])
     outs = [WIDTH // 4, WIDTH // 4, WIDTH // 2] if split else [WIDTH // 2, WIDTH // 2]
-    return _call(_bc1_t_kernel(split), variant, (flat,), [WIDTH], outs,
+    return _call(_bc1_t_kernel(variant, split, rows), (flat,), [WIDTH], outs,
                  grid, rows, interpret)
 
 
-def _bc1_u_kernel(split: bool):
-    def kernel(variant_ref, *refs):
-        variant = variant_ref[0]
+def _bc1_u_kernel(variant: int, split: bool, rows: int):
+    def kernel(*refs):
         if split:
             c0_ref, c1_ref, idx_ref, out_ref = refs
-            c0E, c0O = _split_halves(c0_ref[:])
-            c1E, c1O = _split_halves(c1_ref[:])
+            dE, dO = _unpack_even_odd(c0_ref[:].astype(_U32).T,
+                                      c1_ref[:].astype(_U32).T)
         else:
             col_ref, idx_ref, out_ref = refs
-            colE_raw, colO_raw = _vmem_deinterleave(col_ref[:].astype(jnp.uint32), 2)
-            c0E, c1E = _split_halves(colE_raw)
-            c0O, c1O = _split_halves(colO_raw)
-        colE, colO = _recorr_pairs(variant, c0E, c1E, c0O, c1O)
-        idxE, idxO = _vmem_deinterleave(refs[-2][:].astype(jnp.uint32), 2)
-        out_ref[:] = _vmem_interleave([colE, idxE, colO, idxO])
+            dE, dO = _phases(col_ref[:].astype(_U32).T, 2)
+        colE = recorrelate_pair_swar(dE, variant)
+        colO = recorrelate_pair_swar(dO, variant)
+        idxE, idxO = _phases(idx_ref[:].astype(_U32).T, 2)
+        out_ref[:] = _weave([colE, idxE, colO, idxO]).T
     return kernel
 
 
-@partial(jax.jit, static_argnames=("split", "interpret"))
-def bc1_untransform_tpu(streams, variant, split: bool, interpret: bool = False):
+@partial(jax.jit, static_argnames=("variant", "split", "interpret"))
+def bc1_untransform_tpu(streams, variant: int, split: bool, interpret: bool = False):
     """Inverse of :func:`bc1_transform_tpu`; returns flat uint32[2N]."""
     n = streams[-1].shape[0]  # indices count == blocks
     grid, rows = _grid_rows(2 * n)
     ins = [WIDTH // 4, WIDTH // 4, WIDTH // 2] if split else [WIDTH // 2, WIDTH // 2]
-    (out,) = _call(_bc1_u_kernel(split), variant, streams, ins, [WIDTH],
+    (out,) = _call(_bc1_u_kernel(variant, split, rows), streams, ins, [WIDTH],
                    grid, rows, interpret)
     return out
 
 
 # ======================================== BC2 ========================================
-# 4 words/block: [a_lo, a_hi, col, idx]; no block-phase needed for alpha/idx.
+# 4 words/block: [a_lo, a_hi, col, idx]; only colors need block parity (for split).
 
-def _bc2_t_kernel(split: bool):
-    def kernel(variant_ref, x_ref, *out_refs):
-        variant = variant_ref[0]
-        a_lo, a_hi, cols, idx = _vmem_deinterleave(x_ref[:].astype(jnp.uint32), 4)
-        out_refs[0][:] = _vmem_interleave([a_lo, a_hi])
+def _bc2_t_kernel(variant: int, split: bool, rows: int):
+    def kernel(x_ref, *out_refs):
+        xt = x_ref[:].astype(_U32).T
+        a_lo, a_hi, col, idx = _phases(xt, 4)
+        out_refs[0][:] = _weave([a_lo, a_hi]).T
         if split:
-            colE, colO = _vmem_deinterleave(cols, 2)
-            c0E, c1E, c0O, c1O = _decorr_pairs(variant, colE, colO)
-            out_refs[1][:] = _join(c0E, c0O)
-            out_refs[2][:] = _join(c1E, c1O)
-            out_refs[3][:] = idx
+            colE, colO = _phases(col, 2)
+            dE = decorrelate_pair_swar(colE, variant)
+            dO = decorrelate_pair_swar(colO, variant)
+            c0w, c1w = _pack_even_odd(dE, dO)
+            out_refs[1][:] = c0w.T
+            out_refs[2][:] = c1w.T
+            out_refs[3][:] = idx.T
         else:
-            c0, c1 = _split_halves(cols)
-            w = c0.shape[1]
-            d = _decorr(variant, jnp.concatenate([c0, c1], axis=1))
-            out_refs[1][:] = _join(d[:, :w], d[:, w:])
-            out_refs[2][:] = idx
+            out_refs[1][:] = decorrelate_pair_swar(col, variant).T
+            out_refs[2][:] = idx.T
     return kernel
 
 
-@partial(jax.jit, static_argnames=("split", "interpret"))
-def bc2_transform_tpu(flat, variant, split: bool, interpret: bool = False):
+@partial(jax.jit, static_argnames=("variant", "split", "interpret"))
+def bc2_transform_tpu(flat, variant: int, split: bool, interpret: bool = False):
     """Flat uint32[4N] -> (alpha_w u32[2N], [c0w, c1w | colors], idx u32[N])."""
     grid, rows = _grid_rows(flat.shape[0])
     outs = ([WIDTH // 2, WIDTH // 8, WIDTH // 8, WIDTH // 4] if split
             else [WIDTH // 2, WIDTH // 4, WIDTH // 4])
-    return _call(_bc2_t_kernel(split), variant, (flat,), [WIDTH], outs,
+    return _call(_bc2_t_kernel(variant, split, rows), (flat,), [WIDTH], outs,
                  grid, rows, interpret)
 
 
-def _bc2_u_kernel(split: bool):
-    def kernel(variant_ref, *refs):
-        variant = variant_ref[0]
+def _bc2_u_kernel(variant: int, split: bool, rows: int):
+    def kernel(*refs):
         if split:
             alpha_ref, c0_ref, c1_ref, idx_ref, out_ref = refs
-            c0E, c0O = _split_halves(c0_ref[:])
-            c1E, c1O = _split_halves(c1_ref[:])
-            colE, colO = _recorr_pairs(variant, c0E, c1E, c0O, c1O)
-            cols = _vmem_interleave([colE, colO])
+            dE, dO = _unpack_even_odd(c0_ref[:].astype(_U32).T,
+                                      c1_ref[:].astype(_U32).T)
+            colE = recorrelate_pair_swar(dE, variant)
+            colO = recorrelate_pair_swar(dO, variant)
+            col = _weave([colE, colO])
         else:
             alpha_ref, col_ref, idx_ref, out_ref = refs
-            c0, c1 = _split_halves(col_ref[:])
-            w = c0.shape[1]
-            r = _recorr(variant, jnp.concatenate([c0, c1], axis=1))
-            cols = _join(r[:, :w], r[:, w:])
-        a_lo, a_hi = _vmem_deinterleave(alpha_ref[:].astype(jnp.uint32), 2)
-        out_ref[:] = _vmem_interleave(
-            [a_lo, a_hi, cols, idx_ref[:].astype(jnp.uint32)])
+            col = recorrelate_pair_swar(col_ref[:].astype(_U32).T, variant)
+        a_lo, a_hi = _phases(alpha_ref[:].astype(_U32).T, 2)
+        out_ref[:] = _weave([a_lo, a_hi, col, idx_ref[:].astype(_U32).T]).T
     return kernel
 
 
-@partial(jax.jit, static_argnames=("split", "interpret"))
-def bc2_untransform_tpu(streams, variant, split: bool, interpret: bool = False):
+@partial(jax.jit, static_argnames=("variant", "split", "interpret"))
+def bc2_untransform_tpu(streams, variant: int, split: bool, interpret: bool = False):
     """Inverse of :func:`bc2_transform_tpu`; returns flat uint32[4N]."""
     n = streams[-1].shape[0]
     grid, rows = _grid_rows(4 * n)
     ins = ([WIDTH // 2, WIDTH // 8, WIDTH // 8, WIDTH // 4] if split
            else [WIDTH // 2, WIDTH // 4, WIDTH // 4])
-    (out,) = _call(_bc2_u_kernel(split), variant, streams, ins, [WIDTH],
+    (out,) = _call(_bc2_u_kernel(variant, split, rows), streams, ins, [WIDTH],
                    grid, rows, interpret)
     return out
 
 
 # ======================================== BC3 ========================================
 # 4 words/block: [w0, w1, col, cidx] with w0 = ep | h1<<16, w1 = h2 | h3<<16.
-# 8 block-phase streams: [w0E, w1E, colE, cidxE, w0O, w1O, colO, cidxO].
+# Lane phases mod 8: [w0E, w1E, colE, cidxE, w0O, w1O, colO, cidxO].
 # Alpha-index words: aw[3s]   = h1E | h2E<<16
 #                    aw[3s+1] = h3E | h1O<<16
 #                    aw[3s+2] = h2O | h3O<<16          (s = even-block pair index)
 
-def _bc3_t_kernel(split_alpha: bool, split_colour: bool):
-    def kernel(variant_ref, x_ref, *out_refs):
-        variant = variant_ref[0]
-        w0E, w1E, colE, cidxE, w0O, w1O, colO, cidxO = _vmem_deinterleave(
-            x_ref[:].astype(jnp.uint32), 8)
-        epE, h1E = _split_halves(w0E)
-        h2E, h3E = _split_halves(w1E)
-        epO, h1O = _split_halves(w0O)
-        h2O, h3O = _split_halves(w1O)
+def _bc3_t_kernel(variant: int, split_alpha: bool, split_colour: bool, rows: int):
+    def kernel(x_ref, *out_refs):
+        xt = x_ref[:].astype(_U32).T
+        w0E, w1E, colE, cidxE, w0O, w1O, colO, cidxO = _phases(xt, 8)
+        epE, h1E = _lo(w0E), _hi(w0E)
+        h2E, h3E = _lo(w1E), _hi(w1E)
+        epO, h1O = _lo(w0O), _hi(w0O)
+        h2O, h3O = _lo(w1O), _hi(w1O)
         out = list(out_refs)
         if split_alpha:
-            ep0, ep2 = _vmem_deinterleave(epE, 2)   # block phases 0,2 (mod 4)
-            ep1, ep3 = _vmem_deinterleave(epO, 2)   # block phases 1,3
-            a0 = ((ep0 & 0xFF) | ((ep1 & 0xFF) << 8)
-                  | ((ep2 & 0xFF) << 16) | ((ep3 & 0xFF) << 24))
-            a1 = ((ep0 >> 8) | ((ep1 >> 8) << 8)
-                  | ((ep2 >> 8) << 16) | ((ep3 >> 8) << 24))
-            out.pop(0)[:] = a0.astype(jnp.uint32)
-            out.pop(0)[:] = a1.astype(jnp.uint32)
+            ep0, ep2 = _phases(epE, 2)   # block phases 0,2 (mod 4)
+            ep1, ep3 = _phases(epO, 2)   # block phases 1,3
+            a0 = ((ep0 & _U32(0xFF)) | ((ep1 & _U32(0xFF)) << _U32(8))
+                  | ((ep2 & _U32(0xFF)) << _U32(16)) | ((ep3 & _U32(0xFF)) << _U32(24)))
+            a1 = ((ep0 >> _U32(8)) | ((ep1 >> _U32(8)) << _U32(8))
+                  | ((ep2 >> _U32(8)) << _U32(16)) | ((ep3 >> _U32(8)) << _U32(24)))
+            out.pop(0)[:] = a0.T
+            out.pop(0)[:] = a1.T
         else:
-            out.pop(0)[:] = _join(epE, epO)
-        aw0 = _join(h1E, h2E)
-        aw1 = _join(h3E, h1O)
-        aw2 = _join(h2O, h3O)
-        out.pop(0)[:] = _vmem_interleave([aw0, aw1, aw2])
-        c0E, c1E, c0O, c1O = _decorr_pairs(variant, colE, colO)
+            out.pop(0)[:] = (epE | (epO << _U32(16))).T
+        aw0 = h1E | (h2E << _U32(16))
+        aw1 = h3E | (h1O << _U32(16))
+        aw2 = h2O | (h3O << _U32(16))
+        out.pop(0)[:] = _weave([aw0, aw1, aw2]).T
+        dE = decorrelate_pair_swar(colE, variant)
+        dO = decorrelate_pair_swar(colO, variant)
         if split_colour:
-            out.pop(0)[:] = _join(c0E, c0O)
-            out.pop(0)[:] = _join(c1E, c1O)
+            c0w, c1w = _pack_even_odd(dE, dO)
+            out.pop(0)[:] = c0w.T
+            out.pop(0)[:] = c1w.T
         else:
-            out.pop(0)[:] = _vmem_interleave([_join(c0E, c1E), _join(c0O, c1O)])
-        out.pop(0)[:] = _vmem_interleave([cidxE, cidxO])
+            out.pop(0)[:] = _weave([dE, dO]).T
+        out.pop(0)[:] = _weave([cidxE, cidxO]).T
     return kernel
 
 
-@partial(jax.jit, static_argnames=("split_alpha", "split_colour", "interpret"))
-def bc3_transform_tpu(flat, variant, split_alpha: bool, split_colour: bool,
+@partial(jax.jit, static_argnames=("variant", "split_alpha", "split_colour",
+                                   "interpret"))
+def bc3_transform_tpu(flat, variant: int, split_alpha: bool, split_colour: bool,
                       interpret: bool = False):
     """Flat uint32[4N] -> stream word arrays in on-disk order (see oracle.bc3)."""
     grid, rows = _grid_rows(flat.shape[0])
@@ -305,52 +287,51 @@ def bc3_transform_tpu(flat, variant, split_alpha: bool, split_colour: bool,
     outs += [3 * WIDTH // 8]
     outs += [WIDTH // 8, WIDTH // 8] if split_colour else [WIDTH // 4]
     outs += [WIDTH // 4]
-    return _call(_bc3_t_kernel(split_alpha, split_colour), variant, (flat,),
+    return _call(_bc3_t_kernel(variant, split_alpha, split_colour, rows), (flat,),
                  [WIDTH], outs, grid, rows, interpret)
 
 
-def _bc3_u_kernel(split_alpha: bool, split_colour: bool):
-    def kernel(variant_ref, *refs):
-        variant = variant_ref[0]
+def _bc3_u_kernel(variant: int, split_alpha: bool, split_colour: bool, rows: int):
+    def kernel(*refs):
         refs = list(refs)
         if split_alpha:
-            a0 = refs.pop(0)[:].astype(jnp.uint32)
-            a1 = refs.pop(0)[:].astype(jnp.uint32)
+            a0 = refs.pop(0)[:].astype(_U32).T
+            a1 = refs.pop(0)[:].astype(_U32).T
             ep_phases = []
             for sh in (0, 8, 16, 24):
-                lo = (a0 >> jnp.uint32(sh)) & jnp.uint32(0xFF)
-                hi = (a1 >> jnp.uint32(sh)) & jnp.uint32(0xFF)
-                ep_phases.append((lo | (hi << jnp.uint32(8))).astype(jnp.int32))
+                lo = (a0 >> _U32(sh)) & _U32(0xFF)
+                hi = (a1 >> _U32(sh)) & _U32(0xFF)
+                ep_phases.append(lo | (hi << _U32(8)))
             ep0, ep1, ep2, ep3 = ep_phases
-            epE = _vmem_interleave([ep0, ep2])
-            epO = _vmem_interleave([ep1, ep3])
+            epE = _weave([ep0, ep2])
+            epO = _weave([ep1, ep3])
         else:
-            epE, epO = _split_halves(refs.pop(0)[:])
-        aw0, aw1, aw2 = _vmem_deinterleave(refs.pop(0)[:].astype(jnp.uint32), 3)
-        h1E, h2E = _split_halves(aw0)
-        h3E, h1O = _split_halves(aw1)
-        h2O, h3O = _split_halves(aw2)
+            ept = refs.pop(0)[:].astype(_U32).T
+            epE, epO = _lo(ept), _hi(ept)
+        aw0, aw1, aw2 = _phases(refs.pop(0)[:].astype(_U32).T, 3)
+        h1E, h2E = _lo(aw0), _hi(aw0)
+        h3E, h1O = _lo(aw1), _hi(aw1)
+        h2O, h3O = _lo(aw2), _hi(aw2)
         if split_colour:
-            c0E, c0O = _split_halves(refs.pop(0)[:])
-            c1E, c1O = _split_halves(refs.pop(0)[:])
+            dE, dO = _unpack_even_odd(refs.pop(0)[:].astype(_U32).T,
+                                      refs.pop(0)[:].astype(_U32).T)
         else:
-            colE_raw, colO_raw = _vmem_deinterleave(
-                refs.pop(0)[:].astype(jnp.uint32), 2)
-            c0E, c1E = _split_halves(colE_raw)
-            c0O, c1O = _split_halves(colO_raw)
-        colE, colO = _recorr_pairs(variant, c0E, c1E, c0O, c1O)
-        cidxE, cidxO = _vmem_deinterleave(refs.pop(0)[:].astype(jnp.uint32), 2)
+            dE, dO = _phases(refs.pop(0)[:].astype(_U32).T, 2)
+        colE = recorrelate_pair_swar(dE, variant)
+        colO = recorrelate_pair_swar(dO, variant)
+        cidxE, cidxO = _phases(refs.pop(0)[:].astype(_U32).T, 2)
         out_ref = refs.pop(0)
-        w0E = _join(epE, h1E)
-        w1E = _join(h2E, h3E)
-        w0O = _join(epO, h1O)
-        w1O = _join(h2O, h3O)
-        out_ref[:] = _vmem_interleave([w0E, w1E, colE, cidxE, w0O, w1O, colO, cidxO])
+        w0E = epE | (h1E << _U32(16))
+        w1E = h2E | (h3E << _U32(16))
+        w0O = epO | (h1O << _U32(16))
+        w1O = h2O | (h3O << _U32(16))
+        out_ref[:] = _weave([w0E, w1E, colE, cidxE, w0O, w1O, colO, cidxO]).T
     return kernel
 
 
-@partial(jax.jit, static_argnames=("split_alpha", "split_colour", "interpret"))
-def bc3_untransform_tpu(streams, variant, split_alpha: bool, split_colour: bool,
+@partial(jax.jit, static_argnames=("variant", "split_alpha", "split_colour",
+                                   "interpret"))
+def bc3_untransform_tpu(streams, variant: int, split_alpha: bool, split_colour: bool,
                         interpret: bool = False):
     """Inverse of :func:`bc3_transform_tpu`; returns flat uint32[4N]."""
     n = streams[-1].shape[0]
@@ -360,6 +341,149 @@ def bc3_untransform_tpu(streams, variant, split_alpha: bool, split_colour: bool,
     ins += [3 * WIDTH // 8]
     ins += [WIDTH // 8, WIDTH // 8] if split_colour else [WIDTH // 4]
     ins += [WIDTH // 4]
-    (out,) = _call(_bc3_u_kernel(split_alpha, split_colour), variant, streams,
+    (out,) = _call(_bc3_u_kernel(variant, split_alpha, split_colour, rows), streams,
                    ins, [WIDTH], grid, rows, interpret)
+    return out
+
+
+# ===================================== BC4 / BC5 =====================================
+# A BC4 block is the BC3 alpha section alone (w0 = ep | h1<<16, w1 = h2 | h3<<16);
+# a BC5 block is two of them (red then green). Framework extension -- the reference
+# only reserves the format tags (oracle/bc4.py documents the stream layouts).
+
+def _alpha_section_pack(epE, epO, h1E, h2E, h3E, h1O, h2O, h3O, split: bool):
+    """-> (endpoint stream tiles..., alpha-index word tile), transposed space."""
+    aw = _weave([h1E | (h2E << _U32(16)), h3E | (h1O << _U32(16)),
+                 h2O | (h3O << _U32(16))])
+    if split:
+        ep0, ep2 = _phases(epE, 2)
+        ep1, ep3 = _phases(epO, 2)
+        a0 = ((ep0 & _U32(0xFF)) | ((ep1 & _U32(0xFF)) << _U32(8))
+              | ((ep2 & _U32(0xFF)) << _U32(16)) | ((ep3 & _U32(0xFF)) << _U32(24)))
+        a1 = ((ep0 >> _U32(8)) | ((ep1 >> _U32(8)) << _U32(8))
+              | ((ep2 >> _U32(8)) << _U32(16)) | ((ep3 >> _U32(8)) << _U32(24)))
+        return (a0, a1, aw)
+    return (epE | (epO << _U32(16)), aw)
+
+
+def _alpha_section_unpack(ep_streams, aw_tile, split: bool):
+    """Inverse: -> (epE, epO, h1E, h2E, h3E, h1O, h2O, h3O)."""
+    if split:
+        a0, a1 = ep_streams
+        ep_phases = []
+        for sh in (0, 8, 16, 24):
+            lo = (a0 >> _U32(sh)) & _U32(0xFF)
+            hi = (a1 >> _U32(sh)) & _U32(0xFF)
+            ep_phases.append(lo | (hi << _U32(8)))
+        ep0, ep1, ep2, ep3 = ep_phases
+        epE = _weave([ep0, ep2])
+        epO = _weave([ep1, ep3])
+    else:
+        (ept,) = ep_streams
+        epE, epO = _lo(ept), _hi(ept)
+    aw0, aw1, aw2 = _phases(aw_tile, 3)
+    return (epE, epO, _lo(aw0), _hi(aw0), _lo(aw1), _hi(aw1), _lo(aw2), _hi(aw2))
+
+
+def _bc4_t_kernel(split: bool, rows: int):
+    def kernel(x_ref, *out_refs):
+        xt = x_ref[:].astype(_U32).T
+        w0E, w1E, w0O, w1O = _phases(xt, 4)
+        tiles = _alpha_section_pack(_lo(w0E), _lo(w0O), _hi(w0E), _lo(w1E),
+                                    _hi(w1E), _hi(w0O), _lo(w1O), _hi(w1O), split)
+        for ref, t in zip(out_refs, tiles):
+            ref[:] = t.T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("split", "interpret"))
+def bc4_transform_tpu(flat, split: bool, interpret: bool = False):
+    """Flat uint32[2N] -> ([ep | a0, a1], alpha-index words) streams."""
+    grid, rows = _grid_rows(flat.shape[0])
+    outs = ([WIDTH // 8, WIDTH // 8] if split else [WIDTH // 4]) + [3 * WIDTH // 4]
+    return _call(_bc4_t_kernel(split, rows), (flat,), [WIDTH], outs,
+                 grid, rows, interpret)
+
+
+def _bc4_u_kernel(split: bool, rows: int):
+    def kernel(*refs):
+        *ins, out_ref = refs
+        eps = tuple(r[:].astype(_U32).T for r in ins[:-1])
+        aw = ins[-1][:].astype(_U32).T
+        epE, epO, h1E, h2E, h3E, h1O, h2O, h3O = _alpha_section_unpack(eps, aw, split)
+        w0E = epE | (h1E << _U32(16))
+        w1E = h2E | (h3E << _U32(16))
+        w0O = epO | (h1O << _U32(16))
+        w1O = h2O | (h3O << _U32(16))
+        out_ref[:] = _weave([w0E, w1E, w0O, w1O]).T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("split", "interpret"))
+def bc4_untransform_tpu(streams, split: bool, interpret: bool = False):
+    """Inverse of :func:`bc4_transform_tpu`; returns flat uint32[2N]."""
+    total = streams[-1].shape[0] * 4 // 3  # flat 2N words; aidx = 3N/2 words
+    grid, rows = _grid_rows(total)
+    ins = ([WIDTH // 8, WIDTH // 8] if split else [WIDTH // 4]) + [3 * WIDTH // 4]
+    (out,) = _call(_bc4_u_kernel(split, rows), streams, ins, [WIDTH],
+                   grid, rows, interpret)
+    return out
+
+
+def _bc5_t_kernel(split: bool, rows: int):
+    def kernel(x_ref, *out_refs):
+        xt = x_ref[:].astype(_U32).T
+        rw0E, rw1E, gw0E, gw1E, rw0O, rw1O, gw0O, gw1O = _phases(xt, 8)
+        r_tiles = _alpha_section_pack(_lo(rw0E), _lo(rw0O), _hi(rw0E), _lo(rw1E),
+                                      _hi(rw1E), _hi(rw0O), _lo(rw1O), _hi(rw1O),
+                                      split)
+        g_tiles = _alpha_section_pack(_lo(gw0E), _lo(gw0O), _hi(gw0E), _lo(gw1E),
+                                      _hi(gw1E), _hi(gw0O), _lo(gw1O), _hi(gw1O),
+                                      split)
+        # on-disk order: R endpoints, G endpoints, R indices, G indices
+        tiles = r_tiles[:-1] + g_tiles[:-1] + (r_tiles[-1], g_tiles[-1])
+        for ref, t in zip(out_refs, tiles):
+            ref[:] = t.T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("split", "interpret"))
+def bc5_transform_tpu(flat, split: bool, interpret: bool = False):
+    """Flat uint32[4N] -> (R/G endpoint streams..., Ridx words, Gidx words)."""
+    grid, rows = _grid_rows(flat.shape[0])
+    ep = [WIDTH // 16] * 4 if split else [WIDTH // 8] * 2
+    outs = ep + [3 * WIDTH // 8, 3 * WIDTH // 8]
+    return _call(_bc5_t_kernel(split, rows), (flat,), [WIDTH], outs,
+                 grid, rows, interpret)
+
+
+def _bc5_u_kernel(split: bool, rows: int):
+    def kernel(*refs):
+        *ins, out_ref = refs
+        k = 2 if split else 1  # endpoint streams per channel
+        tiles = [r[:].astype(_U32).T for r in ins]
+        r_eps, g_eps = tuple(tiles[:k]), tuple(tiles[k:2 * k])
+        r_aw, g_aw = tiles[2 * k], tiles[2 * k + 1]
+        repE, repO, rh1E, rh2E, rh3E, rh1O, rh2O, rh3O = _alpha_section_unpack(
+            r_eps, r_aw, split)
+        gepE, gepO, gh1E, gh2E, gh3E, gh1O, gh2O, gh3O = _alpha_section_unpack(
+            g_eps, g_aw, split)
+        out_ref[:] = _weave([
+            repE | (rh1E << _U32(16)), rh2E | (rh3E << _U32(16)),
+            gepE | (gh1E << _U32(16)), gh2E | (gh3E << _U32(16)),
+            repO | (rh1O << _U32(16)), rh2O | (rh3O << _U32(16)),
+            gepO | (gh1O << _U32(16)), gh2O | (gh3O << _U32(16)),
+        ]).T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("split", "interpret"))
+def bc5_untransform_tpu(streams, split: bool, interpret: bool = False):
+    """Inverse of :func:`bc5_transform_tpu`; returns flat uint32[4N]."""
+    total = streams[-1].shape[0] * 8 // 3  # flat 4N words; Gidx = 3N/2 words
+    grid, rows = _grid_rows(total)
+    ep = [WIDTH // 16] * 4 if split else [WIDTH // 8] * 2
+    ins = ep + [3 * WIDTH // 8, 3 * WIDTH // 8]
+    (out,) = _call(_bc5_u_kernel(split, rows), streams, ins, [WIDTH],
+                   grid, rows, interpret)
     return out

@@ -155,6 +155,20 @@ def normalize_blocks_all_modes_bc1(data) -> dict:
     return {m: normalize_blocks_bc1(data, m) for m in ColorNormalizationMode.all_values()}
 
 
+def normalize_blocks_all_modes_bc2(data) -> dict:
+    """One pass -> a normalized copy per ColorNormalizationMode (bc2 analog of
+    ``normalize_blocks_all_modes``)."""
+    return {m: normalize_blocks_bc2(data, m) for m in ColorNormalizationMode.all_values()}
+
+
+def normalize_blocks_all_modes_bc3(data) -> dict:
+    """One pass -> {(alpha_mode, color_mode): normalized copy} over the full
+    4 x 3 mode grid (bc3 normalize.rs ``normalize_blocks_all_modes``)."""
+    return {(am, cm): normalize_blocks_bc3(data, am, cm)
+            for am in AlphaNormalizationMode.all_values()
+            for cm in ColorNormalizationMode.all_values()}
+
+
 def normalize_split_blocks_in_place_bc1(colors: np.ndarray, indices: np.ndarray,
                                         color_mode) -> None:
     """Normalize already-split BC1 sections in place (bc1 normalize.rs:286+).
@@ -171,3 +185,38 @@ def normalize_split_blocks_in_place_bc1(colors: np.ndarray, indices: np.ndarray,
     out = np.frombuffer(normalize_blocks_bc1(data, mode), "<u4").reshape(-1, 2)
     colors[:] = out[:, 0]
     indices[:] = out[:, 1]
+
+
+def normalize_split_blocks_in_place_bc2(alpha: np.ndarray, colors: np.ndarray,
+                                        indices: np.ndarray, color_mode) -> None:
+    """Normalize already-split BC2 sections in place (alpha u64 lanes untouched)."""
+    mode = ColorNormalizationMode(color_mode)
+    if mode == ColorNormalizationMode.NONE:
+        return
+    from .bc2 import interleave_blocks
+
+    data = interleave_blocks(alpha, colors, indices)
+    out = np.frombuffer(normalize_blocks_bc2(data, mode), "<u4").reshape(-1, 4)
+    colors[:] = out[:, 2]
+    indices[:] = out[:, 3]
+
+
+def normalize_split_blocks_in_place_bc3(alpha_ep: np.ndarray, alpha_idx: np.ndarray,
+                                        colors: np.ndarray, cidx: np.ndarray,
+                                        alpha_mode, color_mode) -> None:
+    """Normalize already-split BC3 sections in place.
+
+    ``alpha_ep`` u16 lanes, ``alpha_idx`` (N, 6) bytes, ``colors``/``cidx`` u32.
+    """
+    amode = AlphaNormalizationMode(alpha_mode)
+    cmode = ColorNormalizationMode(color_mode)
+    if amode == AlphaNormalizationMode.NONE and cmode == ColorNormalizationMode.NONE:
+        return
+    from .bc3 import interleave_blocks, split_blocks
+
+    data = interleave_blocks(alpha_ep, alpha_idx, colors, cidx)
+    ep2, ai2, col2, ci2 = split_blocks(normalize_blocks_bc3(data, amode, cmode))
+    alpha_ep[:] = ep2
+    alpha_idx[:] = ai2
+    colors[:] = col2
+    cidx[:] = ci2

@@ -112,13 +112,15 @@ class BatchProcessor:
                                 else cfg["candidates"])
         self._cand_key = tuple(cfg["key"](c) for c in self.candidates)
         self.max_batch = max_batch
-        self._step = (cfg["step"](mesh, self._cand_key) if mesh is not None else None)
+        # With a mesh: GSPMD-sharded step (XLA scorer; a pallas_call is opaque to
+        # the partitioner). Without: single-device batched step whose scoring runs
+        # through the Mosaic coverage kernel on the flattened (batch x candidates)
+        # grid -- the corpus-throughput hot path.
+        self._step = (cfg["step"](mesh, self._cand_key) if mesh is not None
+                      else sharded.auto_step_batched(fmt, self._cand_key))
 
     def _run_batch(self, flats: np.ndarray, valid: np.ndarray):
-        if self._step is not None:
-            return self._step(jnp.asarray(flats), jnp.asarray(valid))
-        single = lambda f, v: self.cfg["single"](f, v, candidates=self._cand_key)
-        return jax.vmap(single)(jnp.asarray(flats), jnp.asarray(valid))
+        return self._step(jnp.asarray(flats), jnp.asarray(valid))
 
     def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:
         """Transform every payload; results returned in submission order."""

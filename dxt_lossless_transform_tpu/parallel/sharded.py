@@ -134,14 +134,106 @@ def bc3_auto_step_single(flat, valid_len=None,
     return ep, h1, h2, h3, d0, d1, cidx, best
 
 
-def _batched(mesh: Mesh, single, n_outputs: int, candidates, offsets):
+# --- explicit batched steps ----------------------------------------------------------
+# The corpus pipeline's throughput-critical scoring runs through the Mosaic coverage
+# kernel by flattening the (batch, candidates) axes into the kernel's row grid with
+# per-row valid lengths -- the vmap-of-single formulation could not (Mosaic kernels
+# do not vmap). Under a GSPMD mesh the scorer stays on the XLA twin: a pallas_call
+# is opaque to the partitioner, while XLA's roll/compare lowers to sharded ops with
+# automatic halo exchange and stays bit-identical across mesh shapes.
+
+def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool):
+    """(B, C, L) uint8 regions + (B,) valid -> (B, C) scores."""
+    import jax as _jax
+
+    B, C, L = regions3.shape
+    if allow_pallas and _jax.default_backend() == "tpu":
+        from ..estimate.pallas_ltu import SPAN, coverage_scores_pallas
+
+        if L % SPAN == 0 and max(offsets) <= SPAN:
+            flat = regions3.reshape(B * C, L)
+            valid = jnp.repeat(valid_lens.astype(jnp.int32), C)
+            return coverage_scores_pallas(flat, valid, offsets).reshape(B, C)
+    return jax.vmap(lambda r, v: _coverage_scores(r, v, offsets))(regions3, valid_lens)
+
+
+def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool):
+    def regions_fn(flat, vl):
+        colors, indices = lanes.deinterleave(flat.astype(jnp.uint32), 2)
+        dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
+        regions = jnp.stack([_colour_region_row(dec[v], split, vl // 4)
+                             for v, split in candidates])
+        return regions, colors, indices
+
+    regions, colors, indices = jax.vmap(regions_fn)(flats, valid_lens)
+    scores = _scores_flat(regions, valid_lens, offsets, allow_pallas)
+    d0, d1, best = jax.vmap(
+        lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
+    return d0, d1, indices, best
+
+
+def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool):
+    def regions_fn(flat, vl):
+        a_lo, a_hi, colors, idx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+        dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
+        regions = jnp.stack([_colour_region_row(dec[v], split, vl // 4)
+                             for v, split in candidates])
+        return regions, a_lo, a_hi, colors, idx
+
+    regions, a_lo, a_hi, colors, idx = jax.vmap(regions_fn)(flats, valid_lens)
+    scores = _scores_flat(regions, valid_lens, offsets, allow_pallas)
+    d0, d1, best = jax.vmap(
+        lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
+    return a_lo, a_hi, d0, d1, idx, best
+
+
+def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool):
+    def regions_fn(flat, vl):
+        w0, w1, colors, cidx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+        ep, h1 = lanes.split_u32(w0)
+        h2, h3 = lanes.split_u32(w1)
+        n_valid = vl // 4
+        dec = _decorrelated_pairs(colors, [v for v, _, _ in candidates])
+        alpha_interleaved = lanes.u16_to_byte_lanes(ep).astype(jnp.uint8)
+        alpha_split = _compact_pair((ep & 0xFF).astype(jnp.uint8),
+                                    (ep >> 8).astype(jnp.uint8), n_valid)
+        alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
+                                for _, sa, _ in candidates])
+        colour_rows = jnp.stack([_colour_region_row(dec[v], sc, n_valid)
+                                 for v, _, sc in candidates])
+        return alpha_rows, colour_rows, ep, h1, h2, h3, colors, cidx
+
+    alpha_rows, colour_rows, ep, h1, h2, h3, colors, cidx = jax.vmap(regions_fn)(
+        flats, valid_lens)
+    scores = (_scores_flat(alpha_rows, valid_lens // 2, offsets, allow_pallas)
+              + _scores_flat(colour_rows, valid_lens, offsets, allow_pallas))
+    d0, d1, best = jax.vmap(
+        lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
+    return ep, h1, h2, h3, d0, d1, cidx, best
+
+
+_BATCHED_IMPLS = {"bc1": _bc1_batched_impl, "bc2": _bc2_batched_impl,
+                  "bc3": _bc3_batched_impl}
+
+
+def auto_step_batched(fmt: str, candidates, offsets=DEFAULT_OFFSETS):
+    """Single-device batched step (no mesh): Mosaic scoring when shapes allow."""
+    impl = _BATCHED_IMPLS[fmt]
+
+    @jax.jit
+    def step(flats, valid_lens):
+        return impl(flats, valid_lens, candidates, offsets, allow_pallas=True)
+
+    return step
+
+
+def _batched(mesh: Mesh, fmt: str, n_outputs: int, candidates, offsets):
     files_blocks = NamedSharding(mesh, P("files", "blocks"))
     files_sh = NamedSharding(mesh, P("files"))
+    impl = _BATCHED_IMPLS[fmt]
 
     def step(flat, valid_len):
-        fn = partial(single.__wrapped__, candidates=candidates, offsets=offsets,
-                     allow_pallas=False)  # Mosaic kernels do not vmap here
-        return jax.vmap(fn)(flat, valid_len)
+        return impl(flat, valid_len, candidates, offsets, allow_pallas=False)
 
     out_sh = (files_blocks,) * (n_outputs - 1) + (files_sh,)
     return jax.jit(step, in_shardings=(files_blocks, files_sh), out_shardings=out_sh)
@@ -149,17 +241,17 @@ def _batched(mesh: Mesh, single, n_outputs: int, candidates, offsets):
 
 def bc1_auto_step(mesh: Mesh, candidates=_BC1_CANDIDATES, offsets=DEFAULT_OFFSETS):
     """Batched+sharded BC1 step: (B, 2N) words -> 3 stream arrays + best (B,)."""
-    return _batched(mesh, bc1_auto_step_single, 4, candidates, offsets)
+    return _batched(mesh, "bc1", 4, candidates, offsets)
 
 
 def bc2_auto_step(mesh: Mesh, candidates=_BC2_CANDIDATES, offsets=DEFAULT_OFFSETS):
     """Batched+sharded BC2 step: (B, 4N) words -> 5 stream arrays + best (B,)."""
-    return _batched(mesh, bc2_auto_step_single, 6, candidates, offsets)
+    return _batched(mesh, "bc2", 6, candidates, offsets)
 
 
 def bc3_auto_step(mesh: Mesh, candidates=_BC3_CANDIDATES, offsets=DEFAULT_OFFSETS):
     """Batched+sharded BC3 step: (B, 4N) words -> 7 stream arrays + best (B,)."""
-    return _batched(mesh, bc3_auto_step_single, 8, candidates, offsets)
+    return _batched(mesh, "bc3", 8, candidates, offsets)
 
 
 # --- BC7 / BC6H mode-aware sharded steps --------------------------------------------------

@@ -130,6 +130,6 @@ def test_bc3_normalization_colour_modes_distinguishable():
     scores = {}
     for cm in onorm.ColorNormalizationMode.all_values():
         normalized = onorm.normalize_blocks_bc3(data, onorm.AlphaNormalizationMode.NONE, cm)
-        _, _, score = _scored_auto(auto.transform_bc3_auto, normalized, est, False, bc3=True)
+        _, _, score = _scored_auto(auto.transform_bc3_auto, normalized, est, False, fmt="bc3")
         scores[cm] = score
     assert len(set(scores.values())) > 1  # colour modes actually distinguish

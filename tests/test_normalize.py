@@ -101,6 +101,18 @@ def test_auto_with_normalization_roundtrip():
     np.testing.assert_array_equal(decode.decode_bc1(normalized), decode.decode_bc1(data))
 
 
+def test_bc2_auto_with_normalization():
+    from dxt_lossless_transform_tpu.oracle import bc2 as obc2
+
+    data = testgen.bc2_realistic(512, seed=11)
+    est = ZstdEstimation(1)
+    out, settings, mode = ops_norm.transform_bc2_auto_with_normalization(data, est)
+    normalized = onorm.normalize_blocks_bc2(data, mode)
+    assert obc2.untransform(out, settings) == normalized
+    np.testing.assert_array_equal(decode.decode_bc2(normalized),
+                                  decode.decode_bc2(data))
+
+
 def test_bc3_auto_with_normalization():
     data = testgen.bc3_realistic(512, seed=9)
     est = ZstdEstimation(1)

@@ -74,11 +74,11 @@ def test_bc1_fused_words_path(variant, split):
     n = 512
     data = testgen.bc1_realistic(n, seed=11)
     flat = jnp.asarray(np.frombuffer(data, "<u4"))
-    flat = bc1.transform_words_fused(flat, jnp.int32(variant), split)
+    flat = bc1.transform_words_fused(flat, int(variant), split)
     expected = obc1.transform(
         data, Bc1TransformSettings(variant, split))
     assert np.asarray(flat).astype("<u4").tobytes() == expected
-    back = bc1.untransform_words_fused(flat, jnp.int32(variant), split)
+    back = bc1.untransform_words_fused(flat, int(variant), split)
     assert np.asarray(back).astype("<u4").tobytes() == data
 
 
@@ -90,10 +90,10 @@ def test_bc2_fused_words_path(variant, split):
     n = 256
     data = testgen.bc2_realistic(n, seed=12)
     flat = jnp.asarray(np.frombuffer(data, "<u4"))
-    flat = bc2.transform_words_fused(flat, jnp.int32(variant), split)
+    flat = bc2.transform_words_fused(flat, int(variant), split)
     expected = obc2.transform(data, Bc2TransformSettings(variant, split))
     assert np.asarray(flat).astype("<u4").tobytes() == expected
-    back = bc2.untransform_words_fused(flat, jnp.int32(variant), split)
+    back = bc2.untransform_words_fused(flat, int(variant), split)
     assert np.asarray(back).astype("<u4").tobytes() == data
 
 
@@ -106,8 +106,8 @@ def test_bc3_fused_words_path(variant, split_alpha, split_colour):
     n = 256
     data = testgen.bc3_realistic(n, seed=13)
     flat = jnp.asarray(np.frombuffer(data, "<u4"))
-    flat = bc3.transform_words_fused(flat, jnp.int32(variant), split_alpha, split_colour)
+    flat = bc3.transform_words_fused(flat, int(variant), split_alpha, split_colour)
     expected = obc3.transform(data, Bc3TransformSettings(variant, split_alpha, split_colour))
     assert np.asarray(flat).astype("<u4").tobytes() == expected
-    back = bc3.untransform_words_fused(flat, jnp.int32(variant), split_alpha, split_colour)
+    back = bc3.untransform_words_fused(flat, int(variant), split_alpha, split_colour)
     assert np.asarray(back).astype("<u4").tobytes() == data

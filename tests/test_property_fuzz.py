@@ -1,0 +1,169 @@
+"""Randomized (hypothesis) property suite -- the analog of the reference's 13
+libfuzzer targets (``src/fuzz/fuzz_targets/*``).
+
+Campaign structure mirrors the fuzz crate:
+- decode differential: device decoder vs numpy oracle on arbitrary block bytes
+  (reference fuzzes its decoder against the independent rgbcx C++ oracle,
+  ``bc1_decode.rs:19-54``);
+- normalize: normalized blocks decode to IDENTICAL pixels for every mode
+  (``bc1_normalize.rs:17-72``), incl. all-modes and in-place-split variants;
+- transform/untransform: bit-exact round trip for arbitrary bytes and every
+  settings combo (metamorphic inverse property).
+
+Hypothesis generates adversarial byte patterns (all-zero, all-FF, boundary
+values) that fixed seeds miss; shrinking gives minimal counterexamples.
+"""
+
+import numpy as np
+from hypothesis import given, settings as hyp_settings, strategies as st
+
+import jax.numpy as jnp
+
+from dxt_lossless_transform_tpu.oracle import (
+    bc1 as obc1, bc2 as obc2, bc3 as obc3, decode as odecode, normalize as onorm,
+)
+from dxt_lossless_transform_tpu.ops import decode as ddecode
+from dxt_lossless_transform_tpu.settings import (
+    Bc1TransformSettings, Bc2TransformSettings, Bc3TransformSettings,
+)
+
+CM = onorm.ColorNormalizationMode
+AM = onorm.AlphaNormalizationMode
+
+# block payloads: 1..64 blocks of raw bytes (any bit pattern is a valid BC block)
+bc1_payload = st.binary(min_size=8, max_size=8 * 64).map(
+    lambda b: b[: len(b) // 8 * 8] or b"\x00" * 8)
+bc16_payload = st.binary(min_size=16, max_size=16 * 64).map(
+    lambda b: b[: len(b) // 16 * 16] or b"\x00" * 16)
+
+FAST = hyp_settings(max_examples=40, deadline=None)
+
+
+# ------------------------------------------------------------- decode differential --
+
+def _planes_to_rgba(planes) -> np.ndarray:
+    """Device (4, N, 16) RGBA planes -> oracle (N, 4, 4, 4) pixel layout."""
+    p = np.asarray(planes)
+    return np.moveaxis(p, 0, -1).reshape(-1, 4, 4, 4).astype(np.uint8)
+
+
+@FAST
+@given(bc1_payload)
+def test_fuzz_bc1_decode_device_vs_oracle(data):
+    words = jnp.asarray(np.frombuffer(data, "<u4").reshape(-1, 2))
+    np.testing.assert_array_equal(_planes_to_rgba(ddecode.decode_bc1(words)),
+                                  odecode.decode_bc1(data))
+
+
+@FAST
+@given(bc16_payload)
+def test_fuzz_bc2_decode_device_vs_oracle(data):
+    words = jnp.asarray(np.frombuffer(data, "<u4").reshape(-1, 4))
+    np.testing.assert_array_equal(_planes_to_rgba(ddecode.decode_bc2(words)),
+                                  odecode.decode_bc2(data))
+
+
+@FAST
+@given(bc16_payload)
+def test_fuzz_bc3_decode_device_vs_oracle(data):
+    words = jnp.asarray(np.frombuffer(data, "<u4").reshape(-1, 4))
+    np.testing.assert_array_equal(_planes_to_rgba(ddecode.decode_bc3(words)),
+                                  odecode.decode_bc3(data))
+
+
+# ------------------------------------------------------- normalize: visual equality --
+
+@FAST
+@given(bc1_payload, st.sampled_from(CM.all_values()))
+def test_fuzz_bc1_normalize(data, mode):
+    normalized = onorm.normalize_blocks_bc1(data, mode)
+    np.testing.assert_array_equal(odecode.decode_bc1(normalized),
+                                  odecode.decode_bc1(data))
+
+
+@FAST
+@given(bc16_payload, st.sampled_from(CM.all_values()))
+def test_fuzz_bc2_normalize(data, mode):
+    normalized = onorm.normalize_blocks_bc2(data, mode)
+    np.testing.assert_array_equal(odecode.decode_bc2(normalized),
+                                  odecode.decode_bc2(data))
+
+
+@FAST
+@given(bc16_payload, st.sampled_from(AM.all_values()),
+       st.sampled_from(CM.all_values()))
+def test_fuzz_bc3_normalize(data, amode, cmode):
+    normalized = onorm.normalize_blocks_bc3(data, amode, cmode)
+    np.testing.assert_array_equal(odecode.decode_bc3(normalized),
+                                  odecode.decode_bc3(data))
+
+
+@hyp_settings(max_examples=15, deadline=None)
+@given(bc1_payload)
+def test_fuzz_bc1_normalize_all_modes(data):
+    for mode, normalized in onorm.normalize_blocks_all_modes_bc1(data).items():
+        np.testing.assert_array_equal(odecode.decode_bc1(normalized),
+                                      odecode.decode_bc1(data))
+
+
+@hyp_settings(max_examples=10, deadline=None)
+@given(bc16_payload)
+def test_fuzz_bc2_bc3_normalize_all_modes(data):
+    for mode, normalized in onorm.normalize_blocks_all_modes_bc2(data).items():
+        np.testing.assert_array_equal(odecode.decode_bc2(normalized),
+                                      odecode.decode_bc2(data))
+    for (am, cm), normalized in onorm.normalize_blocks_all_modes_bc3(data).items():
+        np.testing.assert_array_equal(odecode.decode_bc3(normalized),
+                                      odecode.decode_bc3(data))
+
+
+@FAST
+@given(bc1_payload, st.sampled_from(CM.all_values()))
+def test_fuzz_bc1_normalize_in_place_split(data, mode):
+    colors, indices = obc1.split_blocks(data)
+    colors, indices = colors.copy(), indices.copy()
+    onorm.normalize_split_blocks_in_place_bc1(colors, indices, mode)
+    assert obc1.interleave_blocks(colors, indices) == \
+        onorm.normalize_blocks_bc1(data, mode)
+
+
+@FAST
+@given(bc16_payload, st.sampled_from(CM.all_values()))
+def test_fuzz_bc2_normalize_in_place_split(data, mode):
+    alpha, colors, indices = (a.copy() for a in obc2.split_blocks(data))
+    onorm.normalize_split_blocks_in_place_bc2(alpha, colors, indices, mode)
+    assert obc2.interleave_blocks(alpha, colors, indices) == \
+        onorm.normalize_blocks_bc2(data, mode)
+
+
+@FAST
+@given(bc16_payload, st.sampled_from(AM.all_values()),
+       st.sampled_from(CM.all_values()))
+def test_fuzz_bc3_normalize_in_place_split(data, amode, cmode):
+    ep, ai, col, ci = (a.copy() for a in obc3.split_blocks(data))
+    onorm.normalize_split_blocks_in_place_bc3(ep, ai, col, ci, amode, cmode)
+    assert obc3.interleave_blocks(ep, ai, col, ci) == \
+        onorm.normalize_blocks_bc3(data, amode, cmode)
+
+
+# -------------------------------------------------------------- roundtrip inverses --
+
+@FAST
+@given(bc1_payload, st.integers(0, 3), st.booleans())
+def test_fuzz_bc1_roundtrip(data, variant, split):
+    s = Bc1TransformSettings(variant, split)
+    assert obc1.untransform(obc1.transform(data, s), s) == data
+
+
+@FAST
+@given(bc16_payload, st.integers(0, 3), st.booleans())
+def test_fuzz_bc2_roundtrip(data, variant, split):
+    s = Bc2TransformSettings(variant, split)
+    assert obc2.untransform(obc2.transform(data, s), s) == data
+
+
+@FAST
+@given(bc16_payload, st.integers(0, 3), st.booleans(), st.booleans())
+def test_fuzz_bc3_roundtrip(data, variant, sa, sc):
+    s = Bc3TransformSettings(variant, sa, sc)
+    assert obc3.untransform(obc3.transform(data, s), s) == data
