@@ -111,17 +111,25 @@ def cmd_compression_stats(args):
 
 
 def cmd_benchmark(args):
-    """Decompress+untransform timing vs plain decompress (``benchmark.rs:31-120``)."""
+    """Decompress+untransform timing vs plain decompress (``benchmark.rs:31-120``).
+
+    Compressed blobs persist in the CompressedDataCache (the analog of the
+    reference's ``compressed_data_cache.rs``), so reruns skip recompression."""
+    from ..utils.cache import CompressedDataCache
+
     fmt, settings_cls, ops, _, _ = _FMT[args.format]
     est = ZstdEstimation(args.level)
     settings = settings_cls()
+    blob_cache = CompressedDataCache()
     rows = []
     for f, payload in _payloads(Path(args.input), fmt):
         if not payload:
             continue
         transformed = ops.transform(payload, settings)
-        blob_plain = est.compress(payload)
-        blob_t = est.compress(transformed)
+        blob_plain = blob_cache.get_or_compute(payload, args.level, "zstd",
+                                               lambda: est.compress(payload))
+        blob_t = blob_cache.get_or_compute(transformed, args.level, "zstd",
+                                           lambda: est.compress(transformed))
         # warmup (transformed may differ in size from the original: BC7 mode stream)
         for _ in range(args.warmup):
             est.decompress(blob_plain, len(payload))

@@ -28,8 +28,11 @@ from .base import SizeEstimation
 
 # Backward offsets probed for gram matches: dense short range catches
 # RLE/neighbor-block redundancy; the geometric tail catches periodic structure
-# (stream strides, mip rows).
-DEFAULT_OFFSETS = (1, 2, 3, 4, 6, 8, 12, 16, 32, 64, 256, 1024, 4096)
+# (stream strides, mip rows). Densified in round 2 after a corpus rank-quality
+# study (scripts/ltu_tune.py): selection efficiency 99.3 -> 99.6% (BC1) /
+# 99.5 -> 99.7% (BC3), exact-pick 33 -> 47% / 32 -> 53%.
+DEFAULT_OFFSETS = (1, 2, 3, 4, 5, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 256,
+                   512, 1024, 2048, 4096)
 
 
 @partial(jax.jit, static_argnames=("offsets",))

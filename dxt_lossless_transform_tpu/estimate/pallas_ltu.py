@@ -2,10 +2,14 @@
 
 The XLA formulation (:func:`.ltu._coverage_scores`) materializes per-offset equality
 arrays in HBM (~10 GB of traffic for a 128 MiB search); this kernel keeps the whole
-working set in VMEM: each grid step loads one tile plus its neighbours (previous tile
-= halo for backward offsets up to 4096; next tile = halo for the 2-byte gram
-lookahead), computes byte equalities for every offset with roll-composed flat shifts,
-ORs the 3-gram matches, and accumulates one partial count per candidate row.
+working set in VMEM. Each grid step DMAs exactly ONE new tile: a sliding window in
+VMEM scratch holds the previous two tiles (the backward-offset halo, up to 4096
+bytes) while the incoming tile provides the 2-byte gram lookahead, so HBM reads are
+1x the data (the round-1 version re-fetched prev/cur/next per step = 3x).
+
+Per tile: byte equalities for every offset with roll-composed flat shifts, 3-gram
+matches ORed, one partial count accumulated per candidate row. ``valid_len`` is a
+scalar or a per-row array (the flattened batch x candidates corpus grid).
 
 Semantics are bit-identical to the XLA/numpy/C++ twins (differential-tested).
 """
@@ -44,41 +48,69 @@ def _flat_shift_left(v, s: int):
 
 
 def _make_kernel(offsets, grid_j):
-    def kernel(valid_ref, cur_ref, prev_ref, next_ref, out_ref, acc_ref):
-        j = pl.program_id(1)
-        row_valid = valid_ref[pl.program_id(0)]
-        both = jnp.concatenate(
-            [prev_ref[0], cur_ref[0], next_ref[0]], axis=0).astype(jnp.int32)
-        # Mosaic rotates are 32-bit only, so build the 3-byte grams as int32 lanes
-        # once (two flat shifts) and compare whole grams per offset (one shift each).
-        g = (both | (_flat_shift_left(both, 1) << 8)
-             | (_flat_shift_left(both, 2) << 16))
+    rows_per_tile = ROWS
 
-        # global flat byte position of every element of `both`
-        local = (lax.broadcasted_iota(jnp.int32, both.shape, 0) * W
-                 + lax.broadcasted_iota(jnp.int32, both.shape, 1))
-        pos = (j - 1) * SPAN + local
-        in_cur = (local >= SPAN) & (local < 2 * SPAN)
-
-        covered = jnp.zeros(both.shape, jnp.int32)  # 0/1; bool vectors trip Mosaic
+    def _covered(g2, guard_first: bool):
+        """Coverage of the CUR tile (g2 rows [ROWS:2*ROWS)) against backward
+        offsets; all shift work happens on the minimal row window per offset."""
+        g_cur = g2[rows_per_tile:2 * rows_per_tile]
+        covered = jnp.zeros(g_cur.shape, jnp.int32)
+        if guard_first:
+            local = (lax.broadcasted_iota(jnp.int32, g_cur.shape, 0) * W
+                     + lax.broadcasted_iota(jnp.int32, g_cur.shape, 1))
         for k in offsets:
             if k % W == 0:
-                shifted = pltpu.roll(g, k // W, axis=0)
+                # pure static row slice, no vector shuffles at all
+                r = rows_per_tile - k // W
+                shifted_cur = g2[r:r + rows_per_tile]
             else:
-                shifted = _flat_shift_right(g, k % W)
-                if k >= W:
-                    shifted = pltpu.roll(shifted, k // W, axis=0)
-            covered |= ((g == shifted) & (pos >= k)).astype(jnp.int32)
-        valid = (in_cur & (pos < row_valid - 2)).astype(jnp.int32)
-        partial_count = jnp.sum((covered * valid).astype(jnp.float32))
+                # minimal window: cur's backshift-k sources live in rows
+                # [ROWS-1, 2*ROWS); one lane roll + row roll on ROWS+1 rows
+                src = g2[rows_per_tile - 1:2 * rows_per_tile]
+                shifted_cur = _flat_shift_right(src, k)[1:]
+            eq = (g_cur == shifted_cur)
+            if guard_first:
+                eq &= local >= k  # tile 0 only: no matches before stream start
+            covered |= eq.astype(jnp.int32)
+        return covered
+
+    def kernel(valid_ref, in_ref, out_ref, prev_ref, cur_ref, acc_ref):
+        # Grid step j delivers tile min(j, grid_j-1); tile j-1 is computed once its
+        # 2-byte gram lookahead (tile j's first row) is resident. Scratch rolls the
+        # [prev, cur] window forward; each tile is DMA'd from HBM exactly once.
+        j = pl.program_id(1)
+        row_valid = valid_ref[pl.program_id(0)]
+        incoming = in_ref[0]
 
         @pl.when(j == 0)
         def _():
+            # Window priming. prev's content never affects tile 0 (the guarded
+            # first-tile path kills matches reaching before the stream).
+            prev_ref[...] = incoming
+            cur_ref[...] = incoming
             acc_ref[0] = 0.0
 
-        acc_ref[0] += partial_count
+        @pl.when(j > 0)
+        def _():
+            # grams over [prev, cur, first row of next]: the extra row feeds the
+            # lookahead of cur's last two byte positions and is then discarded
+            win = jnp.concatenate(
+                [prev_ref[...], cur_ref[...], incoming[:1]], axis=0).astype(jnp.int32)
+            g2 = (win | (_flat_shift_left(win, 1) << 8)
+                  | (_flat_shift_left(win, 2) << 16))[:2 * rows_per_tile]
 
-        @pl.when(j == grid_j - 1)
+            covered = lax.cond(j == 1, lambda: _covered(g2, True),
+                               lambda: _covered(g2, False))
+            local = (lax.broadcasted_iota(jnp.int32, covered.shape, 0) * W
+                     + lax.broadcasted_iota(jnp.int32, covered.shape, 1))
+            pos = (j - 1) * SPAN + local
+            valid = (pos < row_valid - 2).astype(jnp.int32)
+            acc_ref[0] += jnp.sum((covered * valid).astype(jnp.float32))
+
+            prev_ref[...] = cur_ref[...]
+            cur_ref[...] = incoming
+
+        @pl.when(j == grid_j)
         def _():
             out_ref[...] = jnp.full(out_ref.shape, acc_ref[0], jnp.float32)
 
@@ -96,28 +128,28 @@ def coverage_scores_pallas(regions, valid_len, offsets: tuple):
     if length % SPAN:
         raise ValueError(f"region length {length} must be a multiple of {SPAN}")
     assert max(offsets) <= SPAN, "prev-tile halo covers offsets up to SPAN only"
+    assert all(k < W or k % W == 0 for k in offsets), \
+        "offsets >= one lane row must be row-aligned (static row-slice path)"
     grid_j = length // SPAN
     tiled = regions.reshape(n_rows, grid_j * ROWS, W)
     valid_rows = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32).reshape(-1),
                                   (n_rows,))
 
-    spec_cur = pl.BlockSpec((1, ROWS, W), lambda c, j: (c, j, 0),
-                            memory_space=pltpu.VMEM)
-    spec_prev = pl.BlockSpec((1, ROWS, W),
-                             lambda c, j: (c, jnp.maximum(j - 1, 0), 0),
-                             memory_space=pltpu.VMEM)
-    spec_next = pl.BlockSpec((1, ROWS, W),
-                             lambda c, j: (c, jnp.minimum(j + 1, grid_j - 1), 0),
-                             memory_space=pltpu.VMEM)
+    # step j delivers tile min(j, grid_j-1); the last step (j == grid_j) re-reads
+    # the final tile, matching the old clamped-next semantics for its lookahead
+    spec_in = pl.BlockSpec((1, ROWS, W),
+                           lambda c, j: (c, jnp.minimum(j, grid_j - 1), 0),
+                           memory_space=pltpu.VMEM)
 
     counts = pl.pallas_call(
         _make_kernel(offsets, grid_j),
-        grid=(n_rows, grid_j),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec_cur, spec_prev,
-                  spec_next],
+        grid=(n_rows, grid_j + 1),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec_in],
         out_specs=pl.BlockSpec((1, 8, 128), lambda c, j: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, 8, 128), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-    )(valid_rows, tiled, tiled, tiled)
+        scratch_shapes=[pltpu.VMEM((ROWS, W), jnp.uint8),
+                        pltpu.VMEM((ROWS, W), jnp.uint8),
+                        pltpu.SMEM((1,), jnp.float32)],
+    )(valid_rows, tiled)
     return valid_rows.astype(jnp.float32) - counts[:, 0, 0]

@@ -398,7 +398,8 @@ extern "C" int dlt_zstd_estimate_batch(const uint8_t* const* ptrs, const size_t*
 // ------------------------------------------------- sampled-offset LZ coverage -------
 // Twin of estimate/ltu.py::_coverage_score_np -- must stay bit-identical.
 
-static const int kOffsets[] = {1, 2, 3, 4, 6, 8, 12, 16, 32, 64, 256, 1024, 4096};
+static const int kOffsets[] = {1, 2, 3, 4, 5, 6, 8, 12, 16, 24, 32, 48, 64, 96,
+                               128, 256, 512, 1024, 2048, 4096};
 
 extern "C" size_t dlt_ltu_estimate(const uint8_t* data, size_t len) {
     if (len < 3) return len;

@@ -49,6 +49,22 @@ def encode_bc1(rgb: np.ndarray) -> bytes:
     return words.tobytes()
 
 
+def encode_bc2(rgba: np.ndarray) -> bytes:
+    """Encode an (H, W, 4) uint8 image to BC2 bytes (explicit 4-bit alpha)."""
+    color_part = np.frombuffer(encode_bc1(rgba[..., :3]), "<u4").reshape(-1, 2)
+    ab = _blockify(rgba[..., 3:4]).astype(np.uint64)[:, :, 0] >> 4  # (N, 16) 4-bit
+    n = len(ab)
+    field = np.zeros(n, np.uint64)
+    for k in range(16):
+        field |= ab[:, k] << np.uint64(4 * k)
+    words = np.empty((n, 4), "<u4")
+    words[:, 0] = (field & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    words[:, 1] = (field >> np.uint64(32)).astype(np.uint32)
+    words[:, 2] = color_part[:, 0]
+    words[:, 3] = color_part[:, 1]
+    return words.tobytes()
+
+
 def encode_bc3(rgba: np.ndarray) -> bytes:
     """Encode an (H, W, 4) uint8 image to BC3 bytes (range-fit alpha + color)."""
     color_part = np.frombuffer(encode_bc1(rgba[..., :3]), "<u4").reshape(-1, 2)
