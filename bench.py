@@ -36,7 +36,9 @@ def _sync(x):
     read back a scalar that depends on the data."""
     import jax.numpy as jnp
 
-    leaf = x[0] if isinstance(x, (tuple, list)) else x
+    leaf = x
+    while isinstance(leaf, (tuple, list)):
+        leaf = leaf[0]
     return float(jnp.max(leaf.astype(jnp.float32)))
 
 
@@ -150,27 +152,32 @@ def main():
         t_rt = _bench(chains[name], words, iters=5)
         results[name] = {"roundtrip_sustained_GBps": nbytes * CHAIN_K / t_rt / 1e9}
 
-    # BC7 mode-aware kernel (framework extension): sort-gather + byte-plane relayout
+    # BC7 mode-aware kernel (framework extension): chunk-local mode sort (lax.sort,
+    # the only viable TPU permutation primitive: row gather measured 0.29 GB/s,
+    # one-hot MXU permutation costs the same as the sort) + Mosaic byte-plane
+    # kernels. Both real auto-search candidates are reported.
     from dxt_lossless_transform_tpu.ops import bc7 as ops_bc7
 
     _stage("kernels: bc7")
     nblk = nbytes // 16
     words7 = jnp.asarray(rng.integers(0, 2**32, (nblk, 4), dtype=np.uint32))
-    fwd7 = lambda w: ops_bc7.transform_device(w, nblk, True, True)
-    planes, stream = fwd7(words7)
-    sraw = np.asarray(stream)  # unpack nibbles (low first) on host, as untransform does
-    m_np = np.empty(2 * len(sraw), np.uint8)
-    m_np[0::2] = sraw & 0x0F
-    m_np[1::2] = sraw >> 4
-    modes7 = jnp.asarray(m_np)
-    inv7 = lambda p: ops_bc7.untransform_device(p, modes7, nblk, True, True)
-    t_fwd = _bench(fwd7, words7)
-    t_inv = _bench(inv7, planes)
-    results["bc7"] = {
-        "transform_GBps": nbytes / t_fwd / 1e9,
-        "untransform_GBps": nbytes / t_inv / 1e9,
-        "roundtrip_GBps": nbytes / (t_fwd + t_inv) / 1e9,
-    }
+    results["bc7"] = {}
+    for label, sort7 in (("sort_planes", True), ("planes_only", False)):
+        fwd7 = lambda w: ops_bc7.transform_device(w, nblk, sort7, True)
+        planes, stream = fwd7(words7)
+        sraw = np.asarray(stream)  # unpack nibbles (low first), as untransform does
+        m_np = np.empty(2 * len(sraw), np.uint8)
+        m_np[0::2] = sraw & 0x0F
+        m_np[1::2] = sraw >> 4
+        modes7 = jnp.asarray(m_np)
+        inv7 = lambda p: ops_bc7.untransform_device(p, modes7, nblk, sort7, True)
+        t_fwd = _bench(fwd7, words7)
+        t_inv = _bench(inv7, planes)
+        results["bc7"][label] = {
+            "transform_GBps": nbytes / t_fwd / 1e9,
+            "untransform_GBps": nbytes / t_inv / 1e9,
+            "roundtrip_GBps": nbytes / (t_fwd + t_inv) / 1e9,
+        }
     details["kernels"] = results
 
     # Auto-search throughput: batched candidate search + estimator + winning

@@ -140,11 +140,16 @@ def _cols_from_blocks(blocks):
     return jax.lax.bitcast_convert_type(blocks.reshape(-1, 4, 4), jnp.uint32).T
 
 
-@partial(jax.jit, static_argnames=("sort", "planes", "fmt"))
-def _transform_xla(words, n_valid, sort: bool, planes: bool, fmt: str = "bc7"):
-    """uint32[Np, 4] block words (+ valid count) -> (payload 2D, packed mode stream).
+@partial(jax.jit, static_argnames=("sort", "planes", "fmt", "use_pallas"))
+def _transform_xla(words, n_valid, sort: bool, planes: bool, fmt: str = "bc7",
+                   use_pallas: bool = False):
+    """uint32[Np, 4] block words (+ valid count) -> (payload, packed mode stream).
 
-    Padding rows sort to the end; callers slice the first n columns/rows."""
+    Padding rows sort to the end; callers slice the first n columns/rows.
+    With ``use_pallas`` (single device, outside vmap) the planes payload comes
+    back as a tuple of 16 plane-word streams (uint32[Np/4] each) straight from
+    the Mosaic split kernel -- no (16, N) uint8 relayout pass on device; the
+    host serializes each stream like the BC1-BC5 stream tuples."""
     cols = words.T
     if sort:
         modes = _modes_from_words(cols[0], n_valid, fmt)
@@ -155,16 +160,34 @@ def _transform_xla(words, n_valid, sort: bool, planes: bool, fmt: str = "bc7"):
         cols = jnp.stack([c.reshape(-1) for c in sorted_[1:]])
     else:
         stream = jnp.zeros((words.shape[0] // 2,), jnp.uint8)
-    return (_planes_from_cols(cols) if planes else _blocks_from_cols(cols)), stream
+    if planes and use_pallas:
+        from .pallas.planes import split_planes_tpu
+
+        return split_planes_tpu(cols), stream
+    if planes:
+        payload = _planes_from_cols(cols)
+    else:
+        payload = _blocks_from_cols(cols)
+    return payload, stream
 
 
-@partial(jax.jit, static_argnames=("sort", "planes"))
-def _untransform_xla(payload, modes, n_valid, sort: bool, planes: bool):
+@partial(jax.jit, static_argnames=("sort", "planes", "use_pallas"))
+def _untransform_xla(payload, modes, n_valid, sort: bool, planes: bool,
+                     use_pallas: bool = False):
     """Transformed payload (+ original-order modes) -> uint8[Np, 16] original blocks.
 
+    ``payload``: (16, Np) uint8 planes / (Np, 16) uint8 blocks -- or, with
+    ``use_pallas``, a tuple of 16 plane-word streams (uint32[Np/4]).
     ``modes`` must put padding entries at >= n_valid (any value; forced to the max
     id 15 here, which sorts after every real id in both formats)."""
-    cols = _cols_from_planes(payload) if planes else _cols_from_blocks(payload)
+    if planes and use_pallas:
+        from .pallas.planes import merge_planes_tpu
+
+        cols = merge_planes_tpu(tuple(payload))
+    elif planes:
+        cols = _cols_from_planes(payload)
+    else:
+        cols = _cols_from_blocks(payload)
     if sort:
         idx = jnp.arange(cols.shape[1], dtype=jnp.uint32)
         m = jnp.where(idx < n_valid, modes.astype(jnp.uint32), jnp.uint32(15))
@@ -180,17 +203,40 @@ def _untransform_xla(payload, modes, n_valid, sort: bool, planes: bool):
     return _blocks_from_cols(cols)
 
 
+def _planes_pallas_ok(n_padded: int) -> bool:
+    """Route plane relayout through the Mosaic kernels only for full-size tiles:
+    skinny tiles (transposed lane dim < MAX_ROWS) compile pathologically slowly on
+    the remote Mosaic compiler and small payloads gain nothing."""
+    from .pallas.planes import W_IN
+    from .pallas.shuffle import MAX_ROWS, pallas_available
+
+    return pallas_available() and n_padded % (MAX_ROWS * W_IN) == 0
+
+
 def transform_device(words, n_valid, sort: bool, planes: bool, fmt: str = "bc7"):
     """Device entry: uint32[Np, 4] little-endian block words, ``n_valid`` real blocks.
 
     Returns ``(payload2d, mode_stream)``: (16, Np) plane-major or (Np, 16) block-major
     uint8 plus the packed uint8[Np/2] mode stream; callers slice off padding."""
-    return _transform_xla(words, jnp.uint32(n_valid), sort, planes, fmt)
+    return _transform_xla(words, jnp.uint32(n_valid), sort, planes, fmt,
+                          use_pallas=_planes_pallas_ok(words.shape[0]))
 
 
 def untransform_device(payload2d, modes, n_valid, sort: bool, planes: bool):
-    """Inverse of :func:`transform_device` given the unpacked original-order modes."""
-    return _untransform_xla(payload2d, modes, jnp.uint32(n_valid), sort, planes)
+    """Inverse of :func:`transform_device` given the unpacked original-order modes.
+
+    ``payload2d``: the 2D uint8 payload, or a tuple of 16 plane-word streams
+    (what :func:`transform_device` returned on the Mosaic path)."""
+    if isinstance(payload2d, (tuple, list)):
+        payload2d = tuple(payload2d)
+        n_padded = payload2d[0].shape[0] * 4
+        use_pallas = _planes_pallas_ok(n_padded)
+        assert use_pallas, "plane-word tuples require the Mosaic path"
+    else:
+        n_padded = payload2d.shape[1] if planes else payload2d.shape[0]
+        use_pallas = False
+    return _untransform_xla(payload2d, modes, jnp.uint32(n_valid), sort, planes,
+                            use_pallas=use_pallas)
 
 
 # --- host wrappers (bytes -> bytes, bit-exact; shared by BC7 and BC6H) ------------------
@@ -218,6 +264,9 @@ def _transform_bytes(data, settings, fmt: str, oracle_mod, native_fn) -> bytes:
     prefix = b""
     if settings.sort_by_mode:
         prefix = np.asarray(stream).tobytes()[:oracle_mod.mode_stream_len(n)]
+    if isinstance(out2d, tuple):  # Mosaic plane-word streams (planes layout)
+        return prefix + b"".join(
+            np.asarray(p).astype("<u4").tobytes()[:n] for p in out2d)
     out2d = np.asarray(out2d)
     body = out2d[:, :n] if settings.split_byte_planes else out2d[:n]
     return prefix + np.ascontiguousarray(body).tobytes()
@@ -239,7 +288,12 @@ def _untransform_bytes(data, settings, fmt: str, oracle_mod, native_fn) -> bytes
         modes = lanes.pad_rows(oracle_mod.unpack_mode_stream(data[:msl], n), n_pad)
     else:
         modes = np.zeros(n_pad, np.uint8)
-    if settings.split_byte_planes:
+    if settings.split_byte_planes and _planes_pallas_ok(n_pad):
+        # feed the Mosaic merge kernel plane-word streams directly
+        by_plane = payload.reshape(BLOCK_SIZE, n)
+        pl = tuple(lanes.pad_rows(by_plane[p], n_pad).view("<u4")
+                   for p in range(BLOCK_SIZE))
+    elif settings.split_byte_planes:
         pl = np.ascontiguousarray(
             lanes.pad_rows(payload.reshape(BLOCK_SIZE, n).T, n_pad).T)
     else:

@@ -1,0 +1,92 @@
+"""Pallas byte-plane split/merge kernels for the BC7/BC6H mode-sort transform.
+
+The byte-plane relayout is a stride-16 byte de-interleave; like the BC1-BC5
+kernels this runs in transposed space (one transpose per array side, block-phase
+packing as sublane reshapes). Measured ~24/25 GB/s single-dispatch vs ~9.8 GB/s
+for the XLA shift/mask formulation on v5e.
+
+Layout contract (see :mod:`...oracle.bc7`): plane p's byte stream holds byte p of
+every block in payload order; as u32 words, word t packs blocks 4t..4t+3.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .shuffle import MAX_ROWS, _phases, _vspec, _weave
+
+_U32 = jnp.uint32
+W_IN = 512   # lanes per column tile: 4 column inputs together match the BC1-BC5
+             # kernels' per-tile footprint (full-width column tiles OOM'd VMEM)
+
+
+def _grid_rows_cols(n: int) -> tuple:
+    if n % (MAX_ROWS * W_IN):
+        raise ValueError(f"plane kernels need N % {MAX_ROWS * W_IN} == 0 (got {n})")
+    return n // (MAX_ROWS * W_IN), MAX_ROWS
+
+
+def _split_kernel(rows: int):
+    def kernel(w0_ref, w1_ref, w2_ref, w3_ref, *out_refs):
+        wt = [r[:].astype(_U32).T for r in (w0_ref, w1_ref, w2_ref, w3_ref)]
+        for p in range(16):
+            byte = (wt[p // 4] >> _U32(8 * (p % 4))) & _U32(0xFF)  # (W_IN, R)
+            q = _phases(byte, 4)  # block phases mod 4 within the plane stream
+            word = (q[0] | (q[1] << _U32(8)) | (q[2] << _U32(16))
+                    | (q[3] << _U32(24)))
+            out_refs[p][:] = word.T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def split_planes_tpu(cols, interpret: bool = False):
+    """uint32[4, N] block word columns -> 16 plane streams, each uint32[N/4]."""
+    n = cols.shape[1]
+    grid, rows = _grid_rows_cols(n)
+    res = pl.pallas_call(
+        _split_kernel(rows),
+        grid=(grid,),
+        in_specs=[_vspec(W_IN, rows)] * 4,
+        out_specs=[_vspec(W_IN // 4, rows)] * 16,
+        out_shape=[jax.ShapeDtypeStruct((grid * rows, W_IN // 4), jnp.uint32)
+                   for _ in range(16)],
+        interpret=interpret,
+    )(*(cols[w].reshape(grid * rows, W_IN) for w in range(4)))
+    return tuple(r.reshape(-1) for r in res)
+
+
+def _merge_kernel(rows: int):
+    def kernel(*refs):
+        ins, out_refs = refs[:16], refs[16:]
+        planes = [r[:].astype(_U32).T for r in ins]  # each (W_IN/4, R)
+        for w in range(4):
+            qs = []
+            for j in range(4):  # block phase j mod 4
+                b = [(planes[4 * w + k] >> _U32(8 * j)) & _U32(0xFF)
+                     for k in range(4)]
+                qs.append(b[0] | (b[1] << _U32(8)) | (b[2] << _U32(16))
+                          | (b[3] << _U32(24)))
+            out_refs[w][:] = _weave(qs).T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def merge_planes_tpu(planes, interpret: bool = False):
+    """Inverse of :func:`split_planes_tpu`: 16x uint32[N/4] -> uint32[4, N]."""
+    n = planes[0].shape[0] * 4
+    grid, rows = _grid_rows_cols(n)
+    res = pl.pallas_call(
+        _merge_kernel(rows),
+        grid=(grid,),
+        in_specs=[_vspec(W_IN // 4, rows)] * 16,
+        out_specs=[_vspec(W_IN, rows)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((grid * rows, W_IN), jnp.uint32)
+                   for _ in range(4)],
+        interpret=interpret,
+    )(*(p.reshape(grid * rows, W_IN // 4) for p in planes))
+    return jnp.stack([r.reshape(-1) for r in res])

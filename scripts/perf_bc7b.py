@@ -111,7 +111,7 @@ def unplane_kernel(*refs):
 @jax.jit
 def pallas_unplanes(planes16):
     rows = 128
-    grid = planes16[0].shape[0] // (rows * WIDTH // 16)
+    grid = planes16[0].shape[0] // rows
     out = pl.pallas_call(
         unplane_kernel, grid=(grid,),
         in_specs=[_vspec(WIDTH // 16, rows) for _ in range(16)],

@@ -146,3 +146,27 @@ def test_auto_prefers_transform_on_structured():
 def test_candidate_set_includes_identity_and_full():
     assert Bc7TransformSettings(False, False) in BC7_FAST_CANDIDATES
     assert Bc7TransformSettings(True, True) == BC7_FAST_CANDIDATES[-1]
+
+
+def test_pallas_plane_kernels_interpret():
+    """Mosaic plane split/merge (interpret mode) vs the XLA shift/mask path."""
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.ops.bc7 import _planes_from_cols
+    from dxt_lossless_transform_tpu.ops.pallas.planes import (
+        merge_planes_tpu, split_planes_tpu,
+    )
+
+    from dxt_lossless_transform_tpu.ops.pallas.planes import W_IN
+    from dxt_lossless_transform_tpu.ops.pallas.shuffle import MAX_ROWS
+
+    rng = np.random.default_rng(11)
+    n = MAX_ROWS * W_IN  # one tile per column
+    cols = jnp.asarray(rng.integers(0, 2**32, (4, n), dtype=np.uint32))
+    planes = split_planes_tpu(cols, interpret=True)
+    ref = np.asarray(_planes_from_cols(cols))  # (16, N) u8
+    for p in range(16):
+        got = np.asarray(planes[p]).astype("<u4").tobytes()
+        assert got == ref[p].tobytes(), p
+    back = merge_planes_tpu(tuple(planes), interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(cols))
