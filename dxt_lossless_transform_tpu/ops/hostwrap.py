@@ -32,7 +32,10 @@ def _pad_words(buf: bytes, n_words: int) -> np.ndarray:
 # Chunks kept in flight before the host blocks on the oldest result. JAX dispatch
 # is async, so launching chunk N+1 (and its host->device transfer) before reading
 # chunk N's output overlaps host prep + PCIe/relay transfer with device compute
-# (SURVEY S7 "donation/double-buffering for host<->device overlap").
+# (SURVEY S7 "donation/double-buffering for host<->device overlap"). Measured on a
+# 512 MiB BC1 file (32 chunks): depth 2 is 1.58x depth 1 end-to-end; depth 3 adds
+# nothing (this environment's relay moves bytes at ~50 MB/s, so transfers dominate
+# -- on a real PCIe-attached host the same overlap hides the device compute).
 PIPELINE_DEPTH = 2
 
 

@@ -16,7 +16,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .shuffle import MAX_ROWS, _phases, _vspec, _weave
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..oracle import rgb as _oracle
