@@ -33,12 +33,9 @@ def untransform(data,
 def transform_bc6h_auto(data, estimator, use_all_decorrelation_modes: bool = False,
                         candidates=None):
     """Pick the mode-layout whose full transformed stream the estimator ranks
-    smallest; identity is always a candidate."""
+    smallest; identity is always a candidate. Large payloads with the LTU
+    estimator run the whole search on device (see ``bc7._transform_auto``)."""
     from ..settings import BC6H_FAST_CANDIDATES
 
     cand = tuple(candidates) if candidates is not None else BC6H_FAST_CANDIDATES
-    if len(data) == 0:
-        return b"", cand[-1]
-    rows = [transform(data, s) for s in cand]
-    best = int(np.argmin(estimator.estimate_batch(rows)))
-    return rows[best], cand[best]
+    return _machinery._transform_auto(data, estimator, cand, "bc6h", transform)

@@ -315,6 +315,97 @@ def untransform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -
 
 # --- auto-search ------------------------------------------------------------------------
 
+def _assemble_stream_row(words, n_valid, row_len: int, sort: bool, planes: bool,
+                         fmt: str, use_pallas: bool):
+    """One candidate's full on-disk byte stream as a uint8[row_len] device row.
+
+    Forward-order dynamic updates at block-count offsets: each stream's write
+    overwrites the previous stream's padding tail, so the first ``valid_len``
+    bytes are exactly the on-disk stream (the row tail past it is scoring-masked).
+    """
+    payload, stream = _transform_xla.__wrapped__(words, n_valid, sort, planes, fmt,
+                                                 use_pallas)
+    row = jnp.zeros((row_len,), jnp.uint8)
+    pos = jnp.int32(0)
+    if sort:
+        row = jax.lax.dynamic_update_slice(row, stream, (pos,))
+        pos = ((n_valid.astype(jnp.int32) + 1) // 2)
+    if planes:
+        for p, plane_words in enumerate(payload):
+            plane_bytes = jax.lax.bitcast_convert_type(plane_words,
+                                                       jnp.uint8).reshape(-1)
+            row = jax.lax.dynamic_update_slice(
+                row, plane_bytes, (pos + p * n_valid.astype(jnp.int32),))
+    else:
+        row = jax.lax.dynamic_update_slice(row, payload.reshape(-1), (pos,))
+    valid_len = pos + 16 * n_valid.astype(jnp.int32)
+    return row, valid_len
+
+
+@partial(jax.jit, static_argnames=("candidates", "offsets", "row_len", "fmt",
+                                   "use_pallas"))
+def _auto_device(words, n_valid, candidates, offsets, row_len: int, fmt: str,
+                 use_pallas: bool):
+    """All candidate streams + coverage scores in ONE device call; the host pulls
+    only the argmin winner's row (4x less device->host traffic than transforming
+    each candidate through the host wrapper)."""
+    from ..estimate.ltu import _coverage_scores
+
+    rows, valids = [], []
+    for sort, planes in candidates:
+        r, v = _assemble_stream_row(words, n_valid, row_len, sort, planes, fmt,
+                                    use_pallas and planes)
+        rows.append(r)
+        valids.append(v)
+    regions = jnp.stack(rows)
+    valid_arr = jnp.stack(valids)
+    if use_pallas:
+        from ..estimate.pallas_ltu import SPAN, coverage_scores_pallas
+
+        if row_len % SPAN == 0 and max(offsets) <= SPAN:
+            scores = coverage_scores_pallas(regions, valid_arr, offsets)
+        else:
+            scores = jax.vmap(lambda r, v: _coverage_scores(r[None], v, offsets)[0])(
+                regions, valid_arr)
+    else:
+        scores = jax.vmap(lambda r, v: _coverage_scores(r[None], v, offsets)[0])(
+            regions, valid_arr)
+    best = jnp.argmin(scores)
+    return regions[best], valid_arr[best], best
+
+
+def _auto_device_ok(estimator, n: int) -> bool:
+    from ..estimate.ltu import DEFAULT_OFFSETS, LtuEstimation
+
+    return (isinstance(estimator, LtuEstimation)
+            and estimator.offsets == DEFAULT_OFFSETS
+            and 16 * n >= lanes.device_threshold_bytes()
+            and _planes_pallas_ok(lanes.bucket_size(n)))
+
+
+def _transform_auto(data, estimator, candidates, fmt: str, transform_fn):
+    """Shared BC7/BC6H auto-search driver."""
+    cand = tuple(candidates)
+    if len(data) == 0:
+        return b"", cand[-1]
+    n = len(data) // BLOCK_SIZE
+    if _auto_device_ok(estimator, n):
+        from ..estimate.ltu import DEFAULT_OFFSETS
+        from ..estimate.pallas_ltu import SPAN
+
+        words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(n, 4),
+                               lanes.bucket_size(n))
+        n_pad = words.shape[0]
+        row_len = -(-(n_pad // 2 + 16 * n_pad) // SPAN) * SPAN
+        key = tuple((s.sort_by_mode, s.split_byte_planes) for s in cand)
+        row, valid, best = _auto_device(words, jnp.uint32(n), key,
+                                        DEFAULT_OFFSETS, row_len, fmt, True)
+        return np.asarray(row).tobytes()[:int(valid)], cand[int(best)]
+    rows = [transform_fn(data, s) for s in cand]
+    best = int(np.argmin(estimator.estimate_batch(rows)))
+    return rows[best], cand[best]
+
+
 def transform_bc7_auto(data, estimator, use_all_decorrelation_modes: bool = False,
                        candidates=None):
     """Pick the mode-layout whose full transformed stream the estimator ranks smallest.
@@ -323,12 +414,12 @@ def transform_bc7_auto(data, estimator, use_all_decorrelation_modes: bool = Fals
     dependent field layout spans the whole block), so candidates are scored on their
     complete streams. The identity candidate is always in the set, so the chosen
     layout never loses to "no transform" under the estimator's ordering.
+
+    Large payloads with the (default-offsets) LTU estimator run the whole search on
+    device: one upload, all candidate streams + scores computed in one jit, and only
+    the winning stream is pulled back.
     """
     from ..settings import BC7_FAST_CANDIDATES
 
     cand = tuple(candidates) if candidates is not None else BC7_FAST_CANDIDATES
-    if len(data) == 0:
-        return b"", cand[-1]
-    rows = [transform(data, s) for s in cand]
-    best = int(np.argmin(estimator.estimate_batch(rows)))
-    return rows[best], cand[best]
+    return _transform_auto(data, estimator, cand, "bc7", transform)

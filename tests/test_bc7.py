@@ -170,3 +170,33 @@ def test_pallas_plane_kernels_interpret():
         assert got == ref[p].tobytes(), p
     back = merge_planes_tpu(tuple(planes), interpret=True)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(cols))
+
+
+def test_device_auto_stream_assembly_matches_oracle():
+    """_assemble_stream_row builds each candidate's exact on-disk stream (with the
+    row tail masked by valid_len), including ragged n < padded block counts."""
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.ops import lanes
+    from dxt_lossless_transform_tpu.ops.bc7 import _assemble_stream_row
+
+    n = 3000  # ragged: bucket pads to 4096
+    data = _random_blocks(n, seed=13)
+    words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(n, 4),
+                           lanes.bucket_size(n))
+    n_pad = words.shape[0]
+    row_len = n_pad // 2 + 16 * n_pad
+    for s in ALL_SETTINGS:
+        row, valid = _assemble_stream_row(
+            jnp.asarray(words), jnp.uint32(n), row_len, s.sort_by_mode,
+            s.split_byte_planes, "bc7", use_pallas=False)
+        got = np.asarray(row).tobytes()[:int(valid)]
+        assert got == oracle_bc7.transform(data, s), s
+
+
+def test_transform_auto_device_gate_off_on_cpu():
+    """On CPU the device gate stays closed and the host path is used."""
+    from dxt_lossless_transform_tpu.estimate import LtuEstimation
+    from dxt_lossless_transform_tpu.ops.bc7 import _auto_device_ok
+
+    assert _auto_device_ok(LtuEstimation(), 1 << 20) is False
