@@ -167,3 +167,68 @@ def test_fuzz_bc2_roundtrip(data, variant, split):
 def test_fuzz_bc3_roundtrip(data, variant, sa, sc):
     s = Bc3TransformSettings(variant, sa, sc)
     assert obc3.untransform(obc3.transform(data, s), s) == data
+
+
+# ---------------------------- extension formats (BC4/BC5/BC7/BC6H/RGB) ---------------
+
+from dxt_lossless_transform_tpu.oracle import (  # noqa: E402
+    bc4 as obc4, bc6h as obc6h, bc7 as obc7, rgb as orgb,
+)
+from dxt_lossless_transform_tpu.settings import (  # noqa: E402
+    Bc4TransformSettings, Bc5TransformSettings, Bc6hTransformSettings,
+    Bc7TransformSettings, RgbTransformSettings,
+)
+
+bc8_payload = st.binary(min_size=8, max_size=8 * 64).map(
+    lambda b: b[: len(b) // 8 * 8] or b"\x00" * 8)
+
+
+@FAST
+@given(bc8_payload, st.booleans())
+def test_fuzz_bc4_roundtrip(data, split):
+    s = Bc4TransformSettings(split)
+    assert obc4.untransform_bc4(obc4.transform_bc4(data, s), s) == data
+
+
+@FAST
+@given(bc16_payload, st.booleans())
+def test_fuzz_bc5_roundtrip(data, split):
+    s = Bc5TransformSettings(split)
+    assert obc4.untransform_bc5(obc4.transform_bc5(data, s), s) == data
+
+
+@FAST
+@given(bc16_payload, st.booleans(), st.booleans())
+def test_fuzz_bc7_roundtrip(data, sort, planes):
+    s = Bc7TransformSettings(sort, planes)
+    assert obc7.untransform(obc7.transform(data, s), s) == data
+
+
+@FAST
+@given(bc16_payload, st.booleans(), st.booleans())
+def test_fuzz_bc6h_roundtrip(data, sort, planes):
+    s = Bc6hTransformSettings(sort, planes)
+    assert obc6h.untransform(obc6h.transform(data, s), s) == data
+
+
+@FAST
+@given(st.binary(min_size=4, max_size=256),
+       st.sampled_from(["rgba8888", "bgra8888", "bgr888"]),
+       st.booleans(), st.booleans())
+def test_fuzz_rgb_roundtrip(data, layout, dec, split):
+    size = orgb._LAYOUTS[layout][0]
+    data = data[: len(data) // size * size] or b"\x00" * size
+    s = RgbTransformSettings(dec, split)
+    assert orgb.untransform(orgb.transform(data, layout, s), layout, s) == data
+
+
+# ------------------------------------ header embed ------------------------------------
+
+@FAST
+@given(st.integers(0, 3), st.booleans())
+def test_fuzz_bc1_header_roundtrip(variant, split):
+    from dxt_lossless_transform_tpu.formats.embed import TransformHeader
+
+    s = Bc1TransformSettings(variant, split)
+    h2 = TransformHeader.from_bytes(TransformHeader.for_bc1(s).to_bytes())
+    assert h2.bc1_settings() == s
