@@ -36,6 +36,9 @@ def test_two_process_auto_step_matches_single_process():
         env = dict(os.environ)
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
         env["JAX_PLATFORMS"] = "cpu"
+        # Workers are launched by script path, so sys.path in the child gets
+        # scripts/, not the repo root; the package is not pip-installed either.
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         procs = [subprocess.Popen(
             [sys.executable, worker, coordinator, str(num_procs), str(i), out_path],
             cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,

@@ -9,6 +9,7 @@ import pytest
 
 from dxt_lossless_transform_tpu.settings import (
     Bc1TransformSettings, Bc2TransformSettings, Bc3TransformSettings,
+    Bc4TransformSettings, Bc5TransformSettings,
 )
 from dxt_lossless_transform_tpu.utils import parity
 
@@ -29,3 +30,15 @@ def test_bc2_kernel_interpret(settings):
                          ids=str)
 def test_bc3_kernel_interpret(settings):
     parity.check_bc3(settings, n_blocks=1024, interpret=True)
+
+
+@pytest.mark.parametrize("settings", list(Bc4TransformSettings.all_combinations()),
+                         ids=str)
+def test_bc4_kernel_interpret(settings):
+    parity.check_bc4(settings, n_blocks=2048, interpret=True)
+
+
+@pytest.mark.parametrize("settings", list(Bc5TransformSettings.all_combinations()),
+                         ids=str)
+def test_bc5_kernel_interpret(settings):
+    parity.check_bc5(settings, n_blocks=1024, interpret=True)
