@@ -127,9 +127,112 @@ def _process_tree(args, work_fn, verb: str):
     return 1 if failures else 0
 
 
+_BATCH_FORMATS = {"bc1", "bc2", "bc3"}
+
+
+def _transform_batched(args, bundle, handlers):
+    """Batch path (medium preset): group same-format BC1/BC2/BC3 DDS payloads across
+    files into fixed-shape device batches (``parallel.pipeline.BatchProcessor`` --
+    the rayon-work-stealing analog, ``commands/transform/mod.rs:166-187``), keeping
+    per-file error isolation and ordered output. Other formats and non-DDS files take
+    the per-file path."""
+    from ..formats.dds import parse_dds
+    from ..formats.embed import TRANSFORM_HEADER_SIZE, TransformHeader
+    from ..formats.handlers import _DDS_TO_TRANSFORM
+    from ..parallel.pipeline import BatchProcessor
+
+    for_header = {"bc1": TransformHeader.for_bc1, "bc2": TransformHeader.for_bc2,
+                  "bc3": TransformHeader.for_bc3}
+
+    src, dst = Path(args.input), Path(args.output)
+    files = find_all_files(src)
+    if not files:
+        print(f"no files found under {src}", file=sys.stderr)
+        return 1
+    failures, total = [], 0
+    t0 = time.perf_counter()
+
+    def out_path(f: Path) -> Path:
+        rel = f.relative_to(src) if src.is_dir() else f.name
+        out = dst / rel if src.is_dir() else dst
+        out.parent.mkdir(parents=True, exist_ok=True)
+        return out
+
+    # Partition: batchable BC1/BC2/BC3 DDS payloads vs per-file fallback.
+    groups: dict = {fmt: [] for fmt in _BATCH_FORMATS}
+    fallback = []
+    for f in files:
+        try:
+            data = f.read_bytes()
+            info = parse_dds(data)
+            fmt = (_DDS_TO_TRANSFORM.get(info.format).name.lower()
+                   if info is not None and _DDS_TO_TRANSFORM.get(info.format)
+                   else None)
+            if (fmt in _BATCH_FORMATS
+                    and len(data) >= info.data_offset + info.data_length):
+                groups[fmt].append((f, data, info))
+            else:
+                fallback.append(f)
+        except Exception as e:
+            failures.append(f)
+            print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+
+    for fmt, entries in groups.items():
+        if not entries:
+            continue
+        proc = BatchProcessor(fmt, max_batch=getattr(args, "max_batch", 64))
+        payloads = [data[info.data_offset:info.data_offset + info.data_length]
+                    for _, data, info in entries]
+        try:
+            results = proc.process(payloads)
+        except Exception as e:
+            print(f"batch {fmt} failed ({type(e).__name__}: {e}); "
+                  "falling back to per-file", file=sys.stderr)
+            fallback.extend(f for f, _, _ in entries)
+            continue
+        for (f, data, info), res in zip(entries, results):
+            try:
+                header = for_header[fmt](res.settings)
+                start = info.data_offset
+                end = start + info.data_length
+                out = (header.to_bytes() + data[TRANSFORM_HEADER_SIZE:start]
+                       + res.transformed + data[end:])
+                out_path(f).write_bytes(out)
+                total += len(out)
+            except Exception as e:
+                failures.append(f)
+                print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+
+    for f in fallback:
+        try:
+            total += file_io.transform_file_with_multiple_handlers(
+                handlers, bundle, f, out_path(f), f.suffix)
+        except Exception as e:
+            failures.append(f)
+            print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+
+    dt = time.perf_counter() - t0
+    print(f"transformed {len(files) - len(failures)}/{len(files)} files "
+          f"(batched), {format_bytes(total)} in {dt:.2f}s "
+          f"({format_throughput(total, dt)})")
+    return 1 if failures else 0
+
+
 def cmd_transform(args):
     bundle = make_preset_bundle(args.preset)
     handlers = all_handlers()
+
+    batch = getattr(args, "batch", None)
+    if batch is None:
+        batch = args.preset == "medium"  # the batch pipeline scores with the
+        # device LTU candidate search == the medium preset's estimator
+    if batch and args.preset != "medium":
+        print("--batch applies to the medium preset only (the batch pipeline's "
+              "on-device scorer is the LTU estimator); using per-file path",
+              file=sys.stderr)
+        batch = False
+    if batch:
+        return _transform_batched(args, bundle, handlers)
 
     def work(f, out):
         return file_io.transform_file_with_multiple_handlers(
@@ -160,6 +263,11 @@ def main(argv=None):
                      choices=["low", "medium", "optimal", "max"])
     p_t.add_argument("--threads", type=int, default=os.cpu_count() or 1,
                      help="host worker threads (device work serializes regardless)")
+    p_t.add_argument("--batch", action=argparse.BooleanOptionalAction, default=None,
+                     help="pack same-format textures into device batches "
+                          "(default: on for the medium preset)")
+    p_t.add_argument("--max-batch", type=int, default=64, dest="max_batch",
+                     help="files per packed device batch")
     p_t.set_defaults(fn=cmd_transform)
 
     p_u = sub.add_parser("untransform", help="restore original files byte-for-byte")

@@ -19,6 +19,14 @@ import numpy as np
 class SizeEstimation:
     """Base protocol for size estimators."""
 
+    #: True when :meth:`estimate_batch_device` scores on-device. The auto-search
+    #: uses this to choose where candidate regions are *built*: device estimators
+    #: score device-resident regions with zero host traffic; host-only estimators
+    #: (zstd) get their regions built host-side with numpy, since shipping (C, L)
+    #: region stacks back through the device->host relay costs far more than the
+    #: byte-shuffle it saves.
+    on_device: bool = False
+
     def max_compressed_size(self, len_bytes: int) -> int:
         """Upper bound on the size of a compressed buffer (for preallocation)."""
         raise NotImplementedError

@@ -86,6 +86,8 @@ class LtuEstimation(SizeEstimation):
     scoring for small host-side buffers.
     """
 
+    on_device = True
+
     def __init__(self, offsets=DEFAULT_OFFSETS):
         self.offsets = tuple(offsets)
 

@@ -47,17 +47,26 @@ def _flat_shift_left(v, s: int):
     return jnp.where(lane < width - s, a, b)
 
 
-def _make_kernel(offsets, grid_j):
+def _make_kernel(offsets, grid_j, count_lo, count_hi):
+    """Windowed coverage-count kernel.
+
+    ``count_lo``/``count_hi`` (static) bound the row-local flat positions that are
+    accumulated -- the full row for the single-device scorer, the non-halo middle
+    for the shard_map path. ``pos0`` (SMEM scalar) maps row-local position 0 to its
+    global stream position, so the no-match-before-stream-start guard and the
+    ``valid_len`` cutoff both work on global coordinates.
+    """
     rows_per_tile = ROWS
 
-    def _covered(g2, guard_first: bool):
+    def _covered(g2, base, guard: bool):
         """Coverage of the CUR tile (g2 rows [ROWS:2*ROWS)) against backward
-        offsets; all shift work happens on the minimal row window per offset."""
+        offsets; all shift work happens on the minimal row window per offset.
+        ``base`` is the global position of the tile's first byte."""
         g_cur = g2[rows_per_tile:2 * rows_per_tile]
         covered = jnp.zeros(g_cur.shape, jnp.int32)
-        if guard_first:
-            local = (lax.broadcasted_iota(jnp.int32, g_cur.shape, 0) * W
-                     + lax.broadcasted_iota(jnp.int32, g_cur.shape, 1))
+        if guard:
+            gpos = (lax.broadcasted_iota(jnp.int32, g_cur.shape, 0) * W
+                    + lax.broadcasted_iota(jnp.int32, g_cur.shape, 1) + base)
         for k in offsets:
             if k % W == 0:
                 # pure static row slice, no vector shuffles at all
@@ -69,23 +78,24 @@ def _make_kernel(offsets, grid_j):
                 src = g2[rows_per_tile - 1:2 * rows_per_tile]
                 shifted_cur = _flat_shift_right(src, k)[1:]
             eq = (g_cur == shifted_cur)
-            if guard_first:
-                eq &= local >= k  # tile 0 only: no matches before stream start
+            if guard:
+                eq &= gpos >= k  # stream head: no matches before position 0
             covered |= eq.astype(jnp.int32)
         return covered
 
-    def kernel(valid_ref, in_ref, out_ref, prev_ref, cur_ref, acc_ref):
+    def kernel(valid_ref, pos0_ref, in_ref, out_ref, prev_ref, cur_ref, acc_ref):
         # Grid step j delivers tile min(j, grid_j-1); tile j-1 is computed once its
         # 2-byte gram lookahead (tile j's first row) is resident. Scratch rolls the
         # [prev, cur] window forward; each tile is DMA'd from HBM exactly once.
         j = pl.program_id(1)
         row_valid = valid_ref[pl.program_id(0)]
+        pos0 = pos0_ref[0]
         incoming = in_ref[0]
 
         @pl.when(j == 0)
         def _():
             # Window priming. prev's content never affects tile 0 (the guarded
-            # first-tile path kills matches reaching before the stream).
+            # stream-head path kills matches reaching before the stream).
             prev_ref[...] = incoming
             cur_ref[...] = incoming
             acc_ref[0] = 0.0
@@ -99,13 +109,16 @@ def _make_kernel(offsets, grid_j):
             g2 = (win | (_flat_shift_left(win, 1) << 8)
                   | (_flat_shift_left(win, 2) << 16))[:2 * rows_per_tile]
 
-            covered = lax.cond(j == 1, lambda: _covered(g2, True),
-                               lambda: _covered(g2, False))
-            local = (lax.broadcasted_iota(jnp.int32, covered.shape, 0) * W
+            base = pos0 + (j - 1) * SPAN  # global position of this tile's start
+            covered = lax.cond(base < SPAN,
+                               lambda: _covered(g2, base, True),
+                               lambda: _covered(g2, base, False))
+            local = ((j - 1) * SPAN
+                     + lax.broadcasted_iota(jnp.int32, covered.shape, 0) * W
                      + lax.broadcasted_iota(jnp.int32, covered.shape, 1))
-            pos = (j - 1) * SPAN + local
-            valid = (pos < row_valid - 2).astype(jnp.int32)
-            acc_ref[0] += jnp.sum((covered * valid).astype(jnp.float32))
+            counted = ((local >= count_lo) & (local < count_hi)
+                       & (pos0 + local < row_valid - 2))
+            acc_ref[0] += jnp.sum(jnp.where(counted, covered, 0).astype(jnp.float32))
 
             prev_ref[...] = cur_ref[...]
             cur_ref[...] = incoming
@@ -117,13 +130,8 @@ def _make_kernel(offsets, grid_j):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("offsets",))
-def coverage_scores_pallas(regions, valid_len, offsets: tuple):
-    """(C, L) uint8 regions -> (C,) float32 scores (valid_len - covered positions).
-
-    ``valid_len``: a scalar shared by all rows, or a (C,) per-row array (the
-    flattened (batch x candidates) corpus-pipeline grid).
-    """
+def _counts_call(regions, valid_rows, pos0, offsets, count_lo, count_hi,
+                 interpret=False):
     n_rows, length = regions.shape
     if length % SPAN:
         raise ValueError(f"region length {length} must be a multiple of {SPAN}")
@@ -132,8 +140,6 @@ def coverage_scores_pallas(regions, valid_len, offsets: tuple):
         "offsets >= one lane row must be row-aligned (static row-slice path)"
     grid_j = length // SPAN
     tiled = regions.reshape(n_rows, grid_j * ROWS, W)
-    valid_rows = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32).reshape(-1),
-                                  (n_rows,))
 
     # step j delivers tile min(j, grid_j-1); the last step (j == grid_j) re-reads
     # the final tile, matching the old clamped-next semantics for its lookahead
@@ -142,14 +148,49 @@ def coverage_scores_pallas(regions, valid_len, offsets: tuple):
                            memory_space=pltpu.VMEM)
 
     counts = pl.pallas_call(
-        _make_kernel(offsets, grid_j),
+        _make_kernel(offsets, grid_j, count_lo, count_hi),
         grid=(n_rows, grid_j + 1),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec_in],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), spec_in],
         out_specs=pl.BlockSpec((1, 8, 128), lambda c, j: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, 8, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((ROWS, W), jnp.uint8),
                         pltpu.VMEM((ROWS, W), jnp.uint8),
                         pltpu.SMEM((1,), jnp.float32)],
-    )(valid_rows, tiled)
-    return valid_rows.astype(jnp.float32) - counts[:, 0, 0]
+        interpret=interpret,
+    )(valid_rows, pos0.reshape(1), tiled)
+    return counts[:, 0, 0]
+
+
+@partial(jax.jit, static_argnames=("offsets",))
+def coverage_scores_pallas(regions, valid_len, offsets: tuple):
+    """(C, L) uint8 regions -> (C,) float32 scores (valid_len - covered positions).
+
+    ``valid_len``: a scalar shared by all rows, or a (C,) per-row array (the
+    flattened (batch x candidates) corpus-pipeline grid).
+    """
+    n_rows, length = regions.shape
+    valid_rows = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32).reshape(-1),
+                                  (n_rows,))
+    counts = _counts_call(regions, valid_rows, jnp.int32(0), offsets, 0, length)
+    return valid_rows.astype(jnp.float32) - counts
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def coverage_counts_windowed(chunks, valid_rows, pos0, offsets: tuple,
+                             interpret: bool = False):
+    """Per-shard partial coverage counts for the shard_map scorer.
+
+    ``chunks``: (C, SPAN + Lc + SPAN) uint8 rows -- a chunk of the global region
+    with one halo tile prepended (previous shard's last SPAN bytes; zeros for the
+    first shard) and one appended (next shard's first SPAN bytes; content
+    irrelevant for the last shard -- it only feeds the masked-out tail window).
+    ``pos0``: global stream position of local byte 0 (i.e. shard_start - SPAN).
+    Counts positions local in [SPAN, SPAN+Lc) whose global position is below
+    ``valid_rows`` - 2; summing these over shards equals the unsharded count.
+    """
+    length = chunks.shape[1]
+    return _counts_call(chunks, valid_rows.astype(jnp.int32),
+                        jnp.asarray(pos0, jnp.int32), offsets,
+                        SPAN, length - SPAN, interpret=interpret)

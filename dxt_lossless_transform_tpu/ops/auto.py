@@ -123,8 +123,32 @@ def _score_regions(estimator: SizeEstimation, regions, valid_len: int) -> np.nda
     scores = estimator.estimate_batch_device(regions, valid_len)
     if scores is not None:
         return np.asarray(jax.device_get(scores))
-    rows = np.asarray(jax.device_get(regions))[:, :valid_len].astype(np.uint8)
+    rows = np.asarray(jax.device_get(regions[:, :valid_len])).astype(np.uint8)
     return np.asarray(estimator.estimate_batch(list(rows)), np.float64)
+
+
+
+def _native_zstd_auto(fmt: str, data, estimator, use_all: bool):
+    """Full C++ auto-search for the zstd presets (region-only builders + the
+    task-parallel pthread loop); returns (transformed, settings) or None if the
+    native runtime is unavailable. Estimates use the same libzstd engine as
+    ``ZstdEstimation``, so scores -- and argmin ties -- agree exactly."""
+    from ..estimate.zstd import ZstdEstimation
+    from .. import runtime
+
+    if not isinstance(estimator, ZstdEstimation) or not runtime.available():
+        return None
+    from ..settings import YCoCgVariant
+
+    est = runtime.builtin_estimator("zstd", estimator.level)
+    if fmt == "bc1":
+        out, v, sp = runtime.bc1_transform_auto(data, est, use_all)
+        return out, Bc1TransformSettings(YCoCgVariant(v), sp)
+    if fmt == "bc2":
+        out, v, sp = runtime.bc2_transform_auto(data, est, use_all)
+        return out, Bc2TransformSettings(YCoCgVariant(v), sp)
+    out, v, sa, sc = runtime.bc3_transform_auto(data, est, use_all)
+    return out, Bc3TransformSettings(YCoCgVariant(v), sa, sc)
 
 
 def transform_bc1_auto(data, estimator: SizeEstimation,
@@ -137,8 +161,17 @@ def transform_bc1_auto(data, estimator: SizeEstimation,
     n = len(data) // ops_bc1.BLOCK_SIZE
     if n == 0:
         return b"", cand[-1]
+    if candidates is None:
+        native = _native_zstd_auto("bc1", data, estimator,
+                                   use_all_decorrelation_modes)
+        if native is not None:
+            return native
     key = tuple((int(c.decorrelation_mode), c.split_colour_endpoints) for c in cand)
-    if len(data) < lanes.device_threshold_bytes():
+    if (len(data) < lanes.device_threshold_bytes()
+            or not getattr(estimator, "on_device", False)):
+        # Host path: small buffers (dispatch latency) AND host-only estimators
+        # (zstd) -- the numpy byte-shuffle is far cheaper than shipping (C, L)
+        # region stacks back through the device->host relay.
         colors = np.frombuffer(data, "<u4").reshape(-1, 2)[:, 0].copy()
         scores = estimator.estimate_batch(_host_colour_regions(colors, key))
     else:
@@ -158,8 +191,14 @@ def transform_bc2_auto(data, estimator: SizeEstimation,
     n = len(data) // ops_bc2.BLOCK_SIZE
     if n == 0:
         return b"", cand[-1]
+    if candidates is None:
+        native = _native_zstd_auto("bc2", data, estimator,
+                                   use_all_decorrelation_modes)
+        if native is not None:
+            return native
     key = tuple((int(c.decorrelation_mode), c.split_colour_endpoints) for c in cand)
-    if len(data) < lanes.device_threshold_bytes():
+    if (len(data) < lanes.device_threshold_bytes()
+            or not getattr(estimator, "on_device", False)):
         colors = np.frombuffer(data, "<u4").reshape(-1, 4)[:, 2].copy()
         scores = estimator.estimate_batch(_host_colour_regions(colors, key))
     else:
@@ -179,9 +218,15 @@ def transform_bc3_auto(data, estimator: SizeEstimation,
     n = len(data) // ops_bc3.BLOCK_SIZE
     if n == 0:
         return b"", cand[-1]
+    if candidates is None:
+        native = _native_zstd_auto("bc3", data, estimator,
+                                   use_all_decorrelation_modes)
+        if native is not None:
+            return native
     key = tuple((int(c.decorrelation_mode), c.split_alpha_endpoints,
                  c.split_colour_endpoints) for c in cand)
-    if len(data) < lanes.device_threshold_bytes():
+    if (len(data) < lanes.device_threshold_bytes()
+            or not getattr(estimator, "on_device", False)):
         words = np.frombuffer(data, "<u4").reshape(-1, 4)
         colors = words[:, 2].copy()
         ep = (words[:, 0] & 0xFFFF).astype(np.int64)

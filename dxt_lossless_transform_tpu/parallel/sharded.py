@@ -138,17 +138,59 @@ def bc3_auto_step_single(flat, valid_len=None,
 # The corpus pipeline's throughput-critical scoring runs through the Mosaic coverage
 # kernel by flattening the (batch, candidates) axes into the kernel's row grid with
 # per-row valid lengths -- the vmap-of-single formulation could not (Mosaic kernels
-# do not vmap). Under a GSPMD mesh the scorer stays on the XLA twin: a pallas_call
-# is opaque to the partitioner, while XLA's roll/compare lowers to sharded ops with
-# automatic halo exchange and stays bit-identical across mesh shapes.
+# do not vmap). Under a GSPMD mesh a pallas_call is opaque to the partitioner, so
+# the kernel runs per shard inside shard_map: each device scores its L-chunk with
+# an explicit SPAN-byte halo fetched over the blocks axis (one small ppermute each
+# way) and partial counts are psum-reduced -- bit-identical to the XLA twin.
 
-def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool):
+def _scores_flat_shardmap(mesh, regions3, valid_lens, offsets, interpret: bool):
+    """(B, C, L) regions -> (B, C) scores via the per-shard Mosaic coverage kernel."""
+    from jax import shard_map
+
+    from ..estimate.pallas_ltu import SPAN, coverage_counts_windowed
+
+    nb = mesh.shape["blocks"]
+    regions3 = jax.lax.with_sharding_constraint(
+        regions3, NamedSharding(mesh, P("files", None, "blocks")))
+
+    def local(regions, valid):
+        Bl, C, Lc = regions.shape
+        s = jax.lax.axis_index("blocks")
+        flat = regions.reshape(Bl * C, Lc)
+        fwd = [(i, (i + 1) % nb) for i in range(nb)]
+        bwd = [(i, (i - 1) % nb) for i in range(nb)]
+        prev = jax.lax.ppermute(flat[:, -SPAN:], "blocks", fwd)
+        nxt = jax.lax.ppermute(flat[:, :SPAN], "blocks", bwd)
+        prev = jnp.where(s == 0, jnp.zeros_like(prev), prev)  # stream head halo
+        rows = jnp.concatenate([prev, flat, nxt], axis=1)
+        valid_rows = jnp.repeat(valid.astype(jnp.int32), C)
+        counts = coverage_counts_windowed(rows, valid_rows, s * Lc - SPAN, offsets,
+                                          interpret=interpret)
+        return jax.lax.psum(counts, "blocks").reshape(Bl, C)
+
+    counts = shard_map(local, mesh=mesh,
+                       in_specs=(P("files", None, "blocks"), P("files")),
+                       out_specs=P("files", None),
+                       check_vma=False)(regions3, valid_lens)
+    return valid_lens.astype(jnp.float32)[:, None] - counts
+
+
+def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool, mesh=None):
     """(B, C, L) uint8 regions + (B,) valid -> (B, C) scores."""
     import jax as _jax
 
     B, C, L = regions3.shape
-    if allow_pallas and _jax.default_backend() == "tpu":
-        from ..estimate.pallas_ltu import SPAN, coverage_scores_pallas
+    from ..estimate.pallas_ltu import SPAN
+
+    if mesh is not None and max(offsets) <= SPAN:
+        nb, nf = mesh.shape["blocks"], mesh.shape["files"]
+        chunk = L // nb
+        if L % nb == 0 and chunk % SPAN == 0 and chunk >= SPAN and B % nf == 0:
+            interpret = _jax.default_backend() != "tpu"
+            return _scores_flat_shardmap(mesh, regions3, valid_lens, offsets,
+                                         interpret)
+    if allow_pallas and mesh is None and _jax.default_backend() == "tpu":
+        from ..estimate.pallas_ltu import coverage_scores_pallas
 
         if L % SPAN == 0 and max(offsets) <= SPAN:
             flat = regions3.reshape(B * C, L)
@@ -157,7 +199,8 @@ def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool):
     return jax.vmap(lambda r, v: _coverage_scores(r, v, offsets))(regions3, valid_lens)
 
 
-def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool):
+def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
+                      mesh=None):
     def regions_fn(flat, vl):
         colors, indices = lanes.deinterleave(flat.astype(jnp.uint32), 2)
         dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
@@ -166,13 +209,14 @@ def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
         return regions, colors, indices
 
     regions, colors, indices = jax.vmap(regions_fn)(flats, valid_lens)
-    scores = _scores_flat(regions, valid_lens, offsets, allow_pallas)
+    scores = _scores_flat(regions, valid_lens, offsets, allow_pallas, mesh)
     d0, d1, best = jax.vmap(
         lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
     return d0, d1, indices, best
 
 
-def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool):
+def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
+                      mesh=None):
     def regions_fn(flat, vl):
         a_lo, a_hi, colors, idx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
         dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
@@ -181,13 +225,14 @@ def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
         return regions, a_lo, a_hi, colors, idx
 
     regions, a_lo, a_hi, colors, idx = jax.vmap(regions_fn)(flats, valid_lens)
-    scores = _scores_flat(regions, valid_lens, offsets, allow_pallas)
+    scores = _scores_flat(regions, valid_lens, offsets, allow_pallas, mesh)
     d0, d1, best = jax.vmap(
         lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
     return a_lo, a_hi, d0, d1, idx, best
 
 
-def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool):
+def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
+                      mesh=None):
     def regions_fn(flat, vl):
         w0, w1, colors, cidx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
         ep, h1 = lanes.split_u32(w0)
@@ -205,8 +250,8 @@ def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
 
     alpha_rows, colour_rows, ep, h1, h2, h3, colors, cidx = jax.vmap(regions_fn)(
         flats, valid_lens)
-    scores = (_scores_flat(alpha_rows, valid_lens // 2, offsets, allow_pallas)
-              + _scores_flat(colour_rows, valid_lens, offsets, allow_pallas))
+    scores = (_scores_flat(alpha_rows, valid_lens // 2, offsets, allow_pallas, mesh)
+              + _scores_flat(colour_rows, valid_lens, offsets, allow_pallas, mesh))
     d0, d1, best = jax.vmap(
         lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
     return ep, h1, h2, h3, d0, d1, cidx, best
@@ -233,7 +278,8 @@ def _batched(mesh: Mesh, fmt: str, n_outputs: int, candidates, offsets):
     impl = _BATCHED_IMPLS[fmt]
 
     def step(flat, valid_len):
-        return impl(flat, valid_len, candidates, offsets, allow_pallas=False)
+        return impl(flat, valid_len, candidates, offsets, allow_pallas=False,
+                    mesh=mesh)
 
     out_sh = (files_blocks,) * (n_outputs - 1) + (files_sh,)
     return jax.jit(step, in_shardings=(files_blocks, files_sh), out_shardings=out_sh)

@@ -82,6 +82,13 @@ def _try_load() -> Optional[ctypes.CDLL]:
                            ctypes.POINTER(DltSizeEstimator), ctypes.c_int,
                            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
             fn.restype = ctypes.c_int
+    fn = getattr(lib, "dlt_bc3_transform_auto", None)
+    if fn is not None:
+        fn.argtypes = [u8p, u8p, ctypes.c_size_t,
+                       ctypes.POINTER(DltSizeEstimator), ctypes.c_int,
+                       ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                       ctypes.POINTER(ctypes.c_int)]
+        fn.restype = ctypes.c_int
     for name, argt in (("dlt_estimator_zstd", [ctypes.POINTER(DltSizeEstimator),
                                                ctypes.c_int]),
                        ("dlt_estimator_ltu", [ctypes.POINTER(DltSizeEstimator)])):
@@ -330,6 +337,27 @@ def bc2_transform_auto(data: bytes, estimator: DltSizeEstimator,
                        use_all: bool = False):
     return _transform_auto(_try_load().dlt_bc2_transform_auto, data, estimator,
                            use_all)
+
+
+def bc3_transform_auto(data: bytes, estimator: DltSizeEstimator,
+                       use_all: bool = False):
+    """Native BC3 auto-search (3 knobs; alpha+colour regions summed).
+
+    Returns (transformed, variant, split_alpha, split_colour)."""
+    import numpy as np
+
+    lib = _try_load()
+    out = np.empty(len(data), np.uint8)
+    variant = ctypes.c_int(0)
+    split_a = ctypes.c_int(0)
+    split_c = ctypes.c_int(0)
+    rc = lib.dlt_bc3_transform_auto(
+        _buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        ctypes.byref(estimator), int(use_all), ctypes.byref(variant),
+        ctypes.byref(split_a), ctypes.byref(split_c))
+    if rc != 0:
+        raise ValueError(f"native auto-transform failed (rc={rc})")
+    return out.tobytes(), variant.value, bool(split_a.value), bool(split_c.value)
 
 
 def bc6h_untransform(data: bytes, original_len: int, sort: bool, planes: bool) -> bytes:

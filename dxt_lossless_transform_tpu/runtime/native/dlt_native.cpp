@@ -644,21 +644,114 @@ static const CandVS kBc12All[] = {{2, 0}, {0, 0}, {0, 1}, {3, 0},
 
 typedef int (*transform_fn)(const uint8_t*, uint8_t*, size_t, int, int);
 
+// Only our stateless builtin estimators are known thread-safe; a caller-supplied
+// vtable gets the sequential path.
+static bool vt_is_builtin(const DltSizeEstimator* est) {
+    return est && (est->estimate_compressed_size == zstd_vt_estimate ||
+                   est->estimate_compressed_size == ltu_vt_estimate);
+}
+
+// ---- region-only builders -----------------------------------------------------------
+// The estimation region of a candidate is built straight from the input (colour
+// stream extraction + SWAR decorrelate + optional split) instead of running the
+// full transform: the indices/alpha stream moves -- most of the memory traffic --
+// contribute nothing to the estimate and are skipped.
+
+template <int V>
+static void colour_region_t(const uint8_t* in, size_t stride, size_t coff,
+                            uint8_t* region, size_t n, bool split) {
+    if (split) {
+        for (size_t i = 0; i < n; i++) {
+            uint32_t p = ycocg_decorrelate_pair<V>(load32(in + stride * i + coff));
+            store16(region + 2 * i, (uint16_t)p);
+            store16(region + 2 * n + 2 * i, (uint16_t)(p >> 16));
+        }
+    } else {
+        for (size_t i = 0; i < n; i++)
+            store32(region + 4 * i,
+                    ycocg_decorrelate_pair<V>(load32(in + stride * i + coff)));
+    }
+}
+
+// stride 8 coff 0 = BC1; stride 16 coff 8 = BC2/BC3 colour words.
+static void colour_region(const uint8_t* in, size_t stride, size_t coff,
+                          uint8_t* region, size_t n, int variant, bool split) {
+    switch (variant) {
+        case 0: colour_region_t<0>(in, stride, coff, region, n, split); break;
+        case 1: colour_region_t<1>(in, stride, coff, region, n, split); break;
+        case 2: colour_region_t<2>(in, stride, coff, region, n, split); break;
+        case 3: colour_region_t<3>(in, stride, coff, region, n, split); break;
+    }
+}
+
+static void bc3_alpha_region(const uint8_t* in, uint8_t* region, size_t n,
+                             bool split_alpha) {
+    if (split_alpha) {
+        for (size_t i = 0; i < n; i++) {
+            region[i] = in[16 * i];
+            region[n + i] = in[16 * i + 1];
+        }
+    } else {
+        for (size_t i = 0; i < n; i++) {
+            region[2 * i] = in[16 * i];
+            region[2 * i + 1] = in[16 * i + 1];
+        }
+    }
+}
+
+// Task-parallel candidate loop: each worker builds one candidate's region(s) and
+// estimates it; ties resolve to the first (candidate-order) minimum, matching
+// jnp.argmin in ops/auto.py.
+template <typename BuildEstimate>
+static int auto_search_run(size_t count, const DltSizeEstimator* est,
+                           BuildEstimate build_estimate, size_t* best_out) {
+    std::vector<size_t> sizes(count, (size_t)-1);
+    std::atomic<size_t> next(0);
+    std::atomic<int> err(0);
+    auto work = [&]() {
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= count || err.load()) break;
+            size_t sz;
+            int rc = build_estimate(i, &sz);
+            if (rc) { err.store(rc); break; }
+            sizes[i] = sz;
+        }
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    size_t nt = vt_is_builtin(est) ? std::min<size_t>(hw ? hw : 1, count) : 1;
+    if (nt <= 1) {
+        work();
+    } else {
+        std::vector<std::thread> pool;
+        for (size_t t = 0; t < nt; t++) pool.emplace_back(work);
+        for (auto& th : pool) th.join();
+    }
+    if (err.load()) return err.load();
+    size_t best_i = 0, best_size = (size_t)-1;
+    for (size_t i = 0; i < count; i++)
+        if (sizes[i] < best_size) { best_size = sizes[i]; best_i = i; }
+    *best_out = best_i;
+    return 0;
+}
+
 static int transform_auto_vs(const uint8_t* in, uint8_t* out, size_t len,
                              const DltSizeEstimator* est, int use_all,
                              int* best_variant, int* best_split,
-                             transform_fn tf, size_t region_off, size_t region_len) {
+                             transform_fn tf, size_t stride, size_t coff) {
     const CandVS* cands = use_all ? kBc12All : kBc12Fast;
     size_t count = use_all ? 8 : 4;
-    std::vector<uint8_t> scratch(len);
-    size_t best_size = (size_t)-1;
+    size_t n = len / stride;
+    size_t region_len = 4 * n;  // colour endpoints: 4 bytes per block
+    auto build_estimate = [&](size_t i, size_t* sz) -> int {
+        std::vector<uint8_t> region(region_len);
+        colour_region(in, stride, coff, region.data(), n, cands[i].variant,
+                      cands[i].split != 0);
+        return vt_estimate(est, region.data(), region_len, sz) ? -2 : 0;
+    };
     size_t best_i = 0;
-    for (size_t i = 0; i < count; i++) {
-        if (tf(in, scratch.data(), len, cands[i].variant, cands[i].split)) return -1;
-        size_t sz;
-        if (vt_estimate(est, scratch.data() + region_off, region_len, &sz)) return -2;
-        if (sz < best_size) { best_size = sz; best_i = i; }
-    }
+    int rc = auto_search_run(count, est, build_estimate, &best_i);
+    if (rc) return rc;
     if (tf(in, out, len, cands[best_i].variant, cands[best_i].split)) return -1;
     if (best_variant) *best_variant = cands[best_i].variant;
     if (best_split) *best_split = cands[best_i].split;
@@ -672,7 +765,7 @@ extern "C" int dlt_bc1_transform_auto(const uint8_t* in, uint8_t* out, size_t le
                                       int* best_variant, int* best_split) {
     if (len % 8) return -1;
     return transform_auto_vs(in, out, len, est, use_all, best_variant, best_split,
-                             dlt_bc1_transform, 0, len / 2);
+                             dlt_bc1_transform, 8, 0);
 }
 
 extern "C" int dlt_bc2_transform_auto(const uint8_t* in, uint8_t* out, size_t len,
@@ -680,7 +773,52 @@ extern "C" int dlt_bc2_transform_auto(const uint8_t* in, uint8_t* out, size_t le
                                       int* best_variant, int* best_split) {
     if (len % 16) return -1;
     return transform_auto_vs(in, out, len, est, use_all, best_variant, best_split,
-                             dlt_bc2_transform, len / 2, len / 4);
+                             dlt_bc2_transform, 16, 8);
 }
 
-extern "C" int dlt_version(void) { return 2; }
+// BC3: 3 knobs; estimate = alpha endpoints (2 B/block) + colour endpoints
+// (4 B/block), summed. Candidate orders mirror settings.py BC3_FAST/COMPREHENSIVE.
+struct CandVAS { int variant; int split_alpha; int split_colour; };
+
+static const CandVAS kBc3Fast[] = {
+    {1, 1, 0}, {1, 1, 1}, {0, 1, 0}, {0, 0, 1},
+    {0, 1, 1}, {1, 0, 1}, {0, 0, 0}, {1, 0, 0}};
+static const CandVAS kBc3All[] = {
+    {2, 1, 0}, {2, 1, 1}, {3, 1, 1}, {3, 1, 0}, {1, 1, 0}, {3, 0, 1},
+    {1, 1, 1}, {2, 0, 1}, {2, 0, 0}, {3, 0, 0}, {0, 1, 0}, {0, 0, 1},
+    {0, 1, 1}, {1, 0, 1}, {0, 0, 0}, {1, 0, 0}};
+
+extern "C" int dlt_bc3_transform_auto(const uint8_t* in, uint8_t* out, size_t len,
+                                      const DltSizeEstimator* est, int use_all,
+                                      int* best_variant, int* best_split_alpha,
+                                      int* best_split_colour) {
+    if (len % 16) return -1;
+    const CandVAS* cands = use_all ? kBc3All : kBc3Fast;
+    size_t count = use_all ? 16 : 8;
+    size_t n = len / 16;
+    auto build_estimate = [&](size_t i, size_t* sz) -> int {
+        std::vector<uint8_t> alpha(2 * n);
+        bc3_alpha_region(in, alpha.data(), n, cands[i].split_alpha != 0);
+        size_t sa;
+        if (vt_estimate(est, alpha.data(), 2 * n, &sa)) return -2;
+        std::vector<uint8_t> colour(4 * n);
+        colour_region(in, 16, 8, colour.data(), n, cands[i].variant,
+                      cands[i].split_colour != 0);
+        size_t sc;
+        if (vt_estimate(est, colour.data(), 4 * n, &sc)) return -2;
+        *sz = sa + sc;
+        return 0;
+    };
+    size_t best_i = 0;
+    int rc = auto_search_run(count, est, build_estimate, &best_i);
+    if (rc) return rc;
+    if (dlt_bc3_transform(in, out, len, cands[best_i].variant,
+                          cands[best_i].split_alpha, cands[best_i].split_colour))
+        return -1;
+    if (best_variant) *best_variant = cands[best_i].variant;
+    if (best_split_alpha) *best_split_alpha = cands[best_i].split_alpha;
+    if (best_split_colour) *best_split_colour = cands[best_i].split_colour;
+    return 0;
+}
+
+extern "C" int dlt_version(void) { return 3; }

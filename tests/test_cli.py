@@ -46,3 +46,20 @@ def test_cli_debug_stats(tree, tmp_path, monkeypatch):
     monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path / "cache"))
     assert main(["debug-bc1", "calc-compression-stats", str(tree / "in"),
                  "--level", "3"]) == 0
+
+
+def test_cli_batched_transform_matches_per_file(tree):
+    """--batch groups BC1/BC3 files into device batches; outputs must round-trip
+    and agree byte-for-byte with the per-file medium path."""
+    src = tree / "in"
+    out_b, out_f, back = tree / "outb", tree / "outf", tree / "backb"
+    assert main(["transform", str(src), str(out_b), "--preset", "medium",
+                 "--batch"]) == 1  # junk.txt still fails per-file
+    assert main(["transform", str(src), str(out_f), "--preset", "medium",
+                 "--no-batch"]) == 1
+    for rel in ("a.dds", "sub/b.dds"):
+        assert (out_b / rel).read_bytes() == (out_f / rel).read_bytes(), rel
+    (out_b / "junk.txt").unlink(missing_ok=True)
+    assert main(["untransform", str(out_b), str(back)]) == 0
+    for rel in ("a.dds", "sub/b.dds"):
+        assert (back / rel).read_bytes() == (src / rel).read_bytes(), rel

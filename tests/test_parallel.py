@@ -125,3 +125,39 @@ def test_sharded_modesort_step_matches_oracle():
             msl = (n_per_file + 1) // 2
             got = np.asarray(streams[b]).tobytes()[:msl] + np.asarray(planes[b]).tobytes()
             assert got == oracle.transform(data, settings), (fmt, b)
+
+
+def test_sharded_step_shardmap_scorer_matches_single(monkeypatch):
+    """Mesh path with shapes satisfying the shard_map gate: the Mosaic coverage
+    kernel runs per shard (interpret-mode on CPU) with explicit SPAN halos, and the
+    result stays bit-identical to the unsharded single step (XLA-twin scored)."""
+    from dxt_lossless_transform_tpu.estimate.pallas_ltu import SPAN
+    from dxt_lossless_transform_tpu.parallel import sharded
+
+    calls = {"n": 0}
+    real = sharded._scores_flat_shardmap
+
+    def spy(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sharded, "_scores_flat_shardmap", spy)
+
+    mesh = make_mesh(8)
+    nb = mesh.shape["blocks"]
+    nblocks = nb * SPAN // 4          # colour region L = 4*nblocks = nb*SPAN
+    batch = 2 * mesh.shape["files"]
+    rng = np.random.default_rng(9)
+    flats = jnp.asarray(rng.integers(0, 2**32, (batch, 2 * nblocks), dtype=np.uint32))
+    valid = jnp.asarray(
+        [4 * nblocks, 4 * nblocks - 500] * (batch // 2), jnp.int32)
+    step = sharded.bc1_auto_step(mesh)
+    c0, c1, idx, best = jax.device_get(jax.block_until_ready(step(flats, valid)))
+    assert calls["n"] == 1, "shard_map scorer was not used"
+    for b in range(batch):
+        s0, s1, sidx, sbest = jax.device_get(
+            bc1_auto_step_single(flats[b], valid[b]))
+        np.testing.assert_array_equal(c0[b], s0)
+        np.testing.assert_array_equal(c1[b], s1)
+        np.testing.assert_array_equal(idx[b], sidx)
+        assert int(best[b]) == int(sbest)
