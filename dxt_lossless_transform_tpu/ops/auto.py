@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..errors import AutoTransformError
 from ..estimate.base import SizeEstimation
 from ..settings import (
     BC1_COMPREHENSIVE_CANDIDATES, BC1_FAST_CANDIDATES,
@@ -127,6 +128,18 @@ def _score_regions(estimator: SizeEstimation, regions, valid_len: int) -> np.nda
     return np.asarray(estimator.estimate_batch(list(rows)), np.float64)
 
 
+def _score_host(fmt: str, estimator: SizeEstimation, rows) -> np.ndarray:
+    """Host-side batch scoring with estimator failures wrapped in the per-format
+    auto-transform error (``DetermineBestTransformError`` analog,
+    ``bc1/src/transform/transform_auto.rs:15-23``)."""
+    try:
+        return np.asarray(estimator.estimate_batch(rows), np.float64)
+    except AutoTransformError:
+        raise
+    except Exception as exc:
+        raise AutoTransformError(fmt, f"estimator raised {exc!r}") from exc
+
+
 
 def _native_zstd_auto(fmt: str, data, estimator, use_all: bool):
     """Full C++ auto-search for the zstd presets (region-only builders + the
@@ -173,7 +186,7 @@ def transform_bc1_auto(data, estimator: SizeEstimation,
         # (zstd) -- the numpy byte-shuffle is far cheaper than shipping (C, L)
         # region stacks back through the device->host relay.
         colors = np.frombuffer(data, "<u4").reshape(-1, 2)[:, 0].copy()
-        scores = estimator.estimate_batch(_host_colour_regions(colors, key))
+        scores = _score_host("BC1", estimator, _host_colour_regions(colors, key))
     else:
         flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 2 * lanes.bucket_size(n))
         regions = bc1_candidate_regions(flat, jnp.int32(n), key)
@@ -200,7 +213,7 @@ def transform_bc2_auto(data, estimator: SizeEstimation,
     if (len(data) < lanes.device_threshold_bytes()
             or not getattr(estimator, "on_device", False)):
         colors = np.frombuffer(data, "<u4").reshape(-1, 4)[:, 2].copy()
-        scores = estimator.estimate_batch(_host_colour_regions(colors, key))
+        scores = _score_host("BC2", estimator, _host_colour_regions(colors, key))
     else:
         flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * lanes.bucket_size(n))
         regions = bc2_candidate_regions(flat, jnp.int32(n), key)
@@ -235,8 +248,8 @@ def transform_bc3_auto(data, estimator: SizeEstimation,
         a_split = ((ep & 0xFF).astype(np.uint8).tobytes()
                    + (ep >> 8).astype(np.uint8).tobytes())
         alpha_rows = [a_split if sa else a_interleaved for _, sa, _ in key]
-        scores = (np.asarray(estimator.estimate_batch(alpha_rows), np.float64)
-                  + np.asarray(estimator.estimate_batch(colour_rows), np.float64))
+        scores = (_score_host("BC3", estimator, alpha_rows)
+                  + _score_host("BC3", estimator, colour_rows))
     else:
         flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * lanes.bucket_size(n))
         alpha_rows, colour_rows = bc3_candidate_regions(flat, jnp.int32(n), key)

@@ -23,6 +23,7 @@ from .. import runtime as _native
 from ..settings import Bc1TransformSettings
 from . import hostwrap, lanes, ycocg
 from .pallas import shuffle as _pk
+from ..errors import Bc1ValidationError
 
 BLOCK_SIZE = 8
 
@@ -105,7 +106,7 @@ def untransform_words_fused(flat, variant, split: bool):
 
 def transform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
-        raise ValueError(f"BC1 data length {len(data)} not divisible by {BLOCK_SIZE}")
+        raise Bc1ValidationError(len(data), BLOCK_SIZE)
     if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
@@ -122,7 +123,7 @@ def transform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> 
 
 def untransform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
-        raise ValueError(f"BC1 data length {len(data)} not divisible by {BLOCK_SIZE}")
+        raise Bc1ValidationError(len(data), BLOCK_SIZE)
     if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():

@@ -19,6 +19,7 @@ from ..settings import Bc2TransformSettings
 from . import hostwrap, lanes
 from .bc1 import decorrelate_halves, recorrelate_halves
 from .pallas import shuffle as _pk
+from ..errors import Bc2ValidationError
 
 BLOCK_SIZE = 16
 
@@ -85,7 +86,7 @@ def untransform_words_fused(flat, variant, split: bool):
 
 def transform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
-        raise ValueError(f"BC2 data length {len(data)} not divisible by {BLOCK_SIZE}")
+        raise Bc2ValidationError(len(data), BLOCK_SIZE)
     if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
@@ -102,7 +103,7 @@ def transform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> 
 
 def untransform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
-        raise ValueError(f"BC2 data length {len(data)} not divisible by {BLOCK_SIZE}")
+        raise Bc2ValidationError(len(data), BLOCK_SIZE)
     if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():

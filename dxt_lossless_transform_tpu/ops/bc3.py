@@ -23,6 +23,7 @@ from ..settings import Bc3TransformSettings
 from . import hostwrap, lanes
 from .bc1 import decorrelate_halves, recorrelate_halves
 from .pallas import shuffle as _pk
+from ..errors import Bc3ValidationError
 
 BLOCK_SIZE = 16
 
@@ -114,7 +115,7 @@ def untransform_words_fused(flat, variant, split_alpha: bool, split_colour: bool
 
 def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
-        raise ValueError(f"BC3 data length {len(data)} not divisible by {BLOCK_SIZE}")
+        raise Bc3ValidationError(len(data), BLOCK_SIZE)
     if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():
@@ -132,7 +133,7 @@ def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> 
 
 def untransform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> bytes:
     if len(data) % BLOCK_SIZE:
-        raise ValueError(f"BC3 data length {len(data)} not divisible by {BLOCK_SIZE}")
+        raise Bc3ValidationError(len(data), BLOCK_SIZE)
     if len(data) == 0:
         return b""
     if len(data) < lanes.device_threshold_bytes():

@@ -21,6 +21,7 @@ from ..oracle import bc4 as _oracle
 from ..settings import Bc4TransformSettings, Bc5TransformSettings
 from . import hostwrap, lanes
 from .pallas import shuffle as _pk
+from ..errors import Bc4ValidationError, Bc5ValidationError
 
 BC4_BLOCK_SIZE = _oracle.BC4_BLOCK_SIZE
 BC5_BLOCK_SIZE = _oracle.BC5_BLOCK_SIZE
@@ -116,7 +117,7 @@ def _bc5_spec(split: bool) -> Tuple[int, ...]:
 
 def transform_bc4(data, settings: Bc4TransformSettings = Bc4TransformSettings()) -> bytes:
     if len(data) % BC4_BLOCK_SIZE:
-        raise ValueError(f"BC4 data length {len(data)} not divisible by {BC4_BLOCK_SIZE}")
+        raise Bc4ValidationError(len(data), BC4_BLOCK_SIZE)
     if len(data) < lanes.device_threshold_bytes():
         return _oracle.transform_bc4(data, settings)
     split = settings.split_endpoints
@@ -127,7 +128,7 @@ def transform_bc4(data, settings: Bc4TransformSettings = Bc4TransformSettings())
 
 def untransform_bc4(data, settings: Bc4TransformSettings = Bc4TransformSettings()) -> bytes:
     if len(data) % BC4_BLOCK_SIZE:
-        raise ValueError(f"BC4 data length {len(data)} not divisible by {BC4_BLOCK_SIZE}")
+        raise Bc4ValidationError(len(data), BC4_BLOCK_SIZE)
     if len(data) < lanes.device_threshold_bytes():
         return _oracle.untransform_bc4(data, settings)
     split = settings.split_endpoints
@@ -138,7 +139,7 @@ def untransform_bc4(data, settings: Bc4TransformSettings = Bc4TransformSettings(
 
 def transform_bc5(data, settings: Bc5TransformSettings = Bc5TransformSettings()) -> bytes:
     if len(data) % BC5_BLOCK_SIZE:
-        raise ValueError(f"BC5 data length {len(data)} not divisible by {BC5_BLOCK_SIZE}")
+        raise Bc5ValidationError(len(data), BC5_BLOCK_SIZE)
     if len(data) < lanes.device_threshold_bytes():
         return _oracle.transform_bc5(data, settings)
     split = settings.split_endpoints
@@ -149,7 +150,7 @@ def transform_bc5(data, settings: Bc5TransformSettings = Bc5TransformSettings())
 
 def untransform_bc5(data, settings: Bc5TransformSettings = Bc5TransformSettings()) -> bytes:
     if len(data) % BC5_BLOCK_SIZE:
-        raise ValueError(f"BC5 data length {len(data)} not divisible by {BC5_BLOCK_SIZE}")
+        raise Bc5ValidationError(len(data), BC5_BLOCK_SIZE)
     if len(data) < lanes.device_threshold_bytes():
         return _oracle.untransform_bc5(data, settings)
     split = settings.split_endpoints

@@ -35,6 +35,7 @@ import numpy as np
 
 from ..oracle import bc7 as _oracle
 from .. import runtime as _native
+from ..errors import validation_error
 from ..settings import Bc7TransformSettings
 from . import lanes
 
@@ -247,8 +248,7 @@ def _is_identity(settings) -> bool:
 
 def _transform_bytes(data, settings, fmt: str, oracle_mod, native_fn) -> bytes:
     if len(data) % BLOCK_SIZE:
-        raise ValueError(
-            f"{fmt} data length {len(data)} not divisible by {BLOCK_SIZE}")
+        raise validation_error(fmt, len(data), BLOCK_SIZE)
     n = len(data) // BLOCK_SIZE
     if n == 0:
         return b""

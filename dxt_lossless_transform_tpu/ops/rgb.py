@@ -20,6 +20,7 @@ from ..oracle.rgb import _LAYOUTS
 from .. import runtime as _native
 from ..settings import RgbTransformSettings
 from . import lanes
+from ..errors import RgbValidationError
 
 
 @partial(jax.jit, static_argnames=("layout", "dec", "split"))
@@ -46,7 +47,7 @@ def transform(data, layout: str,
               settings: RgbTransformSettings = RgbTransformSettings()) -> bytes:
     size = _LAYOUTS[layout][0]
     if len(data) % size:
-        raise ValueError(f"{layout} data length {len(data)} not divisible by {size}")
+        raise RgbValidationError(layout, len(data), size)
     n = len(data) // size
     if n == 0:
         return b""
@@ -68,7 +69,7 @@ def untransform(data, layout: str,
                 settings: RgbTransformSettings = RgbTransformSettings()) -> bytes:
     size = _LAYOUTS[layout][0]
     if len(data) % size:
-        raise ValueError(f"{layout} data length {len(data)} not divisible by {size}")
+        raise RgbValidationError(layout, len(data), size)
     n = len(data) // size
     if n == 0:
         return b""

@@ -17,6 +17,8 @@ import os
 import subprocess
 from typing import Optional, Sequence
 
+from ..errors import AutoTransformError, NativeError
+
 _DIR = os.path.dirname(__file__)
 _SO = os.path.join(_DIR, "native", "libdlt_native.so")
 
@@ -139,7 +141,7 @@ def _run_transform(fn, data: bytes, *flags) -> bytes:
     rc = fn(_buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             len(data), *[int(f) for f in flags])
     if rc != 0:
-        raise ValueError(f"native transform failed (rc={rc}, len={len(data)})")
+        raise NativeError("transform", rc, f"native transform failed (rc={rc}, len={len(data)})")
     return out.tobytes()
 
 
@@ -183,7 +185,7 @@ def zstd_compress(data: bytes, level: int) -> bytes:
                               ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)),
                               cap, level)
     if r == ctypes.c_size_t(-1).value:
-        raise RuntimeError("native zstd compress failed")
+        raise NativeError("zstd compress", -1)
     return out.raw[:r]
 
 
@@ -194,7 +196,7 @@ def zstd_decompress(data: bytes, expected_len: int) -> bytes:
                                 ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)),
                                 expected_len)
     if r == ctypes.c_size_t(-1).value:
-        raise RuntimeError("native zstd decompress failed")
+        raise NativeError("zstd decompress", -1)
     return out.raw[:r]
 
 
@@ -210,7 +212,7 @@ def zstd_estimate_batch(buffers: Sequence[bytes], level: int = 1,
     sizes = (ctypes.c_size_t * count)()
     rc = lib.dlt_zstd_estimate_batch(ptrs, lens, sizes, count, level, num_threads)
     if rc != 0:
-        raise RuntimeError("native batch estimate failed")
+        raise NativeError("zstd batch estimate", -1)
     return list(sizes)
 
 
@@ -227,7 +229,7 @@ def bc7_transform(data: bytes, sort: bool, planes: bool) -> bytes:
         _buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         len(data), int(sort), int(planes))
     if rc != 0:
-        raise ValueError(f"native bc7 transform failed (rc={rc}, len={len(data)})")
+        raise NativeError("bc7 transform", rc)
     return out.tobytes()
 
 
@@ -239,7 +241,7 @@ def bc7_untransform(data: bytes, original_len: int, sort: bool, planes: bool) ->
         _buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         original_len, int(sort), int(planes))
     if rc != 0:
-        raise ValueError(f"native bc7 untransform failed (rc={rc})")
+        raise NativeError("bc7 untransform", rc)
     return out.tobytes()
 
 
@@ -267,7 +269,7 @@ def bc6h_transform(data: bytes, sort: bool, planes: bool) -> bytes:
         _buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         len(data), int(sort), int(planes))
     if rc != 0:
-        raise ValueError(f"native bc6h transform failed (rc={rc}, len={len(data)})")
+        raise NativeError("bc6h transform", rc)
     return out.tobytes()
 
 
@@ -318,7 +320,7 @@ def _transform_auto(fn, data: bytes, estimator: DltSizeEstimator, use_all: bool)
             len(data), ctypes.byref(estimator), int(use_all),
             ctypes.byref(variant), ctypes.byref(split))
     if rc != 0:
-        raise ValueError(f"native auto-transform failed (rc={rc})")
+        raise AutoTransformError("native", f"rc={rc}")
     return out.tobytes(), variant.value, bool(split.value)
 
 
@@ -356,7 +358,7 @@ def bc3_transform_auto(data: bytes, estimator: DltSizeEstimator,
         ctypes.byref(estimator), int(use_all), ctypes.byref(variant),
         ctypes.byref(split_a), ctypes.byref(split_c))
     if rc != 0:
-        raise ValueError(f"native auto-transform failed (rc={rc})")
+        raise AutoTransformError("native", f"rc={rc}")
     return out.tobytes(), variant.value, bool(split_a.value), bool(split_c.value)
 
 
@@ -368,5 +370,5 @@ def bc6h_untransform(data: bytes, original_len: int, sort: bool, planes: bool) -
         _buf(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         original_len, int(sort), int(planes))
     if rc != 0:
-        raise ValueError(f"native bc6h untransform failed (rc={rc})")
+        raise NativeError("bc6h untransform", rc)
     return out.tobytes()

@@ -15,6 +15,7 @@
 // runtime/__init__.py; everything degrades gracefully if the .so is missing.
 
 #include <algorithm>
+#include <new>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -819,6 +820,287 @@ extern "C" int dlt_bc3_transform_auto(const uint8_t* in, uint8_t* out, size_t le
     if (best_split_alpha) *best_split_alpha = cands[best_i].split_alpha;
     if (best_split_colour) *best_split_colour = cands[best_i].split_colour;
     return 0;
+}
+
+// ------------------------------------------------------------ error strings ---------
+// C analog of the reference's error-message API (bc1-api/src/c_api/error.rs:131).
+
+extern "C" const char* dlt_error_message(int rc) {
+    switch (rc) {
+        case 0: return "success";
+        case -1: return "invalid input (length not divisible by the block size, "
+                        "or bad arguments)";
+        case -2: return "size estimator returned an error";
+        case -3: return "allocation failed";
+        default: return "unknown error";
+    }
+}
+
+// ---------------------------------------------------------- opaque builders ---------
+// C analog of the reference's stable builder API (bc1-api/src/c_api/transform/
+// auto_transform_builder.rs:63-190, manual_transform_builder.rs:86-323), covering
+// BC1/BC2 like the reference plus BC3 (whose reference api crate is an empty stub).
+
+extern "C" {
+
+typedef struct DltManualBuilder {
+    int format;       // 1/2/3 = BC1/BC2/BC3
+    int variant;      // YCoCg variant 0..3
+    int split_colour; // bool
+    int split_alpha;  // bool (BC3 only)
+} DltManualBuilder;
+
+typedef struct DltAutoBuilder {
+    int format;
+    DltSizeEstimator estimator;
+    int use_all;
+} DltAutoBuilder;
+
+}  // extern "C"
+
+static DltManualBuilder* manual_new(int format) {
+    DltManualBuilder* b = new (std::nothrow) DltManualBuilder();
+    if (!b) return nullptr;
+    b->format = format;
+    b->variant = 1;       // default YCoCg1 + split (settings.rs:16-98 defaults)
+    b->split_colour = 1;
+    b->split_alpha = 1;
+    return b;
+}
+
+extern "C" DltManualBuilder* dltbc1_new_ManualTransformBuilder(void) { return manual_new(1); }
+extern "C" DltManualBuilder* dltbc2_new_ManualTransformBuilder(void) { return manual_new(2); }
+extern "C" DltManualBuilder* dltbc3_new_ManualTransformBuilder(void) { return manual_new(3); }
+
+extern "C" void dlt_free_ManualTransformBuilder(DltManualBuilder* b) { delete b; }
+
+extern "C" void dlt_ManualTransformBuilder_SetDecorrelationMode(DltManualBuilder* b, int v) {
+    if (b && v >= 0 && v <= 3) b->variant = v;
+}
+extern "C" void dlt_ManualTransformBuilder_SetSplitColourEndpoints(DltManualBuilder* b, int v) {
+    if (b) b->split_colour = v ? 1 : 0;
+}
+extern "C" void dlt_ManualTransformBuilder_SetSplitAlphaEndpoints(DltManualBuilder* b, int v) {
+    if (b) b->split_alpha = v ? 1 : 0;  // BC3 only; ignored elsewhere
+}
+extern "C" int dlt_ManualTransformBuilder_GetDecorrelationMode(const DltManualBuilder* b) {
+    return b ? b->variant : -1;
+}
+extern "C" int dlt_ManualTransformBuilder_GetSplitColourEndpoints(const DltManualBuilder* b) {
+    return b ? b->split_colour : -1;
+}
+extern "C" int dlt_ManualTransformBuilder_GetSplitAlphaEndpoints(const DltManualBuilder* b) {
+    return b ? b->split_alpha : -1;
+}
+
+extern "C" int dlt_ManualTransformBuilder_Transform(const DltManualBuilder* b,
+                                                    const uint8_t* in, uint8_t* out,
+                                                    size_t len) {
+    if (!b) return -1;
+    switch (b->format) {
+        case 1: return dlt_bc1_transform(in, out, len, b->variant, b->split_colour);
+        case 2: return dlt_bc2_transform(in, out, len, b->variant, b->split_colour);
+        case 3: return dlt_bc3_transform(in, out, len, b->variant, b->split_alpha,
+                                         b->split_colour);
+        default: return -1;
+    }
+}
+
+extern "C" int dlt_ManualTransformBuilder_Untransform(const DltManualBuilder* b,
+                                                      const uint8_t* in, uint8_t* out,
+                                                      size_t len) {
+    if (!b) return -1;
+    switch (b->format) {
+        case 1: return dlt_bc1_untransform(in, out, len, b->variant, b->split_colour);
+        case 2: return dlt_bc2_untransform(in, out, len, b->variant, b->split_colour);
+        case 3: return dlt_bc3_untransform(in, out, len, b->variant, b->split_alpha,
+                                           b->split_colour);
+        default: return -1;
+    }
+}
+
+static DltAutoBuilder* auto_new(int format, const DltSizeEstimator* est) {
+    if (!est) return nullptr;
+    DltAutoBuilder* b = new (std::nothrow) DltAutoBuilder();
+    if (!b) return nullptr;
+    b->format = format;
+    b->estimator = *est;
+    b->use_all = 0;
+    return b;
+}
+
+extern "C" DltAutoBuilder* dltbc1_new_AutoTransformBuilder(const DltSizeEstimator* est) {
+    return auto_new(1, est);
+}
+extern "C" DltAutoBuilder* dltbc2_new_AutoTransformBuilder(const DltSizeEstimator* est) {
+    return auto_new(2, est);
+}
+extern "C" DltAutoBuilder* dltbc3_new_AutoTransformBuilder(const DltSizeEstimator* est) {
+    return auto_new(3, est);
+}
+
+extern "C" void dlt_free_AutoTransformBuilder(DltAutoBuilder* b) { delete b; }
+
+extern "C" void dlt_AutoTransformBuilder_SetUseAllDecorrelationModes(DltAutoBuilder* b,
+                                                                     int v) {
+    if (b) b->use_all = v ? 1 : 0;
+}
+
+// Transform with the best found settings; writes the untransform recipe into
+// `recipe` (the reference returns a ManualTransformBuilder the same way).
+extern "C" int dlt_AutoTransformBuilder_Transform(const DltAutoBuilder* b,
+                                                  const uint8_t* in, uint8_t* out,
+                                                  size_t len,
+                                                  DltManualBuilder* recipe) {
+    if (!b) return -1;
+    int variant = 0, sc = 0, sa = 0, rc = -1;
+    switch (b->format) {
+        case 1:
+            rc = dlt_bc1_transform_auto(in, out, len, &b->estimator, b->use_all,
+                                        &variant, &sc);
+            break;
+        case 2:
+            rc = dlt_bc2_transform_auto(in, out, len, &b->estimator, b->use_all,
+                                        &variant, &sc);
+            break;
+        case 3:
+            rc = dlt_bc3_transform_auto(in, out, len, &b->estimator, b->use_all,
+                                        &variant, &sa, &sc);
+            break;
+        default:
+            return -1;
+    }
+    if (rc == 0 && recipe) {
+        recipe->format = b->format;
+        recipe->variant = variant;
+        recipe->split_colour = sc;
+        recipe->split_alpha = sa;
+    }
+    return rc;
+}
+
+// ------------------------------------------------------------- DDS C exports --------
+// C analog of the reference's DDS exports (dds/src/dds/exports.rs:11-39); parsing
+// semantics mirror formats/dds.py (itself mirroring dds/parse_dds.rs).
+
+extern "C" {
+
+typedef struct DltDdsInfo {
+    int format;            // DdsFormat ids (formats/dds.py: BC1=2..BC5=11)
+    uint32_t data_offset;
+    uint32_t data_length;
+} DltDdsInfo;
+
+}  // extern "C"
+
+static uint32_t dds_u32(const uint8_t* d, size_t off) { return load32(d + off); }
+
+extern "C" int dlt_is_dds(const uint8_t* data, size_t len) {
+    return len >= 0x80 && dds_u32(data, 0) == 0x20534444u;
+}
+
+static uint64_t mip_chain_blocks(uint32_t w, uint32_t h, uint32_t mips,
+                                 uint64_t block_bytes, int blocked) {
+    uint64_t total = 0;
+    for (uint32_t i = 0; i < mips; i++) {
+        uint64_t level = blocked
+            ? (uint64_t)((w + 3) / 4) * ((h + 3) / 4) * block_bytes
+            : (uint64_t)w * h * block_bytes;
+        total += level;
+        if (total > 0xFFFFFFFFull) total = 0xFFFFFFFFull;
+        w = w > 1 ? w / 2 : 1;
+        h = h > 1 ? h / 2 : 1;
+    }
+    return total;
+}
+
+extern "C" int dlt_parse_dds_ignore_magic(const uint8_t* data, size_t len,
+                                          DltDdsInfo* out) {
+    if (len < 0x80 || !out) return -1;
+    uint32_t fourcc = dds_u32(data, 0x54);
+    int fmt = 1;  // UNKNOWN
+    uint32_t data_offset = 0x80;
+    if (fourcc == 0x30315844u) {  // 'DX10'
+        if (len < 0x80 + 20) return -1;
+        data_offset = 0x80 + 20;
+        uint32_t dxgi = dds_u32(data, 0x80);
+        if (dxgi >= 70 && dxgi <= 72) fmt = 2;        // BC1
+        else if (dxgi >= 73 && dxgi <= 75) fmt = 3;   // BC2
+        else if (dxgi >= 76 && dxgi <= 78) fmt = 4;   // BC3
+        else if (dxgi >= 79 && dxgi <= 81) fmt = 10;  // BC4
+        else if (dxgi >= 82 && dxgi <= 84) fmt = 11;  // BC5
+        else if (dxgi >= 94 && dxgi <= 96) fmt = 5;   // BC6H
+        else if (dxgi >= 97 && dxgi <= 99) fmt = 6;   // BC7
+        else if (dxgi >= 27 && dxgi <= 32) fmt = 7;   // RGBA8888
+        else if (dxgi == 87 || dxgi == 90 || dxgi == 91) fmt = 8;  // BGRA8888
+    } else {
+        uint32_t pf = dds_u32(data, 0x50);
+        if (pf & 0x4) {  // FOURCC
+            switch (fourcc) {
+                case 0x31545844u: fmt = 2; break;                    // DXT1
+                case 0x32545844u: case 0x33545844u: fmt = 3; break;  // DXT2/3
+                case 0x34545844u: case 0x35545844u: fmt = 4; break;  // DXT4/5
+                case 0x55344342u: case 0x53344342u: case 0x31495441u:
+                    fmt = 10; break;                                 // BC4U/S ATI1
+                case 0x55354342u: case 0x53354342u: case 0x32495441u:
+                    fmt = 11; break;                                 // BC5U/S ATI2
+                default: fmt = 1;
+            }
+        } else if (pf & 0x40) {  // RGB masks
+            uint32_t bits = dds_u32(data, 0x58);
+            uint32_t r = dds_u32(data, 0x5C), g = dds_u32(data, 0x60);
+            uint32_t b = dds_u32(data, 0x64), a = dds_u32(data, 0x68);
+            if (bits == 24 && r == 0xFF0000u && g == 0xFF00u && b == 0xFFu && !a)
+                fmt = 9;  // BGR888
+            else if (bits == 32 && (pf & 0x1)) {
+                if (r == 0xFFu && g == 0xFF00u && b == 0xFF0000u && a == 0xFF000000u)
+                    fmt = 7;
+                else if (r == 0xFF0000u && g == 0xFF00u && b == 0xFFu &&
+                         a == 0xFF000000u)
+                    fmt = 8;
+            }
+        }
+    }
+    uint32_t flags = dds_u32(data, 0x08);
+    uint32_t height = dds_u32(data, 0x0C);
+    uint32_t width = dds_u32(data, 0x10);
+    uint32_t mips = (flags & 0x20000u) ? dds_u32(data, 0x1C) : 1;
+    if (mips == 0) mips = 1;
+    uint64_t length;
+    switch (fmt) {
+        case 2: case 10: length = mip_chain_blocks(width, height, mips, 8, 1); break;
+        case 3: case 4: case 5: case 6: case 11:
+            length = mip_chain_blocks(width, height, mips, 16, 1); break;
+        case 7: case 8: length = mip_chain_blocks(width, height, mips, 4, 0); break;
+        case 9: length = mip_chain_blocks(width, height, mips, 3, 0); break;
+        default: length = 0;
+    }
+    // cubemap faces / array surfaces (formats/dds.py::_surface_count)
+    uint64_t surfaces = 1;
+    if (fourcc == 0x30315844u && len >= 0x80 + 20) {
+        uint32_t arr = dds_u32(data, 0x8C);
+        surfaces = arr ? arr : 1;
+        if (dds_u32(data, 0x88) & 0x4) surfaces *= 6;
+    } else {
+        uint32_t caps2 = dds_u32(data, 0x70);
+        if (caps2 & 0x200u) {
+            uint32_t faces = caps2 & 0xFC00u;
+            int nf = 0;
+            while (faces) { nf += faces & 1; faces >>= 1; }
+            surfaces = nf ? nf : 6;
+        }
+    }
+    length *= surfaces;
+    if (length > 0xFFFFFFFFull) length = 0xFFFFFFFFull;
+    out->format = fmt;
+    out->data_offset = data_offset;
+    out->data_length = (uint32_t)length;
+    return 0;
+}
+
+extern "C" int dlt_parse_dds(const uint8_t* data, size_t len, DltDdsInfo* out) {
+    if (!dlt_is_dds(data, len)) return -1;
+    return dlt_parse_dds_ignore_magic(data, len, out);
 }
 
 extern "C" int dlt_version(void) { return 3; }

@@ -32,6 +32,35 @@ extern int dlt_bc2_untransform(const uint8_t* in, uint8_t* out, size_t len,
                                int variant, int split);
 extern void dlt_estimator_ltu(DltSizeEstimator* out);
 
+/* round-3 C API additions */
+typedef struct DltManualBuilder DltManualBuilder;
+typedef struct DltAutoBuilder DltAutoBuilder;
+typedef struct DltDdsInfo {
+    int format;
+    uint32_t data_offset;
+    uint32_t data_length;
+} DltDdsInfo;
+extern const char* dlt_error_message(int rc);
+extern DltManualBuilder* dltbc1_new_ManualTransformBuilder(void);
+extern void dlt_free_ManualTransformBuilder(DltManualBuilder*);
+extern void dlt_ManualTransformBuilder_SetDecorrelationMode(DltManualBuilder*, int);
+extern void dlt_ManualTransformBuilder_SetSplitColourEndpoints(DltManualBuilder*, int);
+extern int dlt_ManualTransformBuilder_GetDecorrelationMode(const DltManualBuilder*);
+extern int dlt_ManualTransformBuilder_GetSplitColourEndpoints(const DltManualBuilder*);
+extern int dlt_ManualTransformBuilder_Transform(const DltManualBuilder*,
+                                                const uint8_t*, uint8_t*, size_t);
+extern int dlt_ManualTransformBuilder_Untransform(const DltManualBuilder*,
+                                                  const uint8_t*, uint8_t*, size_t);
+extern DltAutoBuilder* dltbc1_new_AutoTransformBuilder(const DltSizeEstimator*);
+extern void dlt_free_AutoTransformBuilder(DltAutoBuilder*);
+extern void dlt_AutoTransformBuilder_SetUseAllDecorrelationModes(DltAutoBuilder*, int);
+extern int dlt_AutoTransformBuilder_Transform(const DltAutoBuilder*, const uint8_t*,
+                                              uint8_t*, size_t, DltManualBuilder*);
+extern int dlt_bc3_transform_auto(const uint8_t*, uint8_t*, size_t,
+                                  const DltSizeEstimator*, int, int*, int*, int*);
+extern int dlt_is_dds(const uint8_t*, size_t);
+extern int dlt_parse_dds(const uint8_t*, size_t, DltDdsInfo*);
+
 /* Custom estimator: count byte-pair repeats at distance ctx->stride (a toy
  * LZ-ish proxy); also records how many times it was called. */
 typedef struct {
@@ -88,7 +117,72 @@ int main(void) {
     DltSizeEstimator bad = {NULL, my_max, NULL};
     if (dlt_bc1_transform_auto(in, out, len, &bad, 0, &variant, &split) == 0) return 9;
 
-    printf("vtable auto-search ok (picked variant=%d split=%d)\n", variant, split);
+    /* ---- round-3 additions: builders, error strings, BC3 auto, DDS ---- */
+
+    /* error-message API */
+    if (strcmp(dlt_error_message(0), "success") != 0) return 10;
+    if (!strlen(dlt_error_message(-2))) return 11;
+
+    /* auto builder -> manual recipe -> untransform, all through opaque handles */
+    DltAutoBuilder* ab = dltbc1_new_AutoTransformBuilder(&ltu);
+    if (!ab) return 12;
+    dlt_AutoTransformBuilder_SetUseAllDecorrelationModes(ab, 1);
+    DltManualBuilder* recipe = dltbc1_new_ManualTransformBuilder();
+    if (!recipe) return 13;
+    if (dlt_AutoTransformBuilder_Transform(ab, in, out, len, recipe)) return 14;
+    if (dlt_ManualTransformBuilder_Untransform(recipe, out, back, len)) return 15;
+    if (memcmp(in, back, len)) { fprintf(stderr, "builder roundtrip mismatch\n"); return 16; }
+    dlt_free_AutoTransformBuilder(ab);
+
+    /* manual builder configuration round-trips through getters */
+    dlt_ManualTransformBuilder_SetDecorrelationMode(recipe, 3);
+    dlt_ManualTransformBuilder_SetSplitColourEndpoints(recipe, 0);
+    if (dlt_ManualTransformBuilder_GetDecorrelationMode(recipe) != 3) return 17;
+    if (dlt_ManualTransformBuilder_GetSplitColourEndpoints(recipe) != 0) return 18;
+    if (dlt_ManualTransformBuilder_Transform(recipe, in, out, len)) return 19;
+    if (dlt_ManualTransformBuilder_Untransform(recipe, out, back, len)) return 20;
+    if (memcmp(in, back, len)) return 21;
+    dlt_free_ManualTransformBuilder(recipe);
+
+    /* BC3 auto through the 3-knob entry point */
+    int sa = -1, sc = -1;
+    if (dlt_bc3_transform_auto(in, out, len2, &ltu, 0, &variant, &sa, &sc)) return 22;
+    {
+        extern int dlt_bc3_untransform(const uint8_t*, uint8_t*, size_t, int, int, int);
+        if (dlt_bc3_untransform(out, back, len2, variant, sa, sc)) return 23;
+        if (memcmp(in, back, len2)) { fprintf(stderr, "bc3 auto roundtrip mismatch\n"); return 24; }
+    }
+
+    /* DDS parse: synthesize a minimal legacy BC1 header */
+    {
+        uint8_t hdr[0x80 + 32];
+        memset(hdr, 0, sizeof hdr);
+        uint32_t magic = 0x20534444u, hsz = 124, flags = 0x21007u; /* CAPS|HEIGHT|WIDTH|PIXELFORMAT|MIPMAPCOUNT */
+        uint32_t h = 8, w = 16, mips = 2, pfsize = 32, pfflags = 0x4, fourcc = 0x31545844u;
+        memcpy(hdr + 0x00, &magic, 4);
+        memcpy(hdr + 0x04, &hsz, 4);
+        memcpy(hdr + 0x08, &flags, 4);
+        memcpy(hdr + 0x0C, &h, 4);
+        memcpy(hdr + 0x10, &w, 4);
+        memcpy(hdr + 0x1C, &mips, 4);
+        memcpy(hdr + 0x4C, &pfsize, 4);
+        memcpy(hdr + 0x50, &pfflags, 4);
+        memcpy(hdr + 0x54, &fourcc, 4);
+        if (!dlt_is_dds(hdr, sizeof hdr)) return 25;
+        DltDdsInfo info;
+        if (dlt_parse_dds(hdr, sizeof hdr, &info)) return 26;
+        /* mip0: 4x2 blocks * 8 = 64; mip1: 2x1 * 8 = 16 */
+        if (info.format != 2 || info.data_offset != 0x80 || info.data_length != 80) {
+            fprintf(stderr, "dds parse: fmt=%d off=%u len=%u\n", info.format,
+                    info.data_offset, info.data_length);
+            return 27;
+        }
+        hdr[0] = 'X';
+        if (dlt_is_dds(hdr, sizeof hdr)) return 28;
+    }
+
+    printf("vtable + builder + dds C API ok (picked variant=%d split=%d)\n",
+           variant, split);
     free(in); free(out); free(back);
     return 0;
 }

@@ -133,3 +133,53 @@ def test_bc3_normalization_colour_modes_distinguishable():
         _, _, score = _scored_auto(auto.transform_bc3_auto, normalized, est, False, fmt="bc3")
         scores[cm] = score
     assert len(set(scores.values())) > 1  # colour modes actually distinguish
+
+
+def test_typed_errors_per_format():
+    """Ops-layer typed errors (reference: Bc1ValidationError safe/mod.rs:15-23,
+    DetermineBestTransformError transform_auto.rs:15-23)."""
+    import pytest
+
+    from dxt_lossless_transform_tpu import errors
+    from dxt_lossless_transform_tpu.ops import (
+        auto as ops_auto, bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3,
+        bc45 as ops_bc45, bc7 as ops_bc7,
+    )
+
+    with pytest.raises(errors.Bc1ValidationError) as e1:
+        ops_bc1.transform(b"\x00" * 7)
+    assert e1.value.divisor == 8 and isinstance(e1.value, ValueError)
+    with pytest.raises(errors.Bc2ValidationError):
+        ops_bc2.transform(b"\x00" * 15)
+    with pytest.raises(errors.Bc3ValidationError):
+        ops_bc3.transform(b"\x00" * 15)
+    with pytest.raises(errors.Bc4ValidationError):
+        ops_bc45.transform_bc4(b"\x00" * 7)
+    with pytest.raises(errors.Bc5ValidationError):
+        ops_bc45.transform_bc5(b"\x00" * 15)
+    with pytest.raises(errors.Bc7ValidationError):
+        ops_bc7.transform(b"\x00" * 15)
+
+    class Failing:
+        on_device = False
+
+        def max_compressed_size(self, n):
+            return 0
+
+        def estimate(self, data):
+            raise OSError("boom")
+
+        def estimate_batch(self, regions):
+            raise OSError("boom")
+
+        def estimate_batch_device(self, regions, valid_len):
+            return None
+
+    data = b"\x00" * 64
+    with pytest.raises(errors.AutoTransformError) as ea:
+        ops_auto.transform_bc1_auto(data, Failing())
+    assert ea.value.fmt == "BC1"
+    with pytest.raises(errors.AutoTransformError):
+        ops_auto.transform_bc2_auto(b"\x00" * 128, Failing())
+    with pytest.raises(errors.AutoTransformError):
+        ops_auto.transform_bc3_auto(b"\x00" * 128, Failing())

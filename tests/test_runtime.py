@@ -100,7 +100,9 @@ def test_estimator_vtable_builtin_and_errors():
     def boom(_buf):
         raise RuntimeError("estimator failed")
 
-    with pytest.raises(ValueError):
+    from dxt_lossless_transform_tpu.errors import AutoTransformError
+
+    with pytest.raises(AutoTransformError):
         runtime.bc1_transform_auto(testgen.bc1_realistic(64, seed=0),
                                    runtime.make_estimator(boom))
 
@@ -146,3 +148,38 @@ def test_native_rgb_matches_oracle():
             assert t == org.transform(data, layout, s), (layout, s)
             assert runtime.rgb_untransform(t, layout, s.decorrelate,
                                            s.split_channels) == data, (layout, s)
+
+
+def test_native_dds_parser_matches_python(reference_assets):
+    """dlt_parse_dds (C) vs formats.dds.parse_dds (Python) on the real assets."""
+    import ctypes
+    import os
+
+    from dxt_lossless_transform_tpu.formats.dds import parse_dds
+    from dxt_lossless_transform_tpu import runtime as rt
+
+    lib = rt._try_load()
+    if lib is None:
+        pytest.skip("native runtime unavailable")
+
+    class DdsInfo(ctypes.Structure):
+        _fields_ = [("format", ctypes.c_int), ("data_offset", ctypes.c_uint32),
+                    ("data_length", ctypes.c_uint32)]
+
+    lib.dlt_parse_dds.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                                  ctypes.POINTER(DdsInfo)]
+    lib.dlt_parse_dds.restype = ctypes.c_int
+    lib.dlt_is_dds.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
+    lib.dlt_is_dds.restype = ctypes.c_int
+
+    for name in sorted(os.listdir(reference_assets)):
+        if not name.endswith(".dds"):
+            continue
+        raw = open(os.path.join(reference_assets, name), "rb").read()
+        info_py = parse_dds(raw)
+        info_c = DdsInfo()
+        assert lib.dlt_is_dds(rt._buf(raw), len(raw)) == 1, name
+        assert lib.dlt_parse_dds(rt._buf(raw), len(raw), ctypes.byref(info_c)) == 0
+        assert info_c.format == int(info_py.format), name
+        assert info_c.data_offset == info_py.data_offset, name
+        assert info_c.data_length == info_py.data_length, name
