@@ -355,27 +355,40 @@ def main():
 
     run_stage("kernel parity (quick)", stage_parity, cost_s=35)
 
-    # ---- compression ratio, synthetic corpus (8x 512^2 BC1) ----
+    # ---- compression ratio, realistic corpus (photo/normal/flat/tiled/terrain
+    # families with full mip chains; the full 90-file study lives in
+    # CORPUS_REPORT.md) ----
     def stage_ratio():
         import zstandard as _z
 
         from dxt_lossless_transform_tpu.estimate import ZstdEstimation as _ZE
         from dxt_lossless_transform_tpu.ops import auto as _auto
-        from dxt_lossless_transform_tpu.utils.encode import (
-            encode_bc1, procedural_texture)
+        from dxt_lossless_transform_tpu.settings import Bc1TransformSettings
+        from dxt_lossless_transform_tpu.ops import bc1 as _ops_bc1
+        from dxt_lossless_transform_tpu.utils import corpus as _corpus
+        from dxt_lossless_transform_tpu.utils.encode import encode_bc1
 
         cctx16 = _z.ZstdCompressor(level=16)
         est1 = _ZE(1)
-        plain_total = trans_total = 0
-        for seed in range(8):
-            payload = encode_bc1(procedural_texture(512, seed=seed)[..., :3])
+        plain_total = default_total = auto_total = 0
+        for _family, mips in _corpus.build_realistic_corpus(
+                30, sizes=(256, 512, 1024)):
+            payload = _corpus.encode_mips(
+                mips, lambda im: encode_bc1(im[..., :3]))
+            default = _ops_bc1.transform(payload, Bc1TransformSettings())
             out, _ = _auto.transform_bc1_auto(payload, est1,
                                               use_all_decorrelation_modes=True)
             plain_total += len(cctx16.compress(payload))
-            trans_total += len(cctx16.compress(out))
+            default_total += len(cctx16.compress(default))
+            auto_total += len(cctx16.compress(out))
         _details["corpus_ratio"] = {
-            "plain_zstd16": plain_total, "transformed_zstd16": trans_total,
-            "reduction_pct": round(100.0 * (1 - trans_total / plain_total), 2),
+            "corpus": "30 realistic textures (photo/normal/flat/tiled/terrain, "
+                      "256-1024 px, full mip chains; 90-file study: "
+                      "CORPUS_REPORT.md)",
+            "plain_zstd16": plain_total,
+            "default_zstd16": default_total,
+            "transformed_zstd16": auto_total,
+            "reduction_pct": round(100.0 * (1 - auto_total / plain_total), 2),
         }
 
     run_stage("corpus ratio", stage_ratio, cost_s=40)
@@ -402,6 +415,61 @@ def main():
         }
 
     run_stage("ratio check (reference asset)", stage_ratio_ref, cost_s=10)
+
+    # ---- CLI batch pipeline vs per-file path on a many-small-files tree
+    # (reference analog: the rayon-parallel production path,
+    # commands/transform/mod.rs:166-187) ----
+    def stage_cli_batch():
+        import shutil
+        import tempfile
+
+        from dxt_lossless_transform_tpu.cli.main import main as cli_main
+        from dxt_lossless_transform_tpu.utils import testgen
+
+        root = tempfile.mkdtemp(prefix="dlt_bench_cli_")
+        try:
+            src = os.path.join(root, "in")
+            os.makedirs(src)
+            n_files = 96
+            total = 0
+            for i in range(n_files):
+                blob = testgen.make_dds("BC1", 128, 128, mipmaps=1, seed=i)
+                total += len(blob)
+                with open(os.path.join(src, f"t{i:03d}.dds"), "wb") as f:
+                    f.write(blob)
+            # batched: the device batch pipeline. per_file_host: the default
+            # per-file path (payloads under DLT_DEVICE_MIN_BYTES stay on the
+            # native host runtime). per_file_device: threshold forced to 0 so
+            # every file pays its own device dispatches -- the cost the batch
+            # pipeline exists to amortize.
+            rows = {}
+            for label, flag, thresh, reps in (
+                    ("batched", "--batch", None, 3),
+                    ("per_file_host", "--no-batch", None, 3),
+                    ("per_file_device", "--no-batch", "0", 1)):
+                if thresh is not None:
+                    os.environ["DLT_DEVICE_MIN_BYTES"] = thresh
+                try:
+                    best = None
+                    for rep in range(reps):  # best-of-N damps warmup jitter
+                        out = os.path.join(root, f"{label}{rep}")
+                        t0 = time.perf_counter()
+                        rc = cli_main(["transform", src, out, "--preset",
+                                       "medium", flag])
+                        dt = time.perf_counter() - t0
+                        if rc == 0 and (best is None or dt < best):
+                            best = dt
+                finally:
+                    if thresh is not None:
+                        del os.environ["DLT_DEVICE_MIN_BYTES"]
+                if best is not None:
+                    rows[label] = {"files_per_s": round(n_files / best, 1),
+                                   "MiBps": round(total / best / (1 << 20), 1)}
+            _details["cli_tree_96x128px"] = rows
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run_stage("cli batch pipeline", stage_cli_batch, cost_s=45)
 
     _stage_log("done")
     _finalize()
