@@ -305,6 +305,22 @@ def main():
 
     run_stage("auto-search", stage_auto, cost_s=25)
 
+    # reference baselines: BC2 LTU auto ~2036 MiB/s (bc2-api/README.MD:53),
+    # BC3 LTU auto ~678 MiB/s (bc3/src/transform/transform_auto.rs:100)
+    def stage_auto_bc23(name):
+        from dxt_lossless_transform_tpu.parallel import sharded as _sh
+
+        step = {"bc2": _sh.bc2_auto_step_single, "bc3": _sh.bc3_auto_step_single}[name]
+
+        def run():
+            flat = jnp.asarray(rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
+            t_auto = _bench(lambda f: step(f), flat, iters=10)
+            _details[f"{name}_auto_transform_MiBps"] = nbytes / t_auto / (1 << 20)
+        return run
+
+    run_stage("auto-search bc2", stage_auto_bc23("bc2"), cost_s=20)
+    run_stage("auto-search bc3", stage_auto_bc23("bc3"), cost_s=20)
+
     def stage_auto_batched():
         from dxt_lossless_transform_tpu.parallel.sharded import (
             auto_step_batched, _BC1_CANDIDATES)

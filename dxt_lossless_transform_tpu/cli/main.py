@@ -127,11 +127,11 @@ def _process_tree(args, work_fn, verb: str):
     return 1 if failures else 0
 
 
-_BATCH_FORMATS = {"bc1", "bc2", "bc3"}
+_BATCH_FORMATS = {"bc1", "bc2", "bc3", "bc4", "bc5"}
 
 
 def _transform_batched(args, bundle, handlers):
-    """Batch path (medium preset): group same-format BC1/BC2/BC3 DDS payloads across
+    """Batch path (medium preset): group same-format BC1-BC5 DDS payloads across
     files into fixed-shape device batches (``parallel.pipeline.BatchProcessor`` --
     the rayon-work-stealing analog, ``commands/transform/mod.rs:166-187``), keeping
     per-file error isolation and ordered output. Other formats and non-DDS files take
@@ -142,7 +142,8 @@ def _transform_batched(args, bundle, handlers):
     from ..parallel.pipeline import BatchProcessor
 
     for_header = {"bc1": TransformHeader.for_bc1, "bc2": TransformHeader.for_bc2,
-                  "bc3": TransformHeader.for_bc3}
+                  "bc3": TransformHeader.for_bc3, "bc4": TransformHeader.for_bc4,
+                  "bc5": TransformHeader.for_bc5}
 
     src, dst = Path(args.input), Path(args.output)
     files = find_all_files(src)
@@ -158,7 +159,7 @@ def _transform_batched(args, bundle, handlers):
         out.parent.mkdir(parents=True, exist_ok=True)
         return out
 
-    # Partition: batchable BC1/BC2/BC3 DDS payloads vs per-file fallback.
+    # Partition: batchable BC1-BC5 DDS payloads vs per-file fallback.
     groups: dict = {fmt: [] for fmt in _BATCH_FORMATS}
     fallback = []
     for f in files:

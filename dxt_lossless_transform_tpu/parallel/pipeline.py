@@ -19,6 +19,7 @@ import numpy as np
 
 from ..settings import (
     BC1_FAST_CANDIDATES, BC2_FAST_CANDIDATES, BC3_FAST_CANDIDATES,
+    Bc4TransformSettings, Bc5TransformSettings,
 )
 from ..ops import lanes
 from . import sharded
@@ -79,6 +80,32 @@ def _serialize_bc3(streams, n, s) -> bytes:
     return alpha + aidx.tobytes() + colours + _u32s(cidx, n)
 
 
+def _idx_u16s(h1, h2, h3, n) -> bytes:
+    """Three u16 index lanes -> the interleaved per-block 6-byte index stream."""
+    idx = np.empty((n, 3), "<u2")
+    idx[:, 0], idx[:, 1], idx[:, 2] = h1[:n], h2[:n], h3[:n]
+    return idx.tobytes()
+
+
+def _ep_bytes(ep, n, split: bool) -> bytes:
+    if split:
+        return ((ep[:n] & 0xFF).astype(np.uint8).tobytes()
+                + ((ep[:n] >> 8) & 0xFF).astype(np.uint8).tobytes())
+    return _u16s(ep, n)
+
+
+def _serialize_bc4(streams, n, s) -> bytes:
+    ep, h1, h2, h3 = streams
+    return _ep_bytes(ep, n, s.split_endpoints) + _idx_u16s(h1, h2, h3, n)
+
+
+def _serialize_bc5(streams, n, s) -> bytes:
+    r_ep, g_ep, rh1, rh2, rh3, gh1, gh2, gh3 = streams
+    return (_ep_bytes(r_ep, n, s.split_endpoints)
+            + _ep_bytes(g_ep, n, s.split_endpoints)
+            + _idx_u16s(rh1, rh2, rh3, n) + _idx_u16s(gh1, gh2, gh3, n))
+
+
 _FORMATS = {
     "bc1": dict(block_size=8, words=2, candidates=BC1_FAST_CANDIDATES,
                 single=sharded.bc1_auto_step_single, step=sharded.bc1_auto_step,
@@ -93,6 +120,16 @@ _FORMATS = {
                 serialize=_serialize_bc3,
                 key=lambda c: (int(c.decorrelation_mode), c.split_alpha_endpoints,
                                c.split_colour_endpoints)),
+    "bc4": dict(block_size=8, words=2,
+                candidates=tuple(Bc4TransformSettings.all_combinations()),
+                single=sharded.bc4_auto_step_single, step=sharded.bc4_auto_step,
+                serialize=_serialize_bc4,
+                key=lambda c: (c.split_endpoints,)),
+    "bc5": dict(block_size=16, words=4,
+                candidates=tuple(Bc5TransformSettings.all_combinations()),
+                single=sharded.bc5_auto_step_single, step=sharded.bc5_auto_step,
+                serialize=_serialize_bc5,
+                key=lambda c: (c.split_endpoints,)),
 }
 
 
@@ -177,6 +214,16 @@ class Bc2BatchProcessor(BatchProcessor):
 class Bc3BatchProcessor(BatchProcessor):
     def __init__(self, mesh=None, candidates=None, max_batch: int = 64):
         super().__init__("bc3", mesh, candidates, max_batch)
+
+
+class Bc4BatchProcessor(BatchProcessor):
+    def __init__(self, mesh=None, candidates=None, max_batch: int = 64):
+        super().__init__("bc4", mesh, candidates, max_batch)
+
+
+class Bc5BatchProcessor(BatchProcessor):
+    def __init__(self, mesh=None, candidates=None, max_batch: int = 64):
+        super().__init__("bc5", mesh, candidates, max_batch)
 
 
 def transform_corpus_bc1(payloads: Sequence[bytes], mesh=None,

@@ -41,7 +41,10 @@ def _scores(regions, valid_len, offsets, allow_pallas: bool):
     return _coverage_scores(regions, valid_len, offsets)
 from ..ops import lanes, ycocg
 from ..ops.auto import _colour_region_row, _compact_pair, _decorrelated_pairs
-from ..settings import BC1_FAST_CANDIDATES, BC2_FAST_CANDIDATES, BC3_FAST_CANDIDATES
+from ..settings import (
+    BC1_FAST_CANDIDATES, BC2_FAST_CANDIDATES, BC3_FAST_CANDIDATES,
+    Bc4TransformSettings, Bc5TransformSettings,
+)
 
 _BC1_CANDIDATES: Tuple[Tuple[int, bool], ...] = tuple(
     (int(c.decorrelation_mode), c.split_colour_endpoints) for c in BC1_FAST_CANDIDATES)
@@ -50,6 +53,10 @@ _BC2_CANDIDATES: Tuple[Tuple[int, bool], ...] = tuple(
 _BC3_CANDIDATES: Tuple[Tuple[int, bool, bool], ...] = tuple(
     (int(c.decorrelation_mode), c.split_alpha_endpoints, c.split_colour_endpoints)
     for c in BC3_FAST_CANDIDATES)
+_BC4_CANDIDATES: Tuple[Tuple[bool], ...] = tuple(
+    (c.split_endpoints,) for c in Bc4TransformSettings.all_combinations())
+_BC5_CANDIDATES: Tuple[Tuple[bool], ...] = tuple(
+    (c.split_endpoints,) for c in Bc5TransformSettings.all_combinations())
 
 
 def _pick_and_decorrelate(colors, candidates, variant_col, scores):
@@ -257,8 +264,86 @@ def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
     return ep, h1, h2, h3, d0, d1, cidx, best
 
 
+def _ep_region_rows(ep, n_valid, candidates):
+    """BC4/BC5 endpoint-region rows per candidate: split -> [lo stream][hi stream]
+    (compacted), else interleaved u16 bytes. ``ep`` is an int32 u16 lane array."""
+    interleaved = lanes.u16_to_byte_lanes(ep).astype(jnp.uint8)
+    split_row = _compact_pair((ep & 0xFF).astype(jnp.uint8),
+                              ((ep >> 8) & 0xFF).astype(jnp.uint8), n_valid)
+    return jnp.stack([split_row if sp else interleaved for (sp,) in candidates])
+
+
+def _bc4_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
+                      mesh=None):
+    """BC4 estimation region = the endpoint stream (2 B/block; the 6 B/block index
+    section is never itself transformed -- ``oracle/bc4.py`` layout)."""
+    def regions_fn(flat, vl):
+        w0, w1 = lanes.deinterleave(flat.astype(jnp.uint32), 2)
+        ep, h1 = lanes.split_u32(w0)
+        h2, h3 = lanes.split_u32(w1)
+        return _ep_region_rows(ep, vl // 4, candidates), ep, h1, h2, h3
+
+    rows, ep, h1, h2, h3 = jax.vmap(regions_fn)(flats, valid_lens)
+    scores = _scores_flat(rows, valid_lens // 2, offsets, allow_pallas, mesh)
+    best = jnp.argmin(scores, axis=1).astype(jnp.int32)
+    return ep, h1, h2, h3, best
+
+
+def _bc5_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
+                      mesh=None):
+    """BC5 = two BC4 channels; the R and G endpoint regions are scored separately
+    and summed (the host auto concatenates them -- rank-equivalent for the
+    coverage estimator)."""
+    def regions_fn(flat, vl):
+        rw0, rw1, gw0, gw1 = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+        r_ep, rh1 = lanes.split_u32(rw0)
+        rh2, rh3 = lanes.split_u32(rw1)
+        g_ep, gh1 = lanes.split_u32(gw0)
+        gh2, gh3 = lanes.split_u32(gw1)
+        n_valid = vl // 4
+        return (_ep_region_rows(r_ep, n_valid, candidates),
+                _ep_region_rows(g_ep, n_valid, candidates),
+                r_ep, g_ep, rh1, rh2, rh3, gh1, gh2, gh3)
+
+    (r_rows, g_rows, r_ep, g_ep, rh1, rh2, rh3, gh1, gh2, gh3) = jax.vmap(
+        regions_fn)(flats, valid_lens)
+    scores = (_scores_flat(r_rows, valid_lens // 2, offsets, allow_pallas, mesh)
+              + _scores_flat(g_rows, valid_lens // 2, offsets, allow_pallas, mesh))
+    best = jnp.argmin(scores, axis=1).astype(jnp.int32)
+    return r_ep, g_ep, rh1, rh2, rh3, gh1, gh2, gh3, best
+
+
+@partial(jax.jit, static_argnames=("candidates", "offsets", "allow_pallas"))
+def bc4_auto_step_single(flat, valid_len=None,
+                         candidates: Tuple[Tuple[bool], ...] = _BC4_CANDIDATES,
+                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS,
+                         allow_pallas: bool = True):
+    """Flat uint32[2N] word image -> (ep, h1, h2, h3, best)."""
+    n = flat.shape[0] // 2
+    if valid_len is None:
+        valid_len = jnp.int32(4 * n)
+    out = _bc4_batched_impl(flat[None], jnp.asarray(valid_len)[None], candidates,
+                            offsets, allow_pallas)
+    return tuple(o[0] for o in out)
+
+
+@partial(jax.jit, static_argnames=("candidates", "offsets", "allow_pallas"))
+def bc5_auto_step_single(flat, valid_len=None,
+                         candidates: Tuple[Tuple[bool], ...] = _BC5_CANDIDATES,
+                         offsets: Tuple[int, ...] = DEFAULT_OFFSETS,
+                         allow_pallas: bool = True):
+    """Flat uint32[4N] word image -> (r_ep, g_ep, R/G index lanes..., best)."""
+    n = flat.shape[0] // 4
+    if valid_len is None:
+        valid_len = jnp.int32(4 * n)
+    out = _bc5_batched_impl(flat[None], jnp.asarray(valid_len)[None], candidates,
+                            offsets, allow_pallas)
+    return tuple(o[0] for o in out)
+
+
 _BATCHED_IMPLS = {"bc1": _bc1_batched_impl, "bc2": _bc2_batched_impl,
-                  "bc3": _bc3_batched_impl}
+                  "bc3": _bc3_batched_impl, "bc4": _bc4_batched_impl,
+                  "bc5": _bc5_batched_impl}
 
 
 def auto_step_batched(fmt: str, candidates, offsets=DEFAULT_OFFSETS):
@@ -298,6 +383,16 @@ def bc2_auto_step(mesh: Mesh, candidates=_BC2_CANDIDATES, offsets=DEFAULT_OFFSET
 def bc3_auto_step(mesh: Mesh, candidates=_BC3_CANDIDATES, offsets=DEFAULT_OFFSETS):
     """Batched+sharded BC3 step: (B, 4N) words -> 7 stream arrays + best (B,)."""
     return _batched(mesh, "bc3", 8, candidates, offsets)
+
+
+def bc4_auto_step(mesh: Mesh, candidates=_BC4_CANDIDATES, offsets=DEFAULT_OFFSETS):
+    """Batched+sharded BC4 step: (B, 2N) words -> 4 stream arrays + best (B,)."""
+    return _batched(mesh, "bc4", 5, candidates, offsets)
+
+
+def bc5_auto_step(mesh: Mesh, candidates=_BC5_CANDIDATES, offsets=DEFAULT_OFFSETS):
+    """Batched+sharded BC5 step: (B, 4N) words -> 8 stream arrays + best (B,)."""
+    return _batched(mesh, "bc5", 9, candidates, offsets)
 
 
 # --- BC7 / BC6H mode-aware sharded steps --------------------------------------------------

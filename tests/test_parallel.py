@@ -95,6 +95,39 @@ def test_batch_pipeline_bc2_bc3(fmt):
         assert oracle.untransform(r.transformed, r.settings) == data
 
 
+@pytest.mark.parametrize("fmt,use_mesh", [("bc4", False), ("bc4", True),
+                                          ("bc5", False), ("bc5", True)])
+def test_batch_pipeline_bc4_bc5(fmt, use_mesh):
+    from dxt_lossless_transform_tpu.parallel.pipeline import BatchProcessor
+    from dxt_lossless_transform_tpu.oracle import bc4 as obc45
+
+    bs = {"bc4": 8, "bc5": 16}[fmt]
+    tf = {"bc4": obc45.transform_bc4, "bc5": obc45.transform_bc5}[fmt]
+    utf = {"bc4": obc45.untransform_bc4, "bc5": obc45.untransform_bc5}[fmt]
+    proc = BatchProcessor(fmt, mesh=make_mesh(8) if use_mesh else None, max_batch=4)
+    payloads = [testgen.bc_blocks(n, bs, seed=n) for n in (100, 2048, 3000)]
+    results = proc.process(payloads)
+    assert [r.index for r in results] == list(range(len(payloads)))
+    for r, data in zip(results, payloads):
+        assert r.transformed == tf(data, r.settings)
+        assert utf(r.transformed, r.settings) == data
+
+
+def test_bc4_single_step_matches_host_auto():
+    from dxt_lossless_transform_tpu.ops.bc45 import transform_bc4_auto
+    from dxt_lossless_transform_tpu.parallel import bc4_auto_step_single
+    from dxt_lossless_transform_tpu.parallel.pipeline import _serialize_bc4
+    from dxt_lossless_transform_tpu.settings import Bc4TransformSettings
+
+    data = testgen.bc_blocks(1500, 8, seed=77)
+    host_out, host_settings = transform_bc4_auto(data, LtuEstimation())
+    flat = jnp.asarray(np.frombuffer(data, "<u4"))
+    out = jax.device_get(bc4_auto_step_single(flat))
+    settings = tuple(Bc4TransformSettings.all_combinations())[int(out[-1])]
+    assert settings == host_settings
+    assert _serialize_bc4(out[:-1], 1500, settings) == host_out
+
+
 def test_sharded_modesort_step_matches_oracle():
     # BC7/BC6H sharded step: blocks axis sharded across the mesh; chunk-local sort
     # keeps every chunk inside one shard, so the result must equal the host oracle.
