@@ -274,7 +274,7 @@ def main():
         from dxt_lossless_transform_tpu.ops import bc7 as ops_bc7
 
         nblk = nbytes // 16
-        words7 = jnp.asarray(rng.integers(0, 2**32, (nblk, 4), dtype=np.uint32))
+        words7 = jnp.asarray(rng.integers(0, 2**32, 4 * nblk, dtype=np.uint32))
         results["bc7"] = {}
         for label, sort7 in (("sort_planes", True), ("planes_only", False)):
             fwd7 = lambda w: ops_bc7.transform_device(w, nblk, sort7, True)
@@ -285,8 +285,9 @@ def main():
             m_np[1::2] = sraw >> 4
             modes7 = jnp.asarray(m_np)
             inv7 = lambda p: ops_bc7.untransform_device(p, modes7, nblk, sort7, True)
-            t_fwd = _bench(fwd7, words7)
-            t_inv = _bench(inv7, planes)
+            # best-of-2: the shared relay chip shows 2x run-to-run contention noise
+            t_fwd = min(_bench(fwd7, words7, iters=10), _bench(fwd7, words7, iters=10))
+            t_inv = min(_bench(inv7, planes, iters=10), _bench(inv7, planes, iters=10))
             results["bc7"][label] = {
                 "transform_GBps": nbytes / t_fwd / 1e9,
                 "untransform_GBps": nbytes / t_inv / 1e9,

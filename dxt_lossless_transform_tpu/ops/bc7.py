@@ -12,12 +12,12 @@ independent 4096-block chunks) is instead expressed as a BATCHED ``lax.sort`` ov
 (unique key, 4 u32 payload columns) reshaped to (chunks, 4096) rows -- ~12.6 GB/s
 vs ~3.1 GB/s for one global sort:
 
-- transform key: ``mode * 2^28 + within-chunk index`` (stable order without
-  is_stable, since keys are unique within each chunk);
-- untransform: re-derive the permutation with a cheap key-only batched sort
-  (8 B/element: key + iota), then un-sort the payload with the original within-chunk
-  indices as keys -- the payload moves through ``lax.sort`` exactly once per
-  direction.
+- transform key: ``mode * C + within-chunk index`` packed in uint16 (stable order
+  without is_stable, since keys are unique within each chunk);
+- untransform: re-derive the permutation with a single-operand u16 key sort (the
+  within-chunk index lives in the key's low bits, so ``sorted_key & (C-1)`` IS the
+  permutation), then un-sort the payload with those indices as keys -- the payload
+  moves through ``lax.sort`` exactly once per direction.
 
 Mode extraction (ctz of byte 0 via popcount), nibble packing of the mode stream
 (u8-pair bitcast to u16, no strided access), and the byte-plane relayout are all
@@ -40,7 +40,6 @@ from ..settings import Bc7TransformSettings
 from . import lanes
 
 BLOCK_SIZE = 16
-_KEY_SHIFT = jnp.uint32(1 << 28)  # mode segment stride; chunk size stays < 2^28
 
 
 # --- MSB-order bit utilities (reference parity) ----------------------------------------
@@ -106,15 +105,17 @@ def _pack_nibbles(modes, n_valid):
 
 
 def _chunk_keys(modes_u32):
-    """(chunks, C) sort keys: mode in the high bits, within-chunk index below.
+    """(chunks, C) uint16 sort keys: mode in the high bits, within-chunk index below.
 
+    mode (4 bits) * C + index (<= 12 bits) fits u16 exactly at the 4096-block chunk
+    size; u16 keys sort ~4% faster than u32 and halve the derivation sort's traffic.
     Chunk boundaries coincide with the oracle's: padded sizes are powers of two, so
     they are either < SORT_CHUNK_BLOCKS (one chunk, like the oracle's ragged tail) or
     an exact multiple of it."""
     n_pad = modes_u32.shape[0]
     c = min(_oracle.SORT_CHUNK_BLOCKS, n_pad)
-    return (modes_u32.reshape(-1, c) * _KEY_SHIFT
-            + jnp.arange(c, dtype=jnp.uint32)[None, :])
+    return (modes_u32.reshape(-1, c).astype(jnp.uint16) * jnp.uint16(c)
+            + jnp.arange(c, dtype=jnp.uint16)[None, :])
 
 
 def _planes_from_cols(cols):
@@ -142,66 +143,103 @@ def _cols_from_blocks(blocks):
 
 
 @partial(jax.jit, static_argnames=("sort", "planes", "fmt", "use_pallas"))
-def _transform_xla(words, n_valid, sort: bool, planes: bool, fmt: str = "bc7",
+def _transform_xla(flat, n_valid, sort: bool, planes: bool, fmt: str = "bc7",
                    use_pallas: bool = False):
-    """uint32[Np, 4] block words (+ valid count) -> (payload, packed mode stream).
+    """uint32[4*Np] interleaved block words (+ valid count) -> (payload, mode stream).
 
-    Padding rows sort to the end; callers slice the first n columns/rows.
+    Padding blocks sort to the end; callers slice the first n columns/blocks.
+    Device arrays stay flat or wide-minor throughout: (Np, 4)-shaped views pad
+    their 4-lane minor dim to the 128-lane tile on TPU (8-32x write
+    amplification, measured ~27 GB/s vs ~60 for the flat weave kernels).
+
     With ``use_pallas`` (single device, outside vmap) the planes payload comes
     back as a tuple of 16 plane-word streams (uint32[Np/4] each) straight from
-    the Mosaic split kernel -- no (16, N) uint8 relayout pass on device; the
-    host serializes each stream like the BC1-BC5 stream tuples."""
-    cols = words.T
+    the Mosaic split kernel; the host serializes each stream like the BC1-BC5
+    stream tuples. The blocks payload is the flat uint32[4*Np] word stream."""
+    n_pad = flat.shape[0] // 4
     if sort:
+        if use_pallas:
+            from .pallas.planes import split_cols_tpu
+
+            cols = split_cols_tpu(flat)
+        else:
+            cols = tuple(flat.reshape(-1, 4).T)
         modes = _modes_from_words(cols[0], n_valid, fmt)
         stream = _pack_nibbles(modes, n_valid)
         key = _chunk_keys(modes)
         sorted_ = jax.lax.sort(
             (key, *(c.reshape(key.shape) for c in cols)), num_keys=1, dimension=1)
-        cols = jnp.stack([c.reshape(-1) for c in sorted_[1:]])
+        cols = tuple(c.reshape(-1) for c in sorted_[1:])
     else:
-        stream = jnp.zeros((words.shape[0] // 2,), jnp.uint8)
+        stream = jnp.zeros((n_pad // 2,), jnp.uint8)
+        cols = None
     if planes and use_pallas:
-        from .pallas.planes import split_planes_tpu
+        from .pallas.planes import split_planes_flat_tpu, split_planes_tpu
 
-        return split_planes_tpu(cols), stream
+        if sort:
+            return split_planes_tpu(cols), stream
+        return split_planes_flat_tpu(flat), stream
+    if cols is None:
+        cols = tuple(flat.reshape(-1, 4).T)
     if planes:
         payload = _planes_from_cols(cols)
+    elif sort and use_pallas:
+        from .pallas.planes import weave_cols_tpu
+
+        payload = weave_cols_tpu(cols)
+    elif sort:
+        payload = jnp.stack(cols).T.reshape(-1)
     else:
-        payload = _blocks_from_cols(cols)
+        payload = flat  # identity block layout
     return payload, stream
 
 
 @partial(jax.jit, static_argnames=("sort", "planes", "use_pallas"))
 def _untransform_xla(payload, modes, n_valid, sort: bool, planes: bool,
                      use_pallas: bool = False):
-    """Transformed payload (+ original-order modes) -> uint8[Np, 16] original blocks.
+    """Transformed payload (+ original-order modes) -> uint32[4*Np] original words.
 
-    ``payload``: (16, Np) uint8 planes / (Np, 16) uint8 blocks -- or, with
+    ``payload``: (16, Np) uint8 planes / flat uint32[4*Np] blocks -- or, with
     ``use_pallas``, a tuple of 16 plane-word streams (uint32[Np/4]).
     ``modes`` must put padding entries at >= n_valid (any value; forced to the max
     id 15 here, which sorts after every real id in both formats)."""
+    if planes and use_pallas and not sort:
+        from .pallas.planes import merge_planes_flat_tpu
+
+        return merge_planes_flat_tpu(tuple(payload))
     if planes and use_pallas:
         from .pallas.planes import merge_planes_tpu
 
-        cols = merge_planes_tpu(tuple(payload))
+        cols = tuple(merge_planes_tpu(tuple(payload)))
     elif planes:
-        cols = _cols_from_planes(payload)
+        cols = tuple(_cols_from_planes(payload))
     else:
-        cols = _cols_from_blocks(payload)
+        if not sort:
+            return payload  # identity block layout
+        if use_pallas:
+            from .pallas.planes import split_cols_tpu
+
+            cols = split_cols_tpu(payload)
+        else:
+            cols = tuple(payload.reshape(-1, 4).T)
     if sort:
-        idx = jnp.arange(cols.shape[1], dtype=jnp.uint32)
+        idx = jnp.arange(cols[0].shape[0], dtype=jnp.uint32)
         m = jnp.where(idx < n_valid, modes.astype(jnp.uint32), jnp.uint32(15))
         key = _chunk_keys(m)
         # re-derive the permutation: order[c, p] = within-chunk index of the block at
-        # sorted position p of chunk c
-        local = jnp.broadcast_to(jnp.arange(key.shape[1], dtype=jnp.uint32), key.shape)
-        _, order = jax.lax.sort((key, local), num_keys=1, dimension=1)
+        # sorted position p of chunk c. The index lives in the key's low bits, so a
+        # single-operand sort + mask suffices (~1.5x the (key, iota) pair sort).
+        order = (jax.lax.sort(key, dimension=1)
+                 & jnp.uint16(key.shape[1] - 1))
         # un-sort each chunk: element p belongs at within-chunk position order[c, p]
         sorted_ = jax.lax.sort(
             (order, *(c.reshape(key.shape) for c in cols)), num_keys=1, dimension=1)
-        cols = jnp.stack([c.reshape(-1) for c in sorted_[1:]])
-    return _blocks_from_cols(cols)
+        cols = tuple(c.reshape(-1) for c in sorted_[1:])
+    if use_pallas:
+        from .pallas.planes import weave_cols_tpu
+
+        return weave_cols_tpu(cols)
+    return jnp.stack(cols).T.reshape(-1)
 
 
 def _planes_pallas_ok(n_padded: int) -> bool:
@@ -214,29 +252,35 @@ def _planes_pallas_ok(n_padded: int) -> bool:
     return pallas_available() and n_padded % (MAX_ROWS * W_IN) == 0
 
 
-def transform_device(words, n_valid, sort: bool, planes: bool, fmt: str = "bc7"):
-    """Device entry: uint32[Np, 4] little-endian block words, ``n_valid`` real blocks.
+def transform_device(flat, n_valid, sort: bool, planes: bool, fmt: str = "bc7"):
+    """Device entry: uint32[4*Np] little-endian block words, ``n_valid`` real blocks.
 
-    Returns ``(payload2d, mode_stream)``: (16, Np) plane-major or (Np, 16) block-major
-    uint8 plus the packed uint8[Np/2] mode stream; callers slice off padding."""
-    return _transform_xla(words, jnp.uint32(n_valid), sort, planes, fmt,
-                          use_pallas=_planes_pallas_ok(words.shape[0]))
+    Returns ``(payload, mode_stream)``: a 16-tuple of plane-word streams (Mosaic
+    path) / (16, Np) uint8 planes (XLA fallback) / flat uint32[4*Np] block words,
+    plus the packed uint8[Np/2] mode stream; callers slice off padding."""
+    return _transform_xla(flat, jnp.uint32(n_valid), sort, planes, fmt,
+                          use_pallas=_planes_pallas_ok(flat.shape[0] // 4))
 
 
-def untransform_device(payload2d, modes, n_valid, sort: bool, planes: bool):
-    """Inverse of :func:`transform_device` given the unpacked original-order modes.
+def untransform_device(payload, modes, n_valid, sort: bool, planes: bool):
+    """Inverse of :func:`transform_device` given the unpacked original-order modes;
+    returns the flat uint32[4*Np] original block words.
 
-    ``payload2d``: the 2D uint8 payload, or a tuple of 16 plane-word streams
-    (what :func:`transform_device` returned on the Mosaic path)."""
-    if isinstance(payload2d, (tuple, list)):
-        payload2d = tuple(payload2d)
-        n_padded = payload2d[0].shape[0] * 4
+    ``payload``: what :func:`transform_device` returned -- a tuple of 16
+    plane-word streams (Mosaic path), (16, Np) uint8 planes, or flat uint32[4*Np]
+    block words."""
+    if isinstance(payload, (tuple, list)):
+        payload = tuple(payload)
+        n_padded = payload[0].shape[0] * 4
         use_pallas = _planes_pallas_ok(n_padded)
         assert use_pallas, "plane-word tuples require the Mosaic path"
-    else:
-        n_padded = payload2d.shape[1] if planes else payload2d.shape[0]
+    elif planes:
+        n_padded = payload.shape[1]
         use_pallas = False
-    return _untransform_xla(payload2d, modes, jnp.uint32(n_valid), sort, planes,
+    else:
+        n_padded = payload.shape[0] // 4
+        use_pallas = _planes_pallas_ok(n_padded)
+    return _untransform_xla(payload, modes, jnp.uint32(n_valid), sort, planes,
                             use_pallas=use_pallas)
 
 
@@ -256,20 +300,21 @@ def _transform_bytes(data, settings, fmt: str, oracle_mod, native_fn) -> bytes:
         if native_fn is not None and _native.available():
             return native_fn(data, settings.sort_by_mode, settings.split_byte_planes)
         return oracle_mod.transform(data, settings)
-    words = np.frombuffer(data, "<u4").reshape(n, 4)
+    flat = np.frombuffer(data, "<u4")
     n_pad = lanes.bucket_size(n)
-    out2d, stream = transform_device(lanes.pad_rows(words, n_pad), n,
-                                     settings.sort_by_mode,
-                                     settings.split_byte_planes, fmt)
+    out, stream = transform_device(lanes.pad_rows(flat, 4 * n_pad), n,
+                                   settings.sort_by_mode,
+                                   settings.split_byte_planes, fmt)
     prefix = b""
     if settings.sort_by_mode:
         prefix = np.asarray(stream).tobytes()[:oracle_mod.mode_stream_len(n)]
-    if isinstance(out2d, tuple):  # Mosaic plane-word streams (planes layout)
+    if isinstance(out, tuple):  # Mosaic plane-word streams (planes layout)
         return prefix + b"".join(
-            np.asarray(p).astype("<u4").tobytes()[:n] for p in out2d)
-    out2d = np.asarray(out2d)
-    body = out2d[:, :n] if settings.split_byte_planes else out2d[:n]
-    return prefix + np.ascontiguousarray(body).tobytes()
+            np.asarray(p).astype("<u4").tobytes()[:n] for p in out)
+    out = np.asarray(out)
+    if settings.split_byte_planes:  # (16, Np) uint8 planes (XLA fallback)
+        return prefix + np.ascontiguousarray(out[:, :n]).tobytes()
+    return prefix + out[:4 * n].astype("<u4").tobytes()  # flat block words
 
 
 def _untransform_bytes(data, settings, fmt: str, oracle_mod, native_fn) -> bytes:
@@ -297,10 +342,12 @@ def _untransform_bytes(data, settings, fmt: str, oracle_mod, native_fn) -> bytes
         pl = np.ascontiguousarray(
             lanes.pad_rows(payload.reshape(BLOCK_SIZE, n).T, n_pad).T)
     else:
-        pl = lanes.pad_rows(payload.reshape(n, BLOCK_SIZE), n_pad)
+        padded = np.zeros(BLOCK_SIZE * n_pad, np.uint8)
+        padded[:BLOCK_SIZE * n] = payload
+        pl = padded.view("<u4")  # flat block words
     out = np.asarray(untransform_device(pl, modes, n, settings.sort_by_mode,
                                         settings.split_byte_planes))
-    return np.ascontiguousarray(out[:n]).tobytes()
+    return out[:4 * n].astype("<u4").tobytes()
 
 
 def transform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -> bytes:
@@ -315,7 +362,7 @@ def untransform(data, settings: Bc7TransformSettings = Bc7TransformSettings()) -
 
 # --- auto-search ------------------------------------------------------------------------
 
-def _assemble_stream_row(words, n_valid, row_len: int, sort: bool, planes: bool,
+def _assemble_stream_row(flat, n_valid, row_len: int, sort: bool, planes: bool,
                          fmt: str, use_pallas: bool):
     """One candidate's full on-disk byte stream as a uint8[row_len] device row.
 
@@ -323,7 +370,7 @@ def _assemble_stream_row(words, n_valid, row_len: int, sort: bool, planes: bool,
     overwrites the previous stream's padding tail, so the first ``valid_len``
     bytes are exactly the on-disk stream (the row tail past it is scoring-masked).
     """
-    payload, stream = _transform_xla.__wrapped__(words, n_valid, sort, planes, fmt,
+    payload, stream = _transform_xla.__wrapped__(flat, n_valid, sort, planes, fmt,
                                                  use_pallas)
     row = jnp.zeros((row_len,), jnp.uint8)
     pos = jnp.int32(0)
@@ -337,14 +384,15 @@ def _assemble_stream_row(words, n_valid, row_len: int, sort: bool, planes: bool,
             row = jax.lax.dynamic_update_slice(
                 row, plane_bytes, (pos + p * n_valid.astype(jnp.int32),))
     else:
-        row = jax.lax.dynamic_update_slice(row, payload.reshape(-1), (pos,))
+        body = jax.lax.bitcast_convert_type(payload, jnp.uint8).reshape(-1)
+        row = jax.lax.dynamic_update_slice(row, body, (pos,))
     valid_len = pos + 16 * n_valid.astype(jnp.int32)
     return row, valid_len
 
 
 @partial(jax.jit, static_argnames=("candidates", "offsets", "row_len", "fmt",
                                    "use_pallas"))
-def _auto_device(words, n_valid, candidates, offsets, row_len: int, fmt: str,
+def _auto_device(flat, n_valid, candidates, offsets, row_len: int, fmt: str,
                  use_pallas: bool):
     """All candidate streams + coverage scores in ONE device call; the host pulls
     only the argmin winner's row (4x less device->host traffic than transforming
@@ -353,7 +401,7 @@ def _auto_device(words, n_valid, candidates, offsets, row_len: int, fmt: str,
 
     rows, valids = [], []
     for sort, planes in candidates:
-        r, v = _assemble_stream_row(words, n_valid, row_len, sort, planes, fmt,
+        r, v = _assemble_stream_row(flat, n_valid, row_len, sort, planes, fmt,
                                     use_pallas and planes)
         rows.append(r)
         valids.append(v)
@@ -393,12 +441,11 @@ def _transform_auto(data, estimator, candidates, fmt: str, transform_fn):
         from ..estimate.ltu import DEFAULT_OFFSETS
         from ..estimate.pallas_ltu import SPAN
 
-        words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(n, 4),
-                               lanes.bucket_size(n))
-        n_pad = words.shape[0]
+        n_pad = lanes.bucket_size(n)
+        flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * n_pad)
         row_len = -(-(n_pad // 2 + 16 * n_pad) // SPAN) * SPAN
         key = tuple((s.sort_by_mode, s.split_byte_planes) for s in cand)
-        row, valid, best = _auto_device(words, jnp.uint32(n), key,
+        row, valid, best = _auto_device(flat, jnp.uint32(n), key,
                                         DEFAULT_OFFSETS, row_len, fmt, True)
         return np.asarray(row).tobytes()[:int(valid)], cand[int(best)]
     rows = [transform_fn(data, s) for s in cand]

@@ -44,8 +44,9 @@ def _split_kernel(rows: int):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def split_planes_tpu(cols, interpret: bool = False):
-    """uint32[4, N] block word columns -> 16 plane streams, each uint32[N/4]."""
-    n = cols.shape[1]
+    """uint32[4, N] block word columns (or a 4-tuple of uint32[N] streams, e.g.
+    straight from a ``lax.sort``) -> 16 plane streams, each uint32[N/4]."""
+    n = cols[0].shape[0] if isinstance(cols, (tuple, list)) else cols.shape[1]
     grid, rows = _grid_rows_cols(n)
     res = pl.pallas_call(
         _split_kernel(rows),
@@ -56,6 +57,126 @@ def split_planes_tpu(cols, interpret: bool = False):
                    for _ in range(16)],
         interpret=interpret,
     )(*(cols[w].reshape(grid * rows, W_IN) for w in range(4)))
+    return tuple(r.reshape(-1) for r in res)
+
+
+def _split_flat_kernel(rows: int):
+    def kernel(x_ref, *out_refs):
+        xt = x_ref[:].astype(_U32).T            # (4*W_IN, R) flat block words
+        wt = _phases(xt, 4)                     # word w of each block: (W_IN, R)
+        for p in range(16):
+            byte = (wt[p // 4] >> _U32(8 * (p % 4))) & _U32(0xFF)
+            q = _phases(byte, 4)                # block phases mod 4 within the plane
+            word = (q[0] | (q[1] << _U32(8)) | (q[2] << _U32(16))
+                    | (q[3] << _U32(24)))
+            out_refs[p][:] = word.T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def split_planes_flat_tpu(flat, interpret: bool = False):
+    """uint32[4*N] interleaved block words -> 16 plane streams, each uint32[N/4].
+
+    Same output contract as :func:`split_planes_tpu`, but reads the natural
+    on-disk layout directly: the (N, 4) -> (4, N) column extraction that XLA
+    would otherwise materialize (a padded-minor-dim relayout measured at ~27
+    GB/s on v5e) never happens."""
+    n = flat.shape[0] // 4
+    grid, rows = _grid_rows_cols(n)
+    res = pl.pallas_call(
+        _split_flat_kernel(rows),
+        grid=(grid,),
+        in_specs=[_vspec(4 * W_IN, rows)],
+        out_specs=[_vspec(W_IN // 4, rows)] * 16,
+        out_shape=[jax.ShapeDtypeStruct((grid * rows, W_IN // 4), jnp.uint32)
+                   for _ in range(16)],
+        interpret=interpret,
+    )(flat.reshape(grid * rows, 4 * W_IN))
+    return tuple(r.reshape(-1) for r in res)
+
+
+def _merge_flat_kernel(rows: int):
+    def kernel(*refs):
+        ins, out_ref = refs[:16], refs[16]
+        planes = [r[:].astype(_U32).T for r in ins]  # each (W_IN/4, R)
+        words = []
+        for w in range(4):
+            qs = []
+            for j in range(4):  # block phase j mod 4
+                b = [(planes[4 * w + k] >> _U32(8 * j)) & _U32(0xFF)
+                     for k in range(4)]
+                qs.append(b[0] | (b[1] << _U32(8)) | (b[2] << _U32(16))
+                          | (b[3] << _U32(24)))
+            words.append(_weave(qs))            # word w of each block: (W_IN, R)
+        out_ref[:] = _weave(words).T            # flat[4b + w] = word w of block b
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def merge_planes_flat_tpu(planes, interpret: bool = False):
+    """Inverse of :func:`split_planes_flat_tpu`: 16x uint32[N/4] -> uint32[4*N]."""
+    n = planes[0].shape[0] * 4
+    grid, rows = _grid_rows_cols(n)
+    res = pl.pallas_call(
+        _merge_flat_kernel(rows),
+        grid=(grid,),
+        in_specs=[_vspec(W_IN // 4, rows)] * 16,
+        out_specs=_vspec(4 * W_IN, rows),
+        out_shape=jax.ShapeDtypeStruct((grid * rows, 4 * W_IN), jnp.uint32),
+        interpret=interpret,
+    )(*(p.reshape(grid * rows, W_IN // 4) for p in planes))
+    return res.reshape(-1)
+
+
+def _weave_cols_kernel(rows: int):
+    def kernel(c0_ref, c1_ref, c2_ref, c3_ref, out_ref):
+        cols = [r[:].astype(_U32).T for r in (c0_ref, c1_ref, c2_ref, c3_ref)]
+        out_ref[:] = _weave(cols).T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def weave_cols_tpu(cols, interpret: bool = False):
+    """4x uint32[N] word columns -> uint32[4*N] interleaved block words.
+
+    The Mosaic twin of ``jnp.stack(cols).T.reshape(-1)``; XLA lowers that to a
+    padded-minor-dim transpose (~27 GB/s on v5e) while this is a plain weave in
+    transposed space."""
+    n = cols[0].shape[0]
+    grid, rows = _grid_rows_cols(n)
+    res = pl.pallas_call(
+        _weave_cols_kernel(rows),
+        grid=(grid,),
+        in_specs=[_vspec(W_IN, rows)] * 4,
+        out_specs=_vspec(4 * W_IN, rows),
+        out_shape=jax.ShapeDtypeStruct((grid * rows, 4 * W_IN), jnp.uint32),
+        interpret=interpret,
+    )(*(c.reshape(grid * rows, W_IN) for c in cols))
+    return res.reshape(-1)
+
+
+def _split_cols_kernel(rows: int):
+    def kernel(x_ref, *out_refs):
+        wt = _phases(x_ref[:].astype(_U32).T, 4)
+        for w in range(4):
+            out_refs[w][:] = wt[w].T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def split_cols_tpu(flat, interpret: bool = False):
+    """Inverse of :func:`weave_cols_tpu`: uint32[4*N] -> 4x uint32[N]."""
+    n = flat.shape[0] // 4
+    grid, rows = _grid_rows_cols(n)
+    res = pl.pallas_call(
+        _split_cols_kernel(rows),
+        grid=(grid,),
+        in_specs=[_vspec(4 * W_IN, rows)],
+        out_specs=[_vspec(W_IN, rows)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((grid * rows, W_IN), jnp.uint32)
+                   for _ in range(4)],
+        interpret=interpret,
+    )(flat.reshape(grid * rows, 4 * W_IN))
     return tuple(r.reshape(-1) for r in res)
 
 

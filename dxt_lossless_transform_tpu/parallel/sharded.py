@@ -398,8 +398,8 @@ def bc5_auto_step(mesh: Mesh, candidates=_BC5_CANDIDATES, offsets=DEFAULT_OFFSET
 # --- BC7 / BC6H mode-aware sharded steps --------------------------------------------------
 
 @partial(jax.jit, static_argnames=("fmt",))
-def modesort_step_single(words, valid_len=None, fmt: str = "bc7"):
-    """uint32[Np, 4] block words -> ((16, Np) byte planes, packed mode stream).
+def modesort_step_single(flat, valid_len=None, fmt: str = "bc7"):
+    """uint32[4*Np] flat block words -> ((16, Np) byte planes, packed mode stream).
 
     The chunk-local sort (4096-block chunks; ``ops/bc7.py``) makes the blocks axis
     embarrassingly shardable: each chunk sorts entirely within its shard, so the
@@ -407,22 +407,21 @@ def modesort_step_single(words, valid_len=None, fmt: str = "bc7"):
     from ..ops.bc7 import _transform_xla
 
     if valid_len is None:
-        valid_len = jnp.uint32(words.shape[0])
-    return _transform_xla.__wrapped__(words, valid_len, True, True, fmt)
+        valid_len = jnp.uint32(flat.shape[0] // 4)
+    return _transform_xla.__wrapped__(flat, valid_len, True, True, fmt)
 
 
 def modesort_transform_step(mesh: Mesh, fmt: str = "bc7"):
-    """Batched+sharded BC7/BC6H step: (B, Np, 4) words -> (B, 16, Np) planes +
+    """Batched+sharded BC7/BC6H step: (B, 4*Np) flat words -> (B, 16, Np) planes +
     (B, Np/2) mode streams. Np must be a multiple of 4096 x blocks-axis size."""
-    files_blocks = NamedSharding(mesh, P("files", "blocks"))
     files_sh = NamedSharding(mesh, P("files"))
 
-    def step(words, valid_len):
+    def step(flat, valid_len):
         return jax.vmap(partial(modesort_step_single.__wrapped__, fmt=fmt))(
-            words, valid_len)
+            flat, valid_len)
 
     return jax.jit(
         step,
-        in_shardings=(NamedSharding(mesh, P("files", "blocks", None)), files_sh),
+        in_shardings=(NamedSharding(mesh, P("files", "blocks")), files_sh),
         out_shardings=(NamedSharding(mesh, P("files", None, "blocks")),
                        NamedSharding(mesh, P("files", "blocks"))))

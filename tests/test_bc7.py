@@ -172,6 +172,37 @@ def test_pallas_plane_kernels_interpret():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(cols))
 
 
+def test_pallas_flat_plane_kernels_interpret():
+    """Flat-layout Mosaic kernels (interpret mode): split/merge of the interleaved
+    block-word stream, plus the column weave/split pair used by the sort path."""
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.ops.pallas.planes import (
+        W_IN, merge_planes_flat_tpu, split_cols_tpu, split_planes_flat_tpu,
+        weave_cols_tpu,
+    )
+    from dxt_lossless_transform_tpu.ops.pallas.shuffle import MAX_ROWS
+
+    rng = np.random.default_rng(12)
+    n = 2 * MAX_ROWS * W_IN  # two tiles
+    flat_np = rng.integers(0, 2**32, 4 * n, dtype=np.uint32)
+    blocks = flat_np.view(np.uint8).reshape(n, 16)
+    flat = jnp.asarray(flat_np)
+
+    planes = split_planes_flat_tpu(flat, interpret=True)
+    for p in range(16):
+        ref = np.ascontiguousarray(blocks[:, p]).view("<u4")
+        np.testing.assert_array_equal(np.asarray(planes[p]), ref)
+    back = merge_planes_flat_tpu(tuple(planes), interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), flat_np)
+
+    cols = split_cols_tpu(flat, interpret=True)
+    for w in range(4):
+        np.testing.assert_array_equal(np.asarray(cols[w]), flat_np[w::4])
+    woven = weave_cols_tpu(tuple(cols), interpret=True)
+    np.testing.assert_array_equal(np.asarray(woven), flat_np)
+
+
 def test_device_auto_stream_assembly_matches_oracle():
     """_assemble_stream_row builds each candidate's exact on-disk stream (with the
     row tail masked by valid_len), including ragged n < padded block counts."""
@@ -182,13 +213,12 @@ def test_device_auto_stream_assembly_matches_oracle():
 
     n = 3000  # ragged: bucket pads to 4096
     data = _random_blocks(n, seed=13)
-    words = lanes.pad_rows(np.frombuffer(data, "<u4").reshape(n, 4),
-                           lanes.bucket_size(n))
-    n_pad = words.shape[0]
+    n_pad = lanes.bucket_size(n)
+    flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * n_pad)
     row_len = n_pad // 2 + 16 * n_pad
     for s in ALL_SETTINGS:
         row, valid = _assemble_stream_row(
-            jnp.asarray(words), jnp.uint32(n), row_len, s.sort_by_mode,
+            jnp.asarray(flat), jnp.uint32(n), row_len, s.sort_by_mode,
             s.split_byte_planes, "bc7", use_pallas=False)
         got = np.asarray(row).tobytes()[:int(valid)]
         assert got == oracle_bc7.transform(data, s), s

@@ -146,7 +146,7 @@ def test_sharded_modesort_step_matches_oracle():
     blocks_axis = mesh.shape["blocks"]
     n_per_file = 4096 * blocks_axis  # chunk multiple so chunks stay shard-local
     B = 2 * mesh.shape["files"]
-    words = jnp.asarray(rng.integers(0, 2**32, (B, n_per_file, 4), dtype=np.uint32))
+    words = jnp.asarray(rng.integers(0, 2**32, (B, 4 * n_per_file), dtype=np.uint32))
     valid = jnp.full((B,), n_per_file, jnp.uint32)
     for fmt, oracle, settings in (("bc7", o7, Bc7TransformSettings(True, True)),
                                   ("bc6h", o6h, Bc6hTransformSettings(True, True))):
