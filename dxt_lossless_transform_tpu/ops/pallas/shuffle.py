@@ -12,9 +12,12 @@ Round-2 design (measured on v5e; see scripts/perf_sweep*.py):
 - *Static variant*: kernels specialize on the YCoCg variant (4 small compiles
   per family, served by the persistent compile cache). The traced ``lax.switch``
   form both compiled slower and crashes Mosaic at the 128-row tile.
-- Tiles are (128, 2048) u32 on the widest array: the transposed view has a full
-  128-lane minor dim, and sustained roundtrip reaches ~82 GB/s payload vs a
-  ~87 GB/s chained-memcpy ceiling.
+- Tiles are (FAMILY_ROWS[fmt], 2048) u32 on the widest array (256 rows for
+  BC1-BC4, 128 for BC5): the transposed view has a full 128-lane minor dim, and
+  sustained BC1 roundtrip reaches ~90 GB/s payload vs a ~111 GB/s
+  chained-copy+transpose Pallas ceiling (a plain chained Pallas copy runs ~120,
+  chained fused XLA elementwise ~177 -- see scripts/perf_bc7_inv.py for the
+  measurement pattern).
 
 All kernels process flat little-endian u32 word images; callers pad block counts
 to powers of two >= 2048 (``lanes.bucket_size``), which guarantees divisibility
@@ -39,19 +42,26 @@ MAX_ROWS = 128
 WIDTH = 2048  # lanes of the widest (block-image) array per tile
 _U32 = jnp.uint32
 
+# Per-family tile heights (rows of the widest array), swept on v5e: 256-row
+# tiles lift sustained roundtrip +13% (BC1) / +10% (BC2) / +5% (BC3/BC4) over
+# 128; BC5's kernel (two interleaved alpha-lane streams live at once) exceeds
+# Mosaic's VMEM budget at 256 and stays at 128, as do the BC7 plane kernels
+# (+2% only, not worth doubling their divisibility gate in ops/bc7.py).
+FAMILY_ROWS = {"bc1": 256, "bc2": 256, "bc3": 256, "bc4": 256, "bc5": 128}
+
 
 def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _grid_rows(total_words: int) -> tuple:
+def _grid_rows(total_words: int, max_rows: int = 0) -> tuple:
     """(grid, rows) such that grid * rows * WIDTH == total_words."""
     if total_words < WIDTH or total_words % WIDTH:
         raise ValueError(
             f"pallas kernels need a word count that is a multiple of {WIDTH} "
             f"(got {total_words}); pad block counts with lanes.bucket_size first")
     all_rows = total_words // WIDTH
-    rows = min(MAX_ROWS, all_rows)
+    rows = min(max_rows or MAX_ROWS, all_rows)
     if all_rows % rows:
         raise ValueError(f"row count {all_rows} not divisible by tile rows {rows}")
     return all_rows // rows, rows
@@ -139,7 +149,7 @@ def bc1_transform_tpu(flat, variant: int, split: bool, interpret: bool = False):
 
     split: ``(c0w u32[N/2], c1w u32[N/2], idx u32[N])``; else ``(colors, idx)``.
     """
-    grid, rows = _grid_rows(flat.shape[0])
+    grid, rows = _grid_rows(flat.shape[0], FAMILY_ROWS["bc1"])
     outs = [WIDTH // 4, WIDTH // 4, WIDTH // 2] if split else [WIDTH // 2, WIDTH // 2]
     return _call(_bc1_t_kernel(variant, split, rows), (flat,), [WIDTH], outs,
                  grid, rows, interpret)
@@ -165,7 +175,7 @@ def _bc1_u_kernel(variant: int, split: bool, rows: int):
 def bc1_untransform_tpu(streams, variant: int, split: bool, interpret: bool = False):
     """Inverse of :func:`bc1_transform_tpu`; returns flat uint32[2N]."""
     n = streams[-1].shape[0]  # indices count == blocks
-    grid, rows = _grid_rows(2 * n)
+    grid, rows = _grid_rows(2 * n, FAMILY_ROWS["bc1"])
     ins = [WIDTH // 4, WIDTH // 4, WIDTH // 2] if split else [WIDTH // 2, WIDTH // 2]
     (out,) = _call(_bc1_u_kernel(variant, split, rows), streams, ins, [WIDTH],
                    grid, rows, interpret)
@@ -197,7 +207,7 @@ def _bc2_t_kernel(variant: int, split: bool, rows: int):
 @partial(jax.jit, static_argnames=("variant", "split", "interpret"))
 def bc2_transform_tpu(flat, variant: int, split: bool, interpret: bool = False):
     """Flat uint32[4N] -> (alpha_w u32[2N], [c0w, c1w | colors], idx u32[N])."""
-    grid, rows = _grid_rows(flat.shape[0])
+    grid, rows = _grid_rows(flat.shape[0], FAMILY_ROWS["bc2"])
     outs = ([WIDTH // 2, WIDTH // 8, WIDTH // 8, WIDTH // 4] if split
             else [WIDTH // 2, WIDTH // 4, WIDTH // 4])
     return _call(_bc2_t_kernel(variant, split, rows), (flat,), [WIDTH], outs,
@@ -225,7 +235,7 @@ def _bc2_u_kernel(variant: int, split: bool, rows: int):
 def bc2_untransform_tpu(streams, variant: int, split: bool, interpret: bool = False):
     """Inverse of :func:`bc2_transform_tpu`; returns flat uint32[4N]."""
     n = streams[-1].shape[0]
-    grid, rows = _grid_rows(4 * n)
+    grid, rows = _grid_rows(4 * n, FAMILY_ROWS["bc2"])
     ins = ([WIDTH // 2, WIDTH // 8, WIDTH // 8, WIDTH // 4] if split
            else [WIDTH // 2, WIDTH // 4, WIDTH // 4])
     (out,) = _call(_bc2_u_kernel(variant, split, rows), streams, ins, [WIDTH],
@@ -281,7 +291,7 @@ def _bc3_t_kernel(variant: int, split_alpha: bool, split_colour: bool, rows: int
 def bc3_transform_tpu(flat, variant: int, split_alpha: bool, split_colour: bool,
                       interpret: bool = False):
     """Flat uint32[4N] -> stream word arrays in on-disk order (see oracle.bc3)."""
-    grid, rows = _grid_rows(flat.shape[0])
+    grid, rows = _grid_rows(flat.shape[0], FAMILY_ROWS["bc3"])
     outs = []
     outs += [WIDTH // 16, WIDTH // 16] if split_alpha else [WIDTH // 8]
     outs += [3 * WIDTH // 8]
@@ -335,7 +345,7 @@ def bc3_untransform_tpu(streams, variant: int, split_alpha: bool, split_colour: 
                         interpret: bool = False):
     """Inverse of :func:`bc3_transform_tpu`; returns flat uint32[4N]."""
     n = streams[-1].shape[0]
-    grid, rows = _grid_rows(4 * n)
+    grid, rows = _grid_rows(4 * n, FAMILY_ROWS["bc3"])
     ins = []
     ins += [WIDTH // 16, WIDTH // 16] if split_alpha else [WIDTH // 8]
     ins += [3 * WIDTH // 8]
@@ -399,7 +409,7 @@ def _bc4_t_kernel(split: bool, rows: int):
 @partial(jax.jit, static_argnames=("split", "interpret"))
 def bc4_transform_tpu(flat, split: bool, interpret: bool = False):
     """Flat uint32[2N] -> ([ep | a0, a1], alpha-index words) streams."""
-    grid, rows = _grid_rows(flat.shape[0])
+    grid, rows = _grid_rows(flat.shape[0], FAMILY_ROWS["bc4"])
     outs = ([WIDTH // 8, WIDTH // 8] if split else [WIDTH // 4]) + [3 * WIDTH // 4]
     return _call(_bc4_t_kernel(split, rows), (flat,), [WIDTH], outs,
                  grid, rows, interpret)
@@ -423,7 +433,7 @@ def _bc4_u_kernel(split: bool, rows: int):
 def bc4_untransform_tpu(streams, split: bool, interpret: bool = False):
     """Inverse of :func:`bc4_transform_tpu`; returns flat uint32[2N]."""
     total = streams[-1].shape[0] * 4 // 3  # flat 2N words; aidx = 3N/2 words
-    grid, rows = _grid_rows(total)
+    grid, rows = _grid_rows(total, FAMILY_ROWS["bc4"])
     ins = ([WIDTH // 8, WIDTH // 8] if split else [WIDTH // 4]) + [3 * WIDTH // 4]
     (out,) = _call(_bc4_u_kernel(split, rows), streams, ins, [WIDTH],
                    grid, rows, interpret)
@@ -450,7 +460,7 @@ def _bc5_t_kernel(split: bool, rows: int):
 @partial(jax.jit, static_argnames=("split", "interpret"))
 def bc5_transform_tpu(flat, split: bool, interpret: bool = False):
     """Flat uint32[4N] -> (R/G endpoint streams..., Ridx words, Gidx words)."""
-    grid, rows = _grid_rows(flat.shape[0])
+    grid, rows = _grid_rows(flat.shape[0], FAMILY_ROWS["bc5"])
     ep = [WIDTH // 16] * 4 if split else [WIDTH // 8] * 2
     outs = ep + [3 * WIDTH // 8, 3 * WIDTH // 8]
     return _call(_bc5_t_kernel(split, rows), (flat,), [WIDTH], outs,
@@ -481,7 +491,7 @@ def _bc5_u_kernel(split: bool, rows: int):
 def bc5_untransform_tpu(streams, split: bool, interpret: bool = False):
     """Inverse of :func:`bc5_transform_tpu`; returns flat uint32[4N]."""
     total = streams[-1].shape[0] * 8 // 3  # flat 4N words; Gidx = 3N/2 words
-    grid, rows = _grid_rows(total)
+    grid, rows = _grid_rows(total, FAMILY_ROWS["bc5"])
     ep = [WIDTH // 16] * 4 if split else [WIDTH // 8] * 2
     ins = ep + [3 * WIDTH // 8, 3 * WIDTH // 8]
     (out,) = _call(_bc5_u_kernel(split, rows), streams, ins, [WIDTH],
