@@ -129,15 +129,22 @@ def _sync(x):
     return float(jnp.max(leaf.astype(jnp.float32)))
 
 
-def _bench(fn, *args, iters=20, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / iters
+def _bench(fn, *args, iters=20, warmup=2, trials=1):
+    """Mean seconds/call; with trials > 1, the best trial mean (the shared relay
+    chip shows ~2x run-to-run contention noise from co-tenants, which is not a
+    property of the kernel under test)."""
+    best = None
+    for t in range(trials):
+        for _ in range(warmup if t == 0 else 0):
+            out = fn(*args)
+        _sync(out if t == 0 and warmup else fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def _chain(fmt):
@@ -225,7 +232,7 @@ def main():
         _headline["value"] = 1.0 / (1.0 / entry["transform_single_dispatch_GBps"]
                                     + 1.0 / entry["untransform_single_dispatch_GBps"])
         if on_tpu:
-            t_rt = _bench(_chain("bc1"), words, iters=5)
+            t_rt = _bench(_chain("bc1"), words, iters=5, trials=3)
             entry["roundtrip_sustained_GBps"] = nbytes * CHAIN_K / t_rt / 1e9
             _headline["value"] = entry["roundtrip_sustained_GBps"]
 
@@ -248,7 +255,7 @@ def main():
                     nbytes / _bench(inv, streams) / 1e9,
             }
             if on_tpu:
-                t_rt = _bench(_chain(name), words, iters=5)
+                t_rt = _bench(_chain(name), words, iters=5, trials=3)
                 entry["roundtrip_sustained_GBps"] = nbytes * CHAIN_K / t_rt / 1e9
             results[name] = entry
         return run
@@ -285,9 +292,8 @@ def main():
             m_np[1::2] = sraw >> 4
             modes7 = jnp.asarray(m_np)
             inv7 = lambda p: ops_bc7.untransform_device(p, modes7, nblk, sort7, True)
-            # best-of-2: the shared relay chip shows 2x run-to-run contention noise
-            t_fwd = min(_bench(fwd7, words7, iters=10), _bench(fwd7, words7, iters=10))
-            t_inv = min(_bench(inv7, planes, iters=10), _bench(inv7, planes, iters=10))
+            t_fwd = _bench(fwd7, words7, iters=10, trials=3)
+            t_inv = _bench(inv7, planes, iters=10, trials=3)
             results["bc7"][label] = {
                 "transform_GBps": nbytes / t_fwd / 1e9,
                 "untransform_GBps": nbytes / t_inv / 1e9,
