@@ -99,6 +99,54 @@ def check_bc5(settings, n_blocks: int = 4096, seed: int = 0,
     assert np.asarray(back).astype("<u4").tobytes() == data, settings
 
 
+def _check_modesort(fmt: str, settings, oracle_mod, n_blocks: int, seed: int) -> None:
+    """BC7/BC6H device path (flat Mosaic kernels + chunk-local sort) vs the oracle.
+
+    Drives transform_device/untransform_device directly with a ragged valid count
+    so the padding-block handling is exercised; compiled path only (the interpret
+    twin lives in tests/test_bc7.py)."""
+    import jax.numpy as jnp
+
+    from ..oracle import bc7 as _o  # mode_stream_len shared shape helpers
+    from ..ops import bc7 as ops, lanes
+
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, 16 * n_blocks, dtype=np.uint8).tobytes()
+    n_pad = lanes.bucket_size(n_blocks)
+    flat = jnp.asarray(lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * n_pad))
+    sort, planes = settings.sort_by_mode, settings.split_byte_planes
+    payload, stream = ops.transform_device(flat, n_blocks, sort, planes, fmt)
+    prefix = b""
+    if sort:
+        prefix = np.asarray(stream).tobytes()[:oracle_mod.mode_stream_len(n_blocks)]
+    if isinstance(payload, tuple):
+        body = b"".join(np.asarray(p).astype("<u4").tobytes()[:n_blocks]
+                        for p in payload)
+    elif planes:
+        body = np.ascontiguousarray(np.asarray(payload)[:, :n_blocks]).tobytes()
+    else:
+        body = np.asarray(payload)[:4 * n_blocks].astype("<u4").tobytes()
+    assert prefix + body == oracle_mod.transform(data, settings), (fmt, settings)
+    modes = lanes.pad_rows(
+        oracle_mod.unpack_mode_stream(prefix, n_blocks), n_pad) if sort else \
+        np.zeros(n_pad, np.uint8)
+    back = ops.untransform_device(payload, jnp.asarray(modes), n_blocks, sort, planes)
+    assert np.asarray(back)[:4 * n_blocks].astype("<u4").tobytes() == data, \
+        (fmt, settings)
+
+
+def check_bc7(settings, n_blocks: int = 65536 - 777, seed: int = 7, **_kw) -> None:
+    from ..oracle import bc7 as obc7
+
+    _check_modesort("bc7", settings, obc7, n_blocks, seed)
+
+
+def check_bc6h(settings, n_blocks: int = 65536 - 777, seed: int = 8, **_kw) -> None:
+    from ..oracle import bc6h as obc6h
+
+    _check_modesort("bc6h", settings, obc6h, n_blocks, seed)
+
+
 def quick_combos() -> Iterable[Tuple[str, object]]:
     """The subset bench.py checks every round: the kernels it times (variant 1,
     full split) plus the identity variant of each family."""
@@ -109,7 +157,10 @@ def quick_combos() -> Iterable[Tuple[str, object]]:
 
 
 def full_combos() -> Iterable[Tuple[str, object]]:
-    from ..settings import Bc4TransformSettings, Bc5TransformSettings
+    from ..settings import (
+        Bc4TransformSettings, Bc5TransformSettings, Bc6hTransformSettings,
+        Bc7TransformSettings,
+    )
 
     for s in Bc1TransformSettings.all_combinations():
         yield "bc1", s
@@ -121,10 +172,15 @@ def full_combos() -> Iterable[Tuple[str, object]]:
         yield "bc4", s
     for s in Bc5TransformSettings.all_combinations():
         yield "bc5", s
+    for s in Bc7TransformSettings.all_combinations():
+        yield "bc7", s
+    for s in Bc6hTransformSettings.all_combinations():
+        yield "bc6h", s
 
 
 _CHECKS = {"bc1": check_bc1, "bc2": check_bc2, "bc3": check_bc3,
-           "bc4": check_bc4, "bc5": check_bc5}
+           "bc4": check_bc4, "bc5": check_bc5, "bc7": check_bc7,
+           "bc6h": check_bc6h}
 
 
 def run(combos, interpret: bool = False, log=None) -> int:

@@ -1,6 +1,7 @@
-"""Full kernel-parity matrix on the real TPU: every BC1/BC2/BC3 settings combo,
-compiled Pallas kernels vs the numpy byte-oracle, plus the Pallas LTU estimator
-kernel vs its XLA twin.
+"""Full kernel-parity matrix on the real TPU: every BC1-BC5 settings combo plus the
+BC7/BC6H mode-sort paths (flat Mosaic kernels, ragged valid counts), compiled
+kernels vs the numpy byte-oracle, plus the Pallas LTU estimator kernel vs its
+XLA twin.
 
 Run: python scripts/tpu_parity.py          (exit 0 = all green)
 """
