@@ -3,9 +3,13 @@
 See :mod:`..oracle.rgb` for the layout definition (reference reserves the header
 flag -- ``embed/formats/rgba8888.rs`` -- but ships no transform; this build does).
 
-TPU mapping: one (N, S) -> (S, N) u8 relayout (XLA handles this at ~46 GB/s on v5e)
-plus wrapping uint8 adds/subs on whole channel planes -- pure VPU lane work. The
-decorrelation is mod-256 lifting, so uint8 wraparound *is* the correct arithmetic.
+TPU mapping (round-3 flat redesign): 4-byte layouts ride flat uint32 pixel-word
+streams -- channel split/merge are Mosaic kernels with the mod-256 lifting fused
+in (``ops/pallas/channels.py``), and the decorrelate-only layout is plain
+elementwise byte surgery on u32 lanes. Narrow (N, S) device arrays are avoided
+entirely: sub-128-lane minor dims pad to the full tile on TPU (8-32x write
+amplification; see ``ops/bc7.py``). BGR888 (3-byte stride) and small payloads
+keep the (N, S) XLA fallback / host paths.
 """
 
 from __future__ import annotations
@@ -21,6 +25,36 @@ from .. import runtime as _native
 from ..settings import RgbTransformSettings
 from . import lanes
 from ..errors import RgbValidationError
+
+
+@partial(jax.jit, static_argnames=("layout", "dec"))
+def _decorrelate_words_xla(flat, layout: str, dec: bool):
+    """uint32[N] pixel words -> decorrelated words (dec-only, interleaved layout)."""
+    import jax.numpy as jnp
+
+    _, ri, gi, bi = _LAYOUTS[layout]
+    g = (flat >> jnp.uint32(8 * gi)) & jnp.uint32(0xFF)
+    out = flat
+    for ci in (ri, bi) if dec else ():
+        c = (flat >> jnp.uint32(8 * ci)) & jnp.uint32(0xFF)
+        nc = (c - g) & jnp.uint32(0xFF)
+        out = (out & ~jnp.uint32(0xFF << (8 * ci))) | (nc << jnp.uint32(8 * ci))
+    return out
+
+
+@partial(jax.jit, static_argnames=("layout", "dec"))
+def _recorrelate_words_xla(flat, layout: str, dec: bool):
+    """Inverse of :func:`_decorrelate_words_xla`."""
+    import jax.numpy as jnp
+
+    _, ri, gi, bi = _LAYOUTS[layout]
+    g = (flat >> jnp.uint32(8 * gi)) & jnp.uint32(0xFF)
+    out = flat
+    for ci in (ri, bi) if dec else ():
+        c = (flat >> jnp.uint32(8 * ci)) & jnp.uint32(0xFF)
+        nc = (c + g) & jnp.uint32(0xFF)
+        out = (out & ~jnp.uint32(0xFF << (8 * ci))) | (nc << jnp.uint32(8 * ci))
+    return out
 
 
 @partial(jax.jit, static_argnames=("layout", "dec", "split"))
@@ -57,8 +91,21 @@ def transform(data, layout: str,
             return _native.rgb_transform(data, layout, settings.decorrelate,
                                          settings.split_channels)
         return _oracle.transform(data, layout, settings)
-    px = np.frombuffer(data, np.uint8).reshape(n, size)
     n_pad = lanes.bucket_size(n)
+    if size == 4:
+        from .pallas.channels import channels_pallas_ok, split_channels_tpu
+
+        _, ri, gi, bi = _LAYOUTS[layout]
+        flat = lanes.pad_rows(np.frombuffer(data, "<u4"), n_pad)
+        if settings.split_channels and channels_pallas_ok(n_pad):
+            streams = split_channels_tpu(flat, ri, gi, bi, settings.decorrelate)
+            return b"".join(np.asarray(s).astype("<u4").tobytes()[:n]
+                            for s in streams)
+        if not settings.split_channels:
+            out = np.asarray(_decorrelate_words_xla(flat, layout,
+                                                    settings.decorrelate))
+            return out[:n].astype("<u4").tobytes()
+    px = np.frombuffer(data, np.uint8).reshape(n, size)
     out = np.asarray(_transform_xla(lanes.pad_rows(px, n_pad), layout,
                                     settings.decorrelate, settings.split_channels))
     body = out[:, :n] if settings.split_channels else out[:n]
@@ -81,6 +128,22 @@ def untransform(data, layout: str,
         return _oracle.untransform(data, layout, settings)
     raw = np.frombuffer(data, np.uint8)
     n_pad = lanes.bucket_size(n)
+    if size == 4:
+        from .pallas.channels import channels_pallas_ok, merge_channels_tpu
+
+        _, ri, gi, bi = _LAYOUTS[layout]
+        if settings.split_channels and channels_pallas_ok(n_pad):
+            by_ch = raw.reshape(size, n)
+            streams = tuple(lanes.pad_rows(by_ch[c], n_pad).view("<u4")
+                            for c in range(size))
+            out = np.asarray(merge_channels_tpu(streams, ri, gi, bi,
+                                                settings.decorrelate))
+            return out[:n].astype("<u4").tobytes()
+        if not settings.split_channels:
+            flat = lanes.pad_rows(raw.view("<u4"), n_pad)
+            out = np.asarray(_recorrelate_words_xla(flat, layout,
+                                                    settings.decorrelate))
+            return out[:n].astype("<u4").tobytes()
     if settings.split_channels:
         payload = np.ascontiguousarray(lanes.pad_rows(raw.reshape(size, n).T, n_pad).T)
     else:

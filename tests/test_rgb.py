@@ -46,6 +46,44 @@ def test_device_matches_oracle(layout, monkeypatch):
         assert ops_rgb.untransform(t, layout, s) == data, s
 
 
+@pytest.mark.parametrize("layout", ("rgba8888", "bgra8888"))
+@pytest.mark.parametrize("dec", (False, True))
+def test_channel_kernels_interpret(layout, dec):
+    """Flat Mosaic channel split/merge (interpret mode) vs the oracle, with the
+    fused decorrelation."""
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.ops.pallas.channels import (
+        merge_channels_tpu, split_channels_tpu,
+    )
+    from dxt_lossless_transform_tpu.ops.pallas.shuffle import MAX_ROWS, WIDTH
+
+    _, ri, gi, bi = oracle_rgb._LAYOUTS[layout]
+    n = MAX_ROWS * WIDTH  # one tile
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 256, 4 * n, dtype=np.uint8).tobytes()
+    flat = jnp.asarray(np.frombuffer(data, "<u4"))
+    streams = split_channels_tpu(flat, ri, gi, bi, dec, interpret=True)
+    got = b"".join(np.asarray(s).astype("<u4").tobytes() for s in streams)
+    want = oracle_rgb.transform(data, layout, RgbTransformSettings(dec, True))
+    assert got == want
+    back = merge_channels_tpu(tuple(streams), ri, gi, bi, dec, interpret=True)
+    assert np.asarray(back).astype("<u4").tobytes() == data
+
+
+@pytest.mark.parametrize("layout", ("rgba8888", "bgra8888"))
+def test_word_decorrelate_xla_matches_oracle(layout):
+    """The dec-only flat-u32 path (no channel split) vs the oracle."""
+    rng = np.random.default_rng(22)
+    data = rng.integers(0, 256, 4 * 4096, dtype=np.uint8).tobytes()
+    flat = np.frombuffer(data, "<u4")
+    out = np.asarray(ops_rgb._decorrelate_words_xla(flat, layout, True))
+    want = oracle_rgb.transform(data, layout, RgbTransformSettings(True, False))
+    assert out.astype("<u4").tobytes() == want
+    back = np.asarray(ops_rgb._recorrelate_words_xla(out, layout, True))
+    assert back.astype("<u4").tobytes() == data
+
+
 def test_decorrelation_golden():
     # one RGBA pixel: R=200 G=100 B=50 A=7 -> r'=100, g=100, b'=206 (50-100 mod 256)
     data = bytes([200, 100, 50, 7])
