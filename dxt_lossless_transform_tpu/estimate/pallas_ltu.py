@@ -47,7 +47,22 @@ def _flat_shift_left(v, s: int):
     return jnp.where(lane < width - s, a, b)
 
 
-def _make_kernel(offsets, grid_j, count_lo, count_hi):
+def _unpack_words(tile32):
+    """(ROWS, W/4) u32 tile -> (ROWS, W) int32 byte lanes in flat byte order.
+
+    Lets callers hand the scorer u32-packed streams straight from the transform
+    kernels (u8 materialization of big arrays costs ~20 GB/s on v5e; u32 stays
+    at full kernel speed). Transposed-space weave, same trick as ops/pallas."""
+    rows, w4 = tile32.shape
+    t = tile32.astype(jnp.uint32).T                          # (W/4, ROWS)
+    bs = [((t >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(jnp.int32)
+          for j in range(4)]
+    woven = jnp.concatenate([b[:, None, :] for b in bs],
+                            axis=1).reshape(4 * w4, rows)    # byte order
+    return woven.T
+
+
+def _make_kernel(offsets, grid_j, count_lo, count_hi, packed_words: bool = False):
     """Windowed coverage-count kernel.
 
     ``count_lo``/``count_hi`` (static) bound the row-local flat positions that are
@@ -90,7 +105,7 @@ def _make_kernel(offsets, grid_j, count_lo, count_hi):
         j = pl.program_id(1)
         row_valid = valid_ref[pl.program_id(0)]
         pos0 = pos0_ref[0]
-        incoming = in_ref[0]
+        incoming = _unpack_words(in_ref[0]) if packed_words else in_ref[0]
 
         @pl.when(j == 0)
         def _():
@@ -133,30 +148,34 @@ def _make_kernel(offsets, grid_j, count_lo, count_hi):
 def _counts_call(regions, valid_rows, pos0, offsets, count_lo, count_hi,
                  interpret=False):
     n_rows, length = regions.shape
-    if length % SPAN:
-        raise ValueError(f"region length {length} must be a multiple of {SPAN}")
+    packed = regions.dtype == jnp.uint32
+    nbytes = 4 * length if packed else length
+    if nbytes % SPAN:
+        raise ValueError(f"region length {nbytes} must be a multiple of {SPAN}")
     assert max(offsets) <= SPAN, "prev-tile halo covers offsets up to SPAN only"
     assert all(k < W or k % W == 0 for k in offsets), \
         "offsets >= one lane row must be row-aligned (static row-slice path)"
-    grid_j = length // SPAN
-    tiled = regions.reshape(n_rows, grid_j * ROWS, W)
+    grid_j = nbytes // SPAN
+    in_w = W // 4 if packed else W
+    tiled = regions.reshape(n_rows, grid_j * ROWS, in_w)
 
     # step j delivers tile min(j, grid_j-1); the last step (j == grid_j) re-reads
     # the final tile, matching the old clamped-next semantics for its lookahead
-    spec_in = pl.BlockSpec((1, ROWS, W),
+    spec_in = pl.BlockSpec((1, ROWS, in_w),
                            lambda c, j: (c, jnp.minimum(j, grid_j - 1), 0),
                            memory_space=pltpu.VMEM)
+    scratch_dt = jnp.int32 if packed else jnp.uint8
 
     counts = pl.pallas_call(
-        _make_kernel(offsets, grid_j, count_lo, count_hi),
+        _make_kernel(offsets, grid_j, count_lo, count_hi, packed_words=packed),
         grid=(n_rows, grid_j + 1),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM), spec_in],
         out_specs=pl.BlockSpec((1, 8, 128), lambda c, j: (c, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rows, 8, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((ROWS, W), jnp.uint8),
-                        pltpu.VMEM((ROWS, W), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((ROWS, W), scratch_dt),
+                        pltpu.VMEM((ROWS, W), scratch_dt),
                         pltpu.SMEM((1,), jnp.float32)],
         interpret=interpret,
     )(valid_rows, pos0.reshape(1), tiled)
@@ -167,13 +186,18 @@ def _counts_call(regions, valid_rows, pos0, offsets, count_lo, count_hi,
 def coverage_scores_pallas(regions, valid_len, offsets: tuple):
     """(C, L) uint8 regions -> (C,) float32 scores (valid_len - covered positions).
 
+    ``regions`` may also be (C, L/4) uint32 rows carrying the same bytes as LE
+    words (streams straight from the transform kernels); the kernel unpacks them
+    in VMEM and the scores are bit-identical to the uint8 form.
+
     ``valid_len``: a scalar shared by all rows, or a (C,) per-row array (the
     flattened (batch x candidates) corpus-pipeline grid).
     """
     n_rows, length = regions.shape
+    nbytes = 4 * length if regions.dtype == jnp.uint32 else length
     valid_rows = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32).reshape(-1),
                                   (n_rows,))
-    counts = _counts_call(regions, valid_rows, jnp.int32(0), offsets, 0, length)
+    counts = _counts_call(regions, valid_rows, jnp.int32(0), offsets, 0, nbytes)
     return valid_rows.astype(jnp.float32) - counts
 
 

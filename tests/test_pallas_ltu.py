@@ -22,3 +22,89 @@ def test_pallas_coverage_bit_identical():
         a = np.asarray(_coverage_scores(regions, jnp.int32(valid), DEFAULT_OFFSETS))
         b = np.asarray(coverage_scores_pallas(regions, jnp.int32(valid), DEFAULT_OFFSETS))
         np.testing.assert_array_equal(a, b)
+
+
+def test_packed_words_scorer_bit_identical_interpret():
+    """The u32-packed scorer input form equals the u8 form (interpret mode)."""
+    from dxt_lossless_transform_tpu.estimate.pallas_ltu import SPAN, _counts_call
+
+    rng = np.random.default_rng(4)
+    nbytes = 2 * SPAN
+    rows8 = rng.integers(0, 8, (3, nbytes), np.uint8)  # low entropy -> real matches
+    rows32 = np.stack([r.view("<u4") for r in rows8])
+    valid = jnp.asarray(np.int32([nbytes, nbytes - 999, nbytes - 3]))
+    a = np.asarray(_counts_call(jnp.asarray(rows8), valid, jnp.int32(0),
+                                DEFAULT_OFFSETS, 0, nbytes, interpret=True))
+    b = np.asarray(_counts_call(jnp.asarray(rows32), valid, jnp.int32(0),
+                                DEFAULT_OFFSETS, 0, nbytes, interpret=True))
+    assert a.sum() > 0
+    np.testing.assert_array_equal(a, b)
+
+
+def test_region_stream_kernels_match_byte_rows_interpret():
+    """Mosaic region builders (u32 streams) carry exactly the byte rows the XLA
+    path builds, for BC1/BC2/BC3 candidate sets (interpret mode)."""
+    from dxt_lossless_transform_tpu.ops import lanes
+    from dxt_lossless_transform_tpu.ops.auto import (
+        _colour_region_row, _decorrelated_pairs,
+    )
+    from dxt_lossless_transform_tpu.ops.pallas.regions import (
+        bc1_region_streams_tpu, bc2_region_streams_tpu, bc3_region_streams_tpu,
+    )
+    from dxt_lossless_transform_tpu.parallel.sharded import (
+        _BC1_CANDIDATES, _BC2_CANDIDATES, _BC3_CANDIDATES, _rows_from_streams,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4096  # blocks
+
+    def rows_bytes(streams_rows):
+        return [np.asarray(r).astype("<u4").view(np.uint8) for r in streams_rows]
+
+    # BC1: colors at word phase 0 of 2
+    flat1 = jnp.asarray(rng.integers(0, 2**32, 2 * n, dtype=np.uint32))
+    colors, _ = lanes.deinterleave(flat1.astype(jnp.uint32), 2)
+    dec = _decorrelated_pairs(colors, [v for v, _ in _BC1_CANDIDATES])
+    got, _ = _rows_from_streams(
+        bc1_region_streams_tpu(flat1, _BC1_CANDIDATES, interpret=True),
+        _BC1_CANDIDATES)
+    for row, (v, sp) in zip(rows_bytes(got), _BC1_CANDIDATES):
+        want = np.asarray(_colour_region_row(dec[v], sp, jnp.int32(n)))
+        np.testing.assert_array_equal(row, want.astype(np.uint8)), (v, sp)
+
+    # BC2: colors at word phase 2 of 4
+    flat2 = jnp.asarray(rng.integers(0, 2**32, 4 * n, dtype=np.uint32))
+    _, _, colors2, _ = lanes.deinterleave(flat2.astype(jnp.uint32), 4)
+    dec2 = _decorrelated_pairs(colors2, [v for v, _ in _BC2_CANDIDATES])
+    got2, _ = _rows_from_streams(
+        bc2_region_streams_tpu(flat2, _BC2_CANDIDATES, interpret=True),
+        _BC2_CANDIDATES)
+    for row, (v, sp) in zip(rows_bytes(got2), _BC2_CANDIDATES):
+        want = np.asarray(_colour_region_row(dec2[v], sp, jnp.int32(n)))
+        np.testing.assert_array_equal(row, want.astype(np.uint8)), (v, sp)
+
+    # BC3: alpha endpoints (lo16 of word 0) + colors (word 2)
+    from dxt_lossless_transform_tpu.ops.auto import _compact_pair
+
+    alpha_keys = tuple(dict.fromkeys(sa for _, sa, _ in _BC3_CANDIDATES))
+    colour_keys = tuple(dict.fromkeys((v, sc) for v, _, sc in _BC3_CANDIDATES))
+    w0, _, colors3, _ = lanes.deinterleave(flat2.astype(jnp.uint32), 4)
+    ep, _ = lanes.split_u32(w0)
+    dec3 = _decorrelated_pairs(colors3, [v for v, _ in colour_keys])
+    streams = bc3_region_streams_tpu(flat2, alpha_keys, colour_keys, interpret=True)
+    si = 0
+    for sa in alpha_keys:
+        if sa:
+            row32 = np.concatenate([np.asarray(streams[si]), np.asarray(streams[si + 1])])
+            si += 2
+            want = np.asarray(_compact_pair((ep & 0xFF).astype(jnp.uint8),
+                                            (ep >> 8).astype(jnp.uint8), jnp.int32(n)))
+        else:
+            row32 = np.asarray(streams[si]); si += 1
+            want = np.asarray(lanes.u16_to_byte_lanes(ep).astype(jnp.uint8))
+        np.testing.assert_array_equal(row32.astype("<u4").view(np.uint8),
+                                      want.astype(np.uint8)), sa
+    got3, _ = _rows_from_streams(streams[si:], colour_keys)
+    for row, (v, sc) in zip(rows_bytes(got3), colour_keys):
+        want = np.asarray(_colour_region_row(dec3[v], sc, jnp.int32(n)))
+        np.testing.assert_array_equal(row, want.astype(np.uint8)), (v, sc)
