@@ -81,6 +81,71 @@ def _rows_from_streams(streams, candidates):
     return rows, si
 
 
+def _concat_words_at(c0w, c1w, byte_pos):
+    """u32 row ``[c0w | c1w-at-byte_pos]``: the word-lane twin of
+    :func:`..ops.auto._compact_pair` on the streams' bytes.
+
+    ``byte_pos`` is traced (ragged per-file valid prefixes land on arbitrary,
+    not word-aligned, byte offsets); c1's bytes are pre-shifted by ``byte_pos %
+    4`` with a one-word carry and the boundary word keeps c0's live bytes. The
+    row tail beyond both valid streams differs from the byte twin (zeros vs
+    stale c1 tail) -- unobservable to the scorer, which neither counts nor
+    sources positions past ``valid_len``."""
+    byte_pos = byte_pos.astype(jnp.int32)
+    w0 = byte_pos // 4
+    r = byte_pos % 4
+    n_row = c0w.shape[0] + c1w.shape[0]
+    # one scratch word so the shifted stream's final carry always fits unclamped
+    row = jnp.concatenate([c0w, jnp.zeros((c1w.shape[0] + 1,), c1w.dtype)])
+    prev = jnp.concatenate([jnp.zeros((1,), c1w.dtype), c1w[:-1]])
+    rs = jnp.where(r == 0, 1, 32 - 8 * r).astype(jnp.uint32)  # r == 0 arm unused
+    sh = jnp.where(r == 0, c1w,
+                   (c1w << r.astype(jnp.uint32) * 8) | (prev >> rs))
+    carry = jnp.where(r == 0, jnp.uint32(0), c1w[-1] >> rs)
+    sh = jnp.concatenate([sh, carry[None]]).astype(c1w.dtype)
+    cur = jax.lax.dynamic_slice(row, (w0,), (1,))[0]
+    keep = jnp.where(r == 0, jnp.uint32(0), jnp.uint32(0xFFFFFFFF) >> rs)
+    sh = sh.at[0].set((cur & keep) | (sh[0] & ~keep))
+    return jax.lax.dynamic_update_slice(row, sh, (w0,))[:n_row]
+
+
+def _batched_rows_from_streams(streams, candidates, B, byte_pos):
+    """(B,)-sliced u32 rows per candidate from one whole-batch kernel call.
+
+    ``byte_pos``: (B,) byte offsets for the second stream of split candidates."""
+    rows, si = [], 0
+    for _v, split in candidates:
+        if split:
+            half = streams[si].shape[0] // B
+            c0 = streams[si].reshape(B, half)
+            c1 = streams[si + 1].reshape(B, half)
+            rows.append(jax.vmap(_concat_words_at)(c0, c1, byte_pos))
+            si += 2
+        else:
+            rows.append(streams[si].reshape(B, -1))
+            si += 1
+    return rows, si
+
+
+def _batched_words_gate(n_region_bytes: int, total_words: int, offsets,
+                        allow_pallas: bool, mesh) -> bool:
+    from ..ops.pallas.shuffle import WIDTH
+
+    return (mesh is None and total_words % WIDTH == 0
+            and _words_gate(n_region_bytes, offsets, allow_pallas))
+
+
+def _packed_scores(rows, valid_lens, offsets):
+    """(B, C, L/4) u32 candidate rows -> (B, C) scores via the packed scorer."""
+    from ..estimate.pallas_ltu import coverage_scores_pallas
+
+    regions3 = jnp.stack(rows, axis=1)
+    B, C, _ = regions3.shape
+    flat = regions3.reshape(B * C, -1)
+    valid = jnp.repeat(valid_lens.astype(jnp.int32), C)
+    return coverage_scores_pallas(flat, valid, offsets).reshape(B, C)
+
+
 def _pick_and_decorrelate(colors, candidates, variant_col, scores):
     best = jnp.argmin(scores).astype(jnp.int32)
     variants = jnp.asarray([c[variant_col] for c in candidates], jnp.int32)
@@ -285,15 +350,24 @@ def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool, mesh=None):
 
 def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
                       mesh=None):
-    def regions_fn(flat, vl):
-        colors, indices = lanes.deinterleave(flat.astype(jnp.uint32), 2)
-        dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
-        regions = jnp.stack([_colour_region_row(dec[v], split, vl // 4)
-                             for v, split in candidates])
-        return regions, colors, indices
+    B, W2 = flats.shape
+    colors, indices = jax.vmap(
+        lambda f: lanes.deinterleave(f.astype(jnp.uint32), 2))(flats)
+    if _batched_words_gate(2 * W2, W2, offsets, allow_pallas, mesh):
+        from ..ops.pallas.regions import bc1_region_streams_tpu
 
-    regions, colors, indices = jax.vmap(regions_fn)(flats, valid_lens)
-    scores = _scores_flat(regions, valid_lens, offsets, allow_pallas, mesh)
+        streams = bc1_region_streams_tpu(flats.reshape(-1), candidates)
+        rows, _ = _batched_rows_from_streams(streams, candidates, B,
+                                             valid_lens // 2)
+        scores = _packed_scores(rows, valid_lens, offsets)
+    else:
+        def regions_fn(flat_colors, vl):
+            dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
+            return jnp.stack([_colour_region_row(dec[v], split, vl // 4)
+                              for v, split in candidates])
+
+        regions = jax.vmap(regions_fn)(colors, valid_lens)
+        scores = _scores_flat(regions, valid_lens, offsets, allow_pallas, mesh)
     d0, d1, best = jax.vmap(
         lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
     return d0, d1, indices, best
@@ -301,15 +375,24 @@ def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
 
 def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
                       mesh=None):
-    def regions_fn(flat, vl):
-        a_lo, a_hi, colors, idx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
-        dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
-        regions = jnp.stack([_colour_region_row(dec[v], split, vl // 4)
-                             for v, split in candidates])
-        return regions, a_lo, a_hi, colors, idx
+    B, W4 = flats.shape
+    a_lo, a_hi, colors, idx = jax.vmap(
+        lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
+    if _batched_words_gate(W4, W4, offsets, allow_pallas, mesh):
+        from ..ops.pallas.regions import bc2_region_streams_tpu
 
-    regions, a_lo, a_hi, colors, idx = jax.vmap(regions_fn)(flats, valid_lens)
-    scores = _scores_flat(regions, valid_lens, offsets, allow_pallas, mesh)
+        streams = bc2_region_streams_tpu(flats.reshape(-1), candidates)
+        rows, _ = _batched_rows_from_streams(streams, candidates, B,
+                                             valid_lens // 2)
+        scores = _packed_scores(rows, valid_lens, offsets)
+    else:
+        def regions_fn(flat_colors, vl):
+            dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
+            return jnp.stack([_colour_region_row(dec[v], split, vl // 4)
+                              for v, split in candidates])
+
+        regions = jax.vmap(regions_fn)(colors, valid_lens)
+        scores = _scores_flat(regions, valid_lens, offsets, allow_pallas, mesh)
     d0, d1, best = jax.vmap(
         lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
     return a_lo, a_hi, d0, d1, idx, best
@@ -317,25 +400,57 @@ def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
 
 def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
                       mesh=None):
-    def regions_fn(flat, vl):
-        w0, w1, colors, cidx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
-        ep, h1 = lanes.split_u32(w0)
-        h2, h3 = lanes.split_u32(w1)
-        n_valid = vl // 4
-        dec = _decorrelated_pairs(colors, [v for v, _, _ in candidates])
-        alpha_interleaved = lanes.u16_to_byte_lanes(ep).astype(jnp.uint8)
-        alpha_split = _compact_pair((ep & 0xFF).astype(jnp.uint8),
-                                    (ep >> 8).astype(jnp.uint8), n_valid)
-        alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
-                                for _, sa, _ in candidates])
-        colour_rows = jnp.stack([_colour_region_row(dec[v], sc, n_valid)
-                                 for v, _, sc in candidates])
-        return alpha_rows, colour_rows, ep, h1, h2, h3, colors, cidx
+    B, W4 = flats.shape
+    # distinct rows only: the 8 fast candidates share 2 alpha + 4 colour layouts
+    alpha_keys = tuple(dict.fromkeys(sa for _, sa, _ in candidates))
+    colour_keys = tuple(dict.fromkeys((v, sc) for v, _, sc in candidates))
+    w0, w1, colors, cidx = jax.vmap(
+        lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
+    ep, h1 = lanes.split_u32(w0)
+    h2, h3 = lanes.split_u32(w1)
+    if _batched_words_gate(W4, W4, offsets, allow_pallas, mesh) \
+            and _batched_words_gate(W4 // 2, W4, offsets, allow_pallas, mesh):
+        from ..ops.pallas.regions import bc3_region_streams_tpu
 
-    alpha_rows, colour_rows, ep, h1, h2, h3, colors, cidx = jax.vmap(regions_fn)(
-        flats, valid_lens)
-    scores = (_scores_flat(alpha_rows, valid_lens // 2, offsets, allow_pallas, mesh)
-              + _scores_flat(colour_rows, valid_lens, offsets, allow_pallas, mesh))
+        streams = bc3_region_streams_tpu(flats.reshape(-1), alpha_keys,
+                                         colour_keys)
+        a_rows, si = [], 0
+        for sa in alpha_keys:
+            if sa:
+                half = streams[si].shape[0] // B
+                a_rows.append(jax.vmap(_concat_words_at)(
+                    streams[si].reshape(B, half),
+                    streams[si + 1].reshape(B, half), valid_lens // 4))
+                si += 2
+            else:
+                a_rows.append(streams[si].reshape(B, -1))
+                si += 1
+        c_rows, _ = _batched_rows_from_streams(streams[si:], colour_keys, B,
+                                               valid_lens // 2)
+        a_scores = _packed_scores(a_rows, valid_lens // 2, offsets)
+        c_scores = _packed_scores(c_rows, valid_lens, offsets)
+    else:
+        def regions_fn(flat_colors, flat_ep, vl):
+            n_valid = vl // 4
+            dec = _decorrelated_pairs(flat_colors, [v for v, _ in colour_keys])
+            alpha_interleaved = lanes.u16_to_byte_lanes(flat_ep).astype(jnp.uint8)
+            alpha_split = _compact_pair((flat_ep & 0xFF).astype(jnp.uint8),
+                                        (flat_ep >> 8).astype(jnp.uint8), n_valid)
+            alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
+                                    for sa in alpha_keys])
+            colour_rows = jnp.stack([_colour_region_row(dec[v], sc, n_valid)
+                                     for v, sc in colour_keys])
+            return alpha_rows, colour_rows
+
+        alpha_rows, colour_rows = jax.vmap(regions_fn)(colors, ep, valid_lens)
+        a_scores = _scores_flat(alpha_rows, valid_lens // 2, offsets,
+                                allow_pallas, mesh)
+        c_scores = _scores_flat(colour_rows, valid_lens, offsets, allow_pallas,
+                                mesh)
+    a_ix = {k: i for i, k in enumerate(alpha_keys)}
+    c_ix = {k: i for i, k in enumerate(colour_keys)}
+    scores = jnp.stack([a_scores[:, a_ix[sa]] + c_scores[:, c_ix[(v, sc)]]
+                        for v, sa, sc in candidates], axis=1)
     d0, d1, best = jax.vmap(
         lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
     return ep, h1, h2, h3, d0, d1, cidx, best

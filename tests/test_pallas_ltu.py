@@ -108,3 +108,26 @@ def test_region_stream_kernels_match_byte_rows_interpret():
     for row, (v, sc) in zip(rows_bytes(got3), colour_keys):
         want = np.asarray(_colour_region_row(dec3[v], sc, jnp.int32(n)))
         np.testing.assert_array_equal(row, want.astype(np.uint8)), (v, sc)
+
+
+def test_concat_words_at_matches_compact_pair():
+    """The word-lane compaction (ragged split regions in the batched fast path)
+    is byte-identical to _compact_pair for every byte_pos % 4 alignment."""
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.ops.auto import _compact_pair
+    from dxt_lossless_transform_tpu.parallel.sharded import _concat_words_at
+
+    rng = np.random.default_rng(6)
+    n = 256  # words per stream
+    c0 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    c1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    for byte_pos in (0, 1, 2, 3, 5, 128, 4 * n - 3, 4 * n):
+        got = np.asarray(_concat_words_at(jnp.asarray(c0), jnp.asarray(c1),
+                                          jnp.int32(byte_pos)))
+        want = np.asarray(_compact_pair(jnp.asarray(c0.view(np.uint8)),
+                                        jnp.asarray(c1.view(np.uint8)),
+                                        jnp.int32(byte_pos)))
+        span = byte_pos + 4 * n  # bytes live in both forms; tails differ by design
+        np.testing.assert_array_equal(
+            got.astype("<u4").view(np.uint8)[:span], want[:span]), byte_pos
