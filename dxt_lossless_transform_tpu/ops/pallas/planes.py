@@ -155,6 +155,25 @@ def weave_cols_tpu(cols, interpret: bool = False):
     return res.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def deinterleave_words_tpu(flat, k: int, interpret: bool = False):
+    """uint32[k*N] -> k streams uint32[N]: the Mosaic twin of
+    ``lanes.deinterleave(flat, k)`` (XLA's strided slices lower to ~31 GB/s on
+    v5e; phases are sublane reshapes in transposed space). Needs only
+    ``flat.shape[0] % 2048 == 0`` (the adaptive shuffle-kernel grid), unlike
+    :func:`split_cols_tpu`'s full-tile gate."""
+    from .shuffle import WIDTH, _call, _grid_rows
+
+    grid, rows = _grid_rows(flat.shape[0])
+
+    def kernel(x_ref, *out_refs):
+        ps = _phases(x_ref[:].astype(_U32).T, k)
+        for i in range(k):
+            out_refs[i][:] = ps[i].T
+
+    return _call(kernel, (flat,), [WIDTH], [WIDTH // k] * k, grid, rows, interpret)
+
+
 def _split_cols_kernel(rows: int):
     def kernel(x_ref, *out_refs):
         wt = _phases(x_ref[:].astype(_U32).T, 4)

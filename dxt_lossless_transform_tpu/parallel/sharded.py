@@ -171,9 +171,15 @@ def bc1_auto_step_single(flat, valid_len=None,
     full = valid_len is None
     if full:
         valid_len = jnp.int32(4 * n)
-    colors, indices = lanes.deinterleave(flat.astype(jnp.uint32), 2)
+    use_words = full and _words_gate(4 * n, offsets, allow_pallas)
+    if use_words:
+        from ..ops.pallas.planes import deinterleave_words_tpu
+
+        colors, indices = deinterleave_words_tpu(flat.astype(jnp.uint32), 2)
+    else:
+        colors, indices = lanes.deinterleave(flat.astype(jnp.uint32), 2)
     n_valid = valid_len // 4
-    if full and _words_gate(4 * n, offsets, allow_pallas):
+    if use_words:
         from ..estimate.pallas_ltu import coverage_scores_pallas
         from ..ops.pallas.regions import bc1_region_streams_tpu
 
@@ -202,9 +208,15 @@ def bc2_auto_step_single(flat, valid_len=None,
     full = valid_len is None
     if full:
         valid_len = jnp.int32(4 * n)
-    a_lo, a_hi, colors, idx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+    use_words = full and _words_gate(4 * n, offsets, allow_pallas)
+    if use_words:
+        from ..ops.pallas.planes import deinterleave_words_tpu
+
+        a_lo, a_hi, colors, idx = deinterleave_words_tpu(flat.astype(jnp.uint32), 4)
+    else:
+        a_lo, a_hi, colors, idx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
     n_valid = valid_len // 4
-    if full and _words_gate(4 * n, offsets, allow_pallas):
+    if use_words:
         from ..estimate.pallas_ltu import coverage_scores_pallas
         from ..ops.pallas.regions import bc2_region_streams_tpu
 
@@ -235,17 +247,23 @@ def bc3_auto_step_single(flat, valid_len=None,
     full = valid_len is None
     if full:
         valid_len = jnp.int32(4 * n)
-    w0, w1, colors, cidx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
-    ep, h1 = lanes.split_u32(w0)
-    h2, h3 = lanes.split_u32(w1)
-    n_valid = valid_len // 4
     # score only DISTINCT region rows (identical rows score identically): the 8
     # fast candidates share 2 alpha layouts and 4 colour layouts, so the scorer
     # sees 6 rows instead of 16
     alpha_keys = tuple(dict.fromkeys(sa for _, sa, _ in candidates))
     colour_keys = tuple(dict.fromkeys((v, sc) for v, _, sc in candidates))
-    if full and _words_gate(2 * n, offsets, allow_pallas) \
-            and _words_gate(4 * n, offsets, allow_pallas):
+    use_words = full and _words_gate(2 * n, offsets, allow_pallas) \
+        and _words_gate(4 * n, offsets, allow_pallas)
+    if use_words:
+        from ..ops.pallas.planes import deinterleave_words_tpu
+
+        w0, w1, colors, cidx = deinterleave_words_tpu(flat.astype(jnp.uint32), 4)
+    else:
+        w0, w1, colors, cidx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+    ep, h1 = lanes.split_u32(w0)
+    h2, h3 = lanes.split_u32(w1)
+    n_valid = valid_len // 4
+    if use_words:
         from ..estimate.pallas_ltu import coverage_scores_pallas
         from ..ops.pallas.regions import bc3_region_streams_tpu
 
@@ -351,9 +369,17 @@ def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool, mesh=None):
 def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
                       mesh=None):
     B, W2 = flats.shape
-    colors, indices = jax.vmap(
-        lambda f: lanes.deinterleave(f.astype(jnp.uint32), 2))(flats)
-    if _batched_words_gate(2 * W2, W2, offsets, allow_pallas, mesh):
+    use_words = _batched_words_gate(2 * W2, W2, offsets, allow_pallas, mesh)
+    if use_words:
+        from ..ops.pallas.planes import deinterleave_words_tpu
+
+        colors, indices = (
+            s.reshape(B, -1) for s in
+            deinterleave_words_tpu(flats.reshape(-1).astype(jnp.uint32), 2))
+    else:
+        colors, indices = jax.vmap(
+            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 2))(flats)
+    if use_words:
         from ..ops.pallas.regions import bc1_region_streams_tpu
 
         streams = bc1_region_streams_tpu(flats.reshape(-1), candidates)
@@ -376,9 +402,17 @@ def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
 def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
                       mesh=None):
     B, W4 = flats.shape
-    a_lo, a_hi, colors, idx = jax.vmap(
-        lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
-    if _batched_words_gate(W4, W4, offsets, allow_pallas, mesh):
+    use_words = _batched_words_gate(W4, W4, offsets, allow_pallas, mesh)
+    if use_words:
+        from ..ops.pallas.planes import deinterleave_words_tpu
+
+        a_lo, a_hi, colors, idx = (
+            s.reshape(B, -1) for s in
+            deinterleave_words_tpu(flats.reshape(-1).astype(jnp.uint32), 4))
+    else:
+        a_lo, a_hi, colors, idx = jax.vmap(
+            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
+    if use_words:
         from ..ops.pallas.regions import bc2_region_streams_tpu
 
         streams = bc2_region_streams_tpu(flats.reshape(-1), candidates)
@@ -404,12 +438,20 @@ def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
     # distinct rows only: the 8 fast candidates share 2 alpha + 4 colour layouts
     alpha_keys = tuple(dict.fromkeys(sa for _, sa, _ in candidates))
     colour_keys = tuple(dict.fromkeys((v, sc) for v, _, sc in candidates))
-    w0, w1, colors, cidx = jax.vmap(
-        lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
+    use_words = (_batched_words_gate(W4, W4, offsets, allow_pallas, mesh)
+                 and _batched_words_gate(W4 // 2, W4, offsets, allow_pallas, mesh))
+    if use_words:
+        from ..ops.pallas.planes import deinterleave_words_tpu
+
+        w0, w1, colors, cidx = (
+            s.reshape(B, -1) for s in
+            deinterleave_words_tpu(flats.reshape(-1).astype(jnp.uint32), 4))
+    else:
+        w0, w1, colors, cidx = jax.vmap(
+            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
     ep, h1 = lanes.split_u32(w0)
     h2, h3 = lanes.split_u32(w1)
-    if _batched_words_gate(W4, W4, offsets, allow_pallas, mesh) \
-            and _batched_words_gate(W4 // 2, W4, offsets, allow_pallas, mesh):
+    if use_words:
         from ..ops.pallas.regions import bc3_region_streams_tpu
 
         streams = bc3_region_streams_tpu(flats.reshape(-1), alpha_keys,

@@ -131,3 +131,19 @@ def test_concat_words_at_matches_compact_pair():
         span = byte_pos + 4 * n  # bytes live in both forms; tails differ by design
         np.testing.assert_array_equal(
             got.astype("<u4").view(np.uint8)[:span], want[:span]), byte_pos
+
+
+def test_deinterleave_words_kernel_matches_lanes():
+    """Mosaic deinterleave (interpret) == lanes.deinterleave for k in {2, 4}."""
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.ops import lanes
+    from dxt_lossless_transform_tpu.ops.pallas.planes import deinterleave_words_tpu
+
+    rng = np.random.default_rng(7)
+    flat = jnp.asarray(rng.integers(0, 2**32, 3 * 2048, dtype=np.uint32))
+    for k in (2, 4):
+        got = deinterleave_words_tpu(flat, k, interpret=True)
+        want = lanes.deinterleave(flat, k)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
