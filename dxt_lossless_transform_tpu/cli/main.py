@@ -128,18 +128,56 @@ def _process_tree(args, work_fn, verb: str):
 
 
 _BATCH_FORMATS = {"bc1", "bc2", "bc3", "bc4", "bc5"}
+# Host-scored (zstd) batching ships every candidate's region back through the
+# host link; above this size the per-file native auto (whose regions never leave
+# the C++ runtime) wins, so big files take the per-file path.
+_BATCH_ZSTD_MAX_BYTES = int(os.environ.get("DLT_BATCH_ZSTD_MAX_BYTES",
+                                           str(8 << 20)))
+
+
+def _batch_processors_for_preset(preset: str, max_batch: int):
+    """Per-format BatchProcessor factory for a preset, or None for formats the
+    preset cannot batch. medium scores on device (LTU candidate search); the
+    zstd presets (optimal/max) build candidate regions on device and rank them
+    with the native pthread batch estimator, the next batch's device work
+    overlapped (``parallel.pipeline._process_host_scored``)."""
+    from ..parallel.pipeline import BatchProcessor
+
+    if preset == "medium":
+        return lambda fmt: BatchProcessor(fmt, max_batch=max_batch)
+    if preset in ("optimal", "max"):
+        from ..settings import (
+            BC1_COMPREHENSIVE_CANDIDATES, BC2_COMPREHENSIVE_CANDIDATES,
+            BC3_COMPREHENSIVE_CANDIDATES,
+        )
+
+        ultra = preset == "max"
+        comp = {"bc1": BC1_COMPREHENSIVE_CANDIDATES,
+                "bc2": BC2_COMPREHENSIVE_CANDIDATES,
+                "bc3": BC3_COMPREHENSIVE_CANDIDATES}
+
+        def make(fmt):
+            if fmt not in comp:
+                return None  # bc4/bc5 keep the per-file path under zstd presets
+            return BatchProcessor(
+                fmt, max_batch=max_batch, estimator=ZstdEstimation(1),
+                candidates=comp[fmt] if ultra else None)
+
+        return make
+    return None
 
 
 def _transform_batched(args, bundle, handlers):
-    """Batch path (medium preset): group same-format BC1-BC5 DDS payloads across
-    files into fixed-shape device batches (``parallel.pipeline.BatchProcessor`` --
-    the rayon-work-stealing analog, ``commands/transform/mod.rs:166-187``), keeping
-    per-file error isolation and ordered output. Other formats and non-DDS files take
-    the per-file path."""
+    """Batch path: group same-format BC1-BC5 DDS payloads across files into
+    fixed-shape device batches (``parallel.pipeline.BatchProcessor`` -- the
+    rayon-work-stealing analog, ``commands/transform/mod.rs:166-187``), keeping
+    per-file error isolation and ordered output. Every auto preset batches
+    (medium via the on-device LTU search; optimal/max via device-built regions +
+    the native pthread zstd estimator). Other formats and non-DDS files take the
+    per-file path."""
     from ..formats.dds import parse_dds
     from ..formats.embed import TRANSFORM_HEADER_SIZE, TransformHeader
     from ..formats.handlers import _DDS_TO_TRANSFORM
-    from ..parallel.pipeline import BatchProcessor
 
     for_header = {"bc1": TransformHeader.for_bc1, "bc2": TransformHeader.for_bc2,
                   "bc3": TransformHeader.for_bc3, "bc4": TransformHeader.for_bc4,
@@ -159,6 +197,10 @@ def _transform_batched(args, bundle, handlers):
         out.parent.mkdir(parents=True, exist_ok=True)
         return out
 
+    make_proc = _batch_processors_for_preset(args.preset,
+                                             getattr(args, "max_batch", 64))
+    zstd_mode = args.preset in ("optimal", "max")
+
     # Partition: batchable BC1-BC5 DDS payloads vs per-file fallback.
     groups: dict = {fmt: [] for fmt in _BATCH_FORMATS}
     fallback = []
@@ -170,7 +212,9 @@ def _transform_batched(args, bundle, handlers):
                    if info is not None and _DDS_TO_TRANSFORM.get(info.format)
                    else None)
             if (fmt in _BATCH_FORMATS
-                    and len(data) >= info.data_offset + info.data_length):
+                    and len(data) >= info.data_offset + info.data_length
+                    and not (zstd_mode and (info.data_length > _BATCH_ZSTD_MAX_BYTES
+                                            or fmt not in ("bc1", "bc2", "bc3")))):
                 groups[fmt].append((f, data, info))
             else:
                 fallback.append(f)
@@ -181,7 +225,10 @@ def _transform_batched(args, bundle, handlers):
     for fmt, entries in groups.items():
         if not entries:
             continue
-        proc = BatchProcessor(fmt, max_batch=getattr(args, "max_batch", 64))
+        proc = make_proc(fmt) if make_proc is not None else None
+        if proc is None:
+            fallback.extend(f for f, _, _ in entries)
+            continue
         payloads = [data[info.data_offset:info.data_offset + info.data_length]
                     for _, data, info in entries]
         try:
@@ -225,12 +272,11 @@ def cmd_transform(args):
 
     batch = getattr(args, "batch", None)
     if batch is None:
-        batch = args.preset == "medium"  # the batch pipeline scores with the
-        # device LTU candidate search == the medium preset's estimator
-    if batch and args.preset != "medium":
-        print("--batch applies to the medium preset only (the batch pipeline's "
-              "on-device scorer is the LTU estimator); using per-file path",
-              file=sys.stderr)
+        batch = args.preset in ("medium", "optimal", "max")  # every auto preset
+    if batch and args.preset == "low":
+        print("--batch applies to the auto presets only (low uses manual default "
+              "settings; the per-file path is already fastest); using per-file "
+              "path", file=sys.stderr)
         batch = False
     if batch:
         return _transform_batched(args, bundle, handlers)
@@ -266,7 +312,7 @@ def main(argv=None):
                      help="host worker threads (device work serializes regardless)")
     p_t.add_argument("--batch", action=argparse.BooleanOptionalAction, default=None,
                      help="pack same-format textures into device batches "
-                          "(default: on for the medium preset)")
+                          "(default: on for the auto presets)")
     p_t.add_argument("--max-batch", type=int, default=64, dest="max_batch",
                      help="files per packed device batch")
     p_t.set_defaults(fn=cmd_transform)

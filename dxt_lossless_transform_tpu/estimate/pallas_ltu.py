@@ -282,8 +282,9 @@ def _counts_call(regions, valid_rows, pos0, offsets, count_lo, count_hi,
     return counts[:, 0, 0]
 
 
-@partial(jax.jit, static_argnames=("offsets",))
-def coverage_scores_pallas(regions, valid_len, offsets: tuple):
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def coverage_scores_pallas(regions, valid_len, offsets: tuple,
+                           interpret: bool = False):
     """(C, L) uint8 regions -> (C,) float32 scores (valid_len - covered positions).
 
     ``regions`` may also be (C, L/4) uint32 rows carrying the same bytes as LE
@@ -297,7 +298,8 @@ def coverage_scores_pallas(regions, valid_len, offsets: tuple):
     nbytes = 4 * length if regions.dtype == jnp.uint32 else length
     valid_rows = jnp.broadcast_to(jnp.asarray(valid_len, jnp.int32).reshape(-1),
                                   (n_rows,))
-    counts = _counts_call(regions, valid_rows, jnp.int32(0), offsets, 0, nbytes)
+    counts = _counts_call(regions, valid_rows, jnp.int32(0), offsets, 0, nbytes,
+                          interpret=interpret)
     return valid_rows.astype(jnp.float32) - counts
 
 
@@ -310,11 +312,13 @@ def coverage_counts_windowed(chunks, valid_rows, pos0, offsets: tuple,
     with one halo tile prepended (previous shard's last SPAN bytes; zeros for the
     first shard) and one appended (next shard's first SPAN bytes; content
     irrelevant for the last shard -- it only feeds the masked-out tail window).
+    May also be uint32 rows carrying the same bytes as LE words (the packed
+    SWAR kernel; halo = SPAN/4 words each side).
     ``pos0``: global stream position of local byte 0 (i.e. shard_start - SPAN).
     Counts positions local in [SPAN, SPAN+Lc) whose global position is below
     ``valid_rows`` - 2; summing these over shards equals the unsharded count.
     """
-    length = chunks.shape[1]
+    nbytes = chunks.shape[1] * (4 if chunks.dtype == jnp.uint32 else 1)
     return _counts_call(chunks, valid_rows.astype(jnp.int32),
                         jnp.asarray(pos0, jnp.int32), offsets,
-                        SPAN, length - SPAN, interpret=interpret)
+                        SPAN, nbytes - SPAN, interpret=interpret)

@@ -114,6 +114,10 @@ def _chunk_keys(modes_u32):
     an exact multiple of it."""
     n_pad = modes_u32.shape[0]
     c = min(_oracle.SORT_CHUNK_BLOCKS, n_pad)
+    # key-packing invariants: the inverse permutation masks with ``& (c - 1)``
+    # (power-of-two chunks only) and mode_max * c + (c - 1) must not wrap u16
+    assert c & (c - 1) == 0, f"chunk size {c} must be a power of two"
+    assert 15 * c + (c - 1) <= 0xFFFF, f"u16 keys overflow at chunk size {c}"
     return (modes_u32.reshape(-1, c).astype(jnp.uint16) * jnp.uint16(c)
             + jnp.arange(c, dtype=jnp.uint16)[None, :])
 

@@ -67,6 +67,16 @@ def _grid_rows(total_words: int, max_rows: int = 0) -> tuple:
     return all_rows // rows, rows
 
 
+def grid_rows_ok(total_words: int, max_rows: int = 0) -> bool:
+    """True iff :func:`_grid_rows` accepts this word count -- callers gating a
+    words-path fast path must check this on the FLAT word count each kernel will
+    consume (a tile-row total above the cap must divide evenly)."""
+    if total_words < WIDTH or total_words % WIDTH:
+        return False
+    all_rows = total_words // WIDTH
+    return all_rows % min(max_rows or MAX_ROWS, all_rows) == 0
+
+
 # --- transposed-space helpers ---------------------------------------------------------
 # Work happens on (words, rows) views; `k` consecutive-lane phases of the original
 # (rows, width) tile are sublane slices of a (w//k, k, rows) reshape.

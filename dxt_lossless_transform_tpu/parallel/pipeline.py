@@ -133,6 +133,25 @@ _FORMATS = {
 }
 
 
+def _pad_batch_for_tiles(padded_batch: int, words_per_file: int,
+                         files_axis: int) -> int:
+    """Round the batch up so the flattened word stream fits the Mosaic kernels'
+    128-row tile grid (``shuffle.grid_rows_ok``): a total tile-row count above
+    128 must divide evenly. Padding rows duplicate the last file -- cheaper than
+    falling back to the ~3x-slower XLA byte path on fragment batches."""
+    import math
+
+    from ..ops.pallas.shuffle import MAX_ROWS, WIDTH
+
+    rpf = words_per_file // WIDTH
+    if rpf == 0 or words_per_file % WIDTH or rpf >= MAX_ROWS:
+        return padded_batch  # per-file rows already divide (or gate falls back)
+    if padded_batch * rpf <= MAX_ROWS:
+        return padded_batch
+    step = math.lcm(MAX_ROWS // math.gcd(rpf, MAX_ROWS), files_axis)
+    return -(-padded_batch // step) * step
+
+
 class BatchProcessor:
     """Pack payloads of one texture format into fixed-shape batches and
     auto-transform them on device.
@@ -141,28 +160,37 @@ class BatchProcessor:
     sharded ``P("files", "blocks")``.
     """
 
-    def __init__(self, fmt: str, mesh=None, candidates=None, max_batch: int = 64):
+    def __init__(self, fmt: str, mesh=None, candidates=None, max_batch: int = 64,
+                 estimator=None):
         cfg = _FORMATS[fmt]
         self.cfg = cfg
+        self.fmt = fmt
         self.mesh = mesh
         self.candidates = tuple(candidates if candidates is not None
                                 else cfg["candidates"])
         self._cand_key = tuple(cfg["key"](c) for c in self.candidates)
         self.max_batch = max_batch
-        # With a mesh: GSPMD-sharded step (XLA scorer; a pallas_call is opaque to
-        # the partitioner). Without: single-device batched step whose scoring runs
-        # through the Mosaic coverage kernel on the flattened (batch x candidates)
-        # grid -- the corpus-throughput hot path.
-        self._step = (cfg["step"](mesh, self._cand_key) if mesh is not None
-                      else sharded.auto_step_batched(fmt, self._cand_key))
+        self.estimator = estimator
+        if estimator is not None:
+            # Host-scored mode (the CLI's zstd presets): the device builds every
+            # candidate's estimation region; the host estimator ranks them.
+            if fmt not in ("bc1", "bc2", "bc3"):
+                raise ValueError(f"host-scored batching not supported for {fmt}")
+            self._step = sharded.auto_step_batched_regions(fmt, self._cand_key)
+        else:
+            # With a mesh: sharded step (per-shard Mosaic kernels when local
+            # shapes allow, GSPMD-partitioned XLA otherwise). Without: the
+            # single-device batched step whose scoring runs through the Mosaic
+            # coverage kernel on the flattened (batch x candidates) grid.
+            self._step = (cfg["step"](mesh, self._cand_key) if mesh is not None
+                          else sharded.auto_step_batched(fmt, self._cand_key))
 
     def _run_batch(self, flats: np.ndarray, valid: np.ndarray):
         return self._step(jnp.asarray(flats), jnp.asarray(valid))
 
-    def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:
-        """Transform every payload; results returned in submission order."""
+    def _prepare_batches(self, payloads: Sequence[bytes], order):
+        """Bucket payloads into fixed-shape (chunk, flats, valid) batches."""
         bs, wpb = self.cfg["block_size"], self.cfg["words"]
-        order: List[Optional[BatchResult]] = [None] * len(payloads)
         by_bucket: dict = {}
         for i, data in enumerate(payloads):
             if len(data) % bs:
@@ -179,6 +207,8 @@ class BatchProcessor:
                 chunk = indices[start:start + self.max_batch]
                 batch = len(chunk)
                 padded_batch = -(-batch // files_axis) * files_axis
+                padded_batch = _pad_batch_for_tiles(padded_batch, wpb * bucket,
+                                                    files_axis)
                 flats = np.zeros((padded_batch, wpb * bucket), np.uint32)
                 valid = np.zeros(padded_batch, np.int32)
                 for row, idx in enumerate(chunk):
@@ -188,17 +218,105 @@ class BatchProcessor:
                 for row in range(batch, padded_batch):
                     flats[row] = flats[batch - 1]
                     valid[row] = valid[batch - 1]
+                yield chunk, flats, valid
 
-                out = jax.device_get(self._run_batch(flats, valid))
-                streams, best = out[:-1], out[-1]
-                for row, file_idx in enumerate(chunk):
-                    n = len(payloads[file_idx]) // bs
-                    settings = self.candidates[int(best[row])]
-                    row_streams = [s[row] for s in streams]
-                    order[file_idx] = BatchResult(
-                        file_idx, self.cfg["serialize"](row_streams, n, settings),
-                        settings)
+    def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:
+        """Transform every payload; results returned in submission order."""
+        order: List[Optional[BatchResult]] = [None] * len(payloads)
+        if self.estimator is not None:
+            self._process_host_scored(payloads, order)
+            return [r for r in order if r is not None]
+        bs = self.cfg["block_size"]
+        for chunk, flats, valid in self._prepare_batches(payloads, order):
+            out = jax.device_get(self._run_batch(flats, valid))
+            streams, best = out[:-1], out[-1]
+            for row, file_idx in enumerate(chunk):
+                n = len(payloads[file_idx]) // bs
+                settings = self.candidates[int(best[row])]
+                row_streams = [s[row] for s in streams]
+                order[file_idx] = BatchResult(
+                    file_idx, self.cfg["serialize"](row_streams, n, settings),
+                    settings)
         return [r for r in order if r is not None]
+
+    # --- host-scored (zstd-preset) mode -------------------------------------------
+
+    def _process_host_scored(self, payloads, order):
+        """Device region building overlapped with host estimation: batch k+1's
+        device step is dispatched (async) before batch k's rows are scored, the
+        analog of the reference parallelizing its zstd presets
+        (``commands/transform/mod.rs:166-187``)."""
+        from collections import deque
+
+        pending = deque()
+        for chunk, flats, valid in self._prepare_batches(payloads, order):
+            pending.append((chunk, self._run_batch(flats, valid)))
+            if len(pending) >= 2:
+                self._score_and_serialize(payloads, order, *pending.popleft())
+        while pending:
+            self._score_and_serialize(payloads, order, *pending.popleft())
+
+    @staticmethod
+    def _row_bytes(row: np.ndarray, nbytes: int) -> bytes:
+        """A region row's first ``nbytes`` bytes (u32 word rows carry LE bytes)."""
+        if row.dtype == np.uint32:
+            return row[:(nbytes + 3) // 4].astype("<u4").tobytes()[:nbytes]
+        return row[:nbytes].tobytes()
+
+    def _score_and_serialize(self, payloads, order, chunk, outs):
+        bs = self.cfg["block_size"]
+        outs = jax.device_get(outs)
+        ns = [len(payloads[i]) // bs for i in chunk]
+        if self.fmt == "bc3":
+            h1, h2, h3, cidx, a_rows, c_rows = outs
+            alpha_keys = tuple(dict.fromkeys(sa for _, sa, _ in self._cand_key))
+            colour_keys = tuple(dict.fromkeys((v, sc)
+                                              for v, _, sc in self._cand_key))
+            a_ix = {k: i for i, k in enumerate(alpha_keys)}
+            c_ix = {k: i for i, k in enumerate(colour_keys)}
+            bufs = []
+            for row, n in enumerate(ns):
+                bufs += [self._row_bytes(a_rows[row, a], 2 * n)
+                         for a in range(len(alpha_keys))]
+                bufs += [self._row_bytes(c_rows[row, c], 4 * n)
+                         for c in range(len(colour_keys))]
+            sizes = self.estimator.estimate_batch(bufs)
+            stride = len(alpha_keys) + len(colour_keys)
+            for row, (file_idx, n) in enumerate(zip(chunk, ns)):
+                base = row * stride
+                a_sizes = sizes[base:base + len(alpha_keys)]
+                c_sizes = sizes[base + len(alpha_keys):base + stride]
+                scores = [a_sizes[a_ix[sa]] + c_sizes[c_ix[(v, sc)]]
+                          for v, sa, sc in self._cand_key]
+                best = int(np.argmin(scores))
+                settings = self.candidates[best]
+                v, sa, sc = self._cand_key[best]
+                alpha = self._row_bytes(a_rows[row, a_ix[sa]], 2 * n)
+                colours = self._row_bytes(c_rows[row, c_ix[(v, sc)]], 4 * n)
+                out = (alpha + _idx_u16s(h1[row], h2[row], h3[row], n)
+                       + colours + _u32s(cidx[row], n))
+                order[file_idx] = BatchResult(file_idx, out, settings)
+            return
+        C = len(self._cand_key)
+        if self.fmt == "bc1":
+            idx, rows = outs
+        else:  # bc2
+            a_lo, a_hi, idx, rows = outs
+        bufs = [self._row_bytes(rows[row, c], 4 * n)
+                for row, n in enumerate(ns) for c in range(C)]
+        sizes = np.asarray(self.estimator.estimate_batch(bufs)).reshape(len(ns), C)
+        for row, (file_idx, n) in enumerate(zip(chunk, ns)):
+            best = int(np.argmin(sizes[row]))
+            settings = self.candidates[best]
+            colours = self._row_bytes(rows[row, best], 4 * n)
+            if self.fmt == "bc1":
+                out = colours + _u32s(idx[row], n)
+            else:
+                alpha = np.empty((n, 2), "<u4")
+                alpha[:, 0] = a_lo[row][:n]
+                alpha[:, 1] = a_hi[row][:n]
+                out = alpha.tobytes() + colours + _u32s(idx[row], n)
+            order[file_idx] = BatchResult(file_idx, out, settings)
 
 
 class Bc1BatchProcessor(BatchProcessor):

@@ -18,6 +18,7 @@ pure host-side packing, so the step's output shapes stay static across candidate
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -26,6 +27,19 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..estimate.ltu import DEFAULT_OFFSETS, _coverage_scores
+
+# Testing hook: run the Mosaic words path in Pallas interpret mode on CPU so the
+# 8-virtual-device mesh tests exercise the same code path the chip runs.
+_WORDS_INTERPRET = os.environ.get("DLT_WORDS_INTERPRET", "") == "1"
+
+
+def _pallas_backend_ok(allow_pallas: bool) -> bool:
+    return allow_pallas and (jax.default_backend() == "tpu" or _WORDS_INTERPRET)
+
+
+def _interp() -> bool:
+    """interpret= value for Mosaic kernels on the current backend."""
+    return jax.default_backend() != "tpu"
 
 
 def _scores(regions, valid_len, offsets, allow_pallas: bool):
@@ -59,13 +73,45 @@ _BC5_CANDIDATES: Tuple[Tuple[bool], ...] = tuple(
     (c.split_endpoints,) for c in Bc5TransformSettings.all_combinations())
 
 
-def _words_gate(n_region_bytes: int, offsets, allow_pallas: bool) -> bool:
-    """Static gate for the Mosaic regions-kernel + packed-scorer fast path."""
-    if not (allow_pallas and jax.default_backend() == "tpu"):
+def _words_gate(n_region_bytes: int, flat_words: int, offsets,
+                allow_pallas: bool) -> bool:
+    """Static gate for the Mosaic regions-kernel + packed-scorer fast path.
+
+    ``flat_words`` is the FLAT word count the deinterleave/region kernels will
+    consume (the whole stream, batch included) -- their 128-row tile grid needs
+    the total tile-row count to divide evenly, not just the per-file length."""
+    if not _pallas_backend_ok(allow_pallas):
         return False
     from ..estimate.pallas_ltu import SPAN
+    from ..ops.pallas.shuffle import grid_rows_ok
 
-    return n_region_bytes % SPAN == 0 and max(offsets) <= SPAN
+    return (n_region_bytes % SPAN == 0 and max(offsets) <= SPAN
+            and grid_rows_ok(flat_words, 128))
+
+
+def _mesh_words_gate(n_region_bytes: int, B: int, W: int, wpb: int, offsets,
+                     allow_pallas: bool, mesh) -> bool:
+    """Gate for the per-shard Mosaic words path under a mesh.
+
+    Each shard runs the deinterleave/region kernels on its local (Bl, Wc) block
+    and the packed windowed scorer on its region chunk, so the LOCAL shapes must
+    satisfy the kernels' tile grids; ``wpb`` = words per block (chunk boundaries
+    must fall on even block pairs for the kernels' even/odd phase packing)."""
+    if not _pallas_backend_ok(allow_pallas):
+        return False
+    from ..estimate.pallas_ltu import SPAN
+    from ..ops.pallas.shuffle import grid_rows_ok
+
+    nf, nb = mesh.shape["files"], mesh.shape["blocks"]
+    if B % nf or W % nb:
+        return False
+    if (W // nb) % (2 * wpb):
+        return False
+    if not grid_rows_ok((B // nf) * (W // nb), 128):
+        return False
+    chunk_bytes = n_region_bytes // nb
+    return (max(offsets) <= SPAN and n_region_bytes % nb == 0
+            and chunk_bytes % SPAN == 0 and chunk_bytes >= SPAN)
 
 
 def _rows_from_streams(streams, candidates):
@@ -109,33 +155,71 @@ def _concat_words_at(c0w, c1w, byte_pos):
     return jax.lax.dynamic_update_slice(row, sh, (w0,))[:n_row]
 
 
-def _batched_rows_from_streams(streams, candidates, B, byte_pos):
-    """(B,)-sliced u32 rows per candidate from one whole-batch kernel call.
+def _batched_rows_from_streams(streams, candidates, byte_pos):
+    """Per-candidate (B, Lw) u32 rows from (B, half)-shaped candidate streams.
 
     ``byte_pos``: (B,) byte offsets for the second stream of split candidates."""
     rows, si = [], 0
     for _v, split in candidates:
         if split:
-            half = streams[si].shape[0] // B
-            c0 = streams[si].reshape(B, half)
-            c1 = streams[si + 1].reshape(B, half)
-            rows.append(jax.vmap(_concat_words_at)(c0, c1, byte_pos))
+            rows.append(jax.vmap(_concat_words_at)(streams[si], streams[si + 1],
+                                                   byte_pos))
             si += 2
         else:
-            rows.append(streams[si].reshape(B, -1))
+            rows.append(streams[si])
             si += 1
     return rows, si
 
 
-def _batched_words_gate(n_region_bytes: int, total_words: int, offsets,
+def _batched_words_gate(n_region_bytes: int, B: int, W: int, wpb: int, offsets,
                         allow_pallas: bool, mesh) -> bool:
-    from ..ops.pallas.shuffle import WIDTH
+    """Words-path gate for the batched steps; ``W`` = words per file."""
+    if mesh is not None:
+        return _mesh_words_gate(n_region_bytes, B, W, wpb, offsets,
+                                allow_pallas, mesh)
+    return _words_gate(n_region_bytes, B * W, offsets, allow_pallas)
 
-    return (mesh is None and total_words % WIDTH == 0
-            and _words_gate(n_region_bytes, offsets, allow_pallas))
+
+def _mesh_words_call(mesh: Mesh, fn, flats):
+    """Run a per-block-pure flat-words kernel per shard of a (B, W) batch.
+
+    ``fn``: uint32[T] -> tuple of uint32[T/f_i] streams. Because the kernel is
+    per-block pure and every shard's chunk starts on an even block boundary
+    (``_mesh_words_gate``), each shard's output chunks ARE the corresponding
+    chunks of the global streams -- zero communication."""
+    from jax import shard_map
+
+    def local(fl):
+        outs = fn(fl.reshape(-1))
+        return tuple(o.reshape(fl.shape[0], -1) for o in outs)
+
+    return shard_map(local, mesh=mesh, in_specs=(P("files", "blocks"),),
+                     out_specs=P("files", "blocks"), check_vma=False)(flats)
 
 
-def _packed_scores(rows, valid_lens, offsets):
+def _words_deinterleave(flats, k: int, mesh, interp: bool):
+    """(B, W) batch -> k streams (B, W/k) via the Mosaic deinterleave kernel
+    (per shard under a mesh)."""
+    from ..ops.pallas.planes import deinterleave_words_tpu
+
+    fn = lambda f: deinterleave_words_tpu(f.astype(jnp.uint32), k,
+                                          interpret=interp)
+    if mesh is None:
+        B = flats.shape[0]
+        return tuple(s.reshape(B, -1) for s in fn(flats.reshape(-1)))
+    return _mesh_words_call(mesh, fn, flats)
+
+
+def _words_regions(flats, builder, mesh):
+    """(B, W) batch -> per-candidate streams, each (B, half); per shard under a
+    mesh (region construction is per-block pure -- no halo at all)."""
+    if mesh is None:
+        B = flats.shape[0]
+        return tuple(s.reshape(B, -1) for s in builder(flats.reshape(-1)))
+    return _mesh_words_call(mesh, builder, flats)
+
+
+def _packed_scores(rows, valid_lens, offsets, interp: bool = False):
     """(B, C, L/4) u32 candidate rows -> (B, C) scores via the packed scorer."""
     from ..estimate.pallas_ltu import coverage_scores_pallas
 
@@ -143,7 +227,50 @@ def _packed_scores(rows, valid_lens, offsets):
     B, C, _ = regions3.shape
     flat = regions3.reshape(B * C, -1)
     valid = jnp.repeat(valid_lens.astype(jnp.int32), C)
-    return coverage_scores_pallas(flat, valid, offsets).reshape(B, C)
+    return coverage_scores_pallas(flat, valid, offsets,
+                                  interpret=interp).reshape(B, C)
+
+
+def _packed_scores_shardmap(mesh, rows, valid_lens, offsets, interp: bool):
+    """Packed-u32 twin of :func:`_scores_flat_shardmap`: each shard scores its
+    region-row chunk with a SPAN-byte (SPAN/4-word) halo fetched over the blocks
+    axis and the partial counts are psum-reduced -- bit-identical to the
+    single-device packed scorer."""
+    from jax import shard_map
+
+    from ..estimate.pallas_ltu import SPAN, coverage_counts_windowed
+
+    HW = SPAN // 4
+    nb = mesh.shape["blocks"]
+    regions3 = jax.lax.with_sharding_constraint(
+        jnp.stack(rows, axis=1), NamedSharding(mesh, P("files", None, "blocks")))
+
+    def local(regions, valid):
+        Bl, C, Lc = regions.shape
+        s = jax.lax.axis_index("blocks")
+        flat = regions.reshape(Bl * C, Lc)
+        fwd = [(i, (i + 1) % nb) for i in range(nb)]
+        bwd = [(i, (i - 1) % nb) for i in range(nb)]
+        prev = jax.lax.ppermute(flat[:, -HW:], "blocks", fwd)
+        nxt = jax.lax.ppermute(flat[:, :HW], "blocks", bwd)
+        prev = jnp.where(s == 0, jnp.zeros_like(prev), prev)  # stream head halo
+        win = jnp.concatenate([prev, flat, nxt], axis=1)
+        valid_rows = jnp.repeat(valid.astype(jnp.int32), C)
+        counts = coverage_counts_windowed(win, valid_rows, s * (4 * Lc) - SPAN,
+                                          offsets, interpret=interp)
+        return jax.lax.psum(counts, "blocks").reshape(Bl, C)
+
+    counts = shard_map(local, mesh=mesh,
+                       in_specs=(P("files", None, "blocks"), P("files")),
+                       out_specs=P("files", None),
+                       check_vma=False)(regions3, valid_lens)
+    return valid_lens.astype(jnp.float32)[:, None] - counts
+
+
+def _packed_scores_dispatch(rows, valid_lens, offsets, mesh, interp: bool):
+    if mesh is None:
+        return _packed_scores(rows, valid_lens, offsets, interp)
+    return _packed_scores_shardmap(mesh, rows, valid_lens, offsets, interp)
 
 
 def _pick_and_decorrelate(colors, candidates, variant_col, scores):
@@ -171,11 +298,13 @@ def bc1_auto_step_single(flat, valid_len=None,
     full = valid_len is None
     if full:
         valid_len = jnp.int32(4 * n)
-    use_words = full and _words_gate(4 * n, offsets, allow_pallas)
+    use_words = full and _words_gate(4 * n, 2 * n, offsets, allow_pallas)
+    interp = _interp()
     if use_words:
         from ..ops.pallas.planes import deinterleave_words_tpu
 
-        colors, indices = deinterleave_words_tpu(flat.astype(jnp.uint32), 2)
+        colors, indices = deinterleave_words_tpu(flat.astype(jnp.uint32), 2,
+                                                 interpret=interp)
     else:
         colors, indices = lanes.deinterleave(flat.astype(jnp.uint32), 2)
     n_valid = valid_len // 4
@@ -183,9 +312,10 @@ def bc1_auto_step_single(flat, valid_len=None,
         from ..estimate.pallas_ltu import coverage_scores_pallas
         from ..ops.pallas.regions import bc1_region_streams_tpu
 
-        streams = bc1_region_streams_tpu(flat, candidates)
+        streams = bc1_region_streams_tpu(flat, candidates, interpret=interp)
         rows, _ = _rows_from_streams(streams, candidates)
-        scores = coverage_scores_pallas(jnp.stack(rows), valid_len, offsets)
+        scores = coverage_scores_pallas(jnp.stack(rows), valid_len, offsets,
+                                        interpret=interp)
     else:
         dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
         regions = jnp.stack([_colour_region_row(dec[v], split, n_valid)
@@ -208,11 +338,13 @@ def bc2_auto_step_single(flat, valid_len=None,
     full = valid_len is None
     if full:
         valid_len = jnp.int32(4 * n)
-    use_words = full and _words_gate(4 * n, offsets, allow_pallas)
+    use_words = full and _words_gate(4 * n, 4 * n, offsets, allow_pallas)
+    interp = _interp()
     if use_words:
         from ..ops.pallas.planes import deinterleave_words_tpu
 
-        a_lo, a_hi, colors, idx = deinterleave_words_tpu(flat.astype(jnp.uint32), 4)
+        a_lo, a_hi, colors, idx = deinterleave_words_tpu(
+            flat.astype(jnp.uint32), 4, interpret=interp)
     else:
         a_lo, a_hi, colors, idx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
     n_valid = valid_len // 4
@@ -220,9 +352,10 @@ def bc2_auto_step_single(flat, valid_len=None,
         from ..estimate.pallas_ltu import coverage_scores_pallas
         from ..ops.pallas.regions import bc2_region_streams_tpu
 
-        streams = bc2_region_streams_tpu(flat, candidates)
+        streams = bc2_region_streams_tpu(flat, candidates, interpret=interp)
         rows, _ = _rows_from_streams(streams, candidates)
-        scores = coverage_scores_pallas(jnp.stack(rows), valid_len, offsets)
+        scores = coverage_scores_pallas(jnp.stack(rows), valid_len, offsets,
+                                        interpret=interp)
     else:
         dec = _decorrelated_pairs(colors, [v for v, _ in candidates])
         regions = jnp.stack([_colour_region_row(dec[v], split, n_valid)
@@ -252,12 +385,14 @@ def bc3_auto_step_single(flat, valid_len=None,
     # sees 6 rows instead of 16
     alpha_keys = tuple(dict.fromkeys(sa for _, sa, _ in candidates))
     colour_keys = tuple(dict.fromkeys((v, sc) for v, _, sc in candidates))
-    use_words = full and _words_gate(2 * n, offsets, allow_pallas) \
-        and _words_gate(4 * n, offsets, allow_pallas)
+    use_words = full and _words_gate(2 * n, 4 * n, offsets, allow_pallas) \
+        and _words_gate(4 * n, 4 * n, offsets, allow_pallas)
+    interp = _interp()
     if use_words:
         from ..ops.pallas.planes import deinterleave_words_tpu
 
-        w0, w1, colors, cidx = deinterleave_words_tpu(flat.astype(jnp.uint32), 4)
+        w0, w1, colors, cidx = deinterleave_words_tpu(
+            flat.astype(jnp.uint32), 4, interpret=interp)
     else:
         w0, w1, colors, cidx = lanes.deinterleave(flat.astype(jnp.uint32), 4)
     ep, h1 = lanes.split_u32(w0)
@@ -267,7 +402,8 @@ def bc3_auto_step_single(flat, valid_len=None,
         from ..estimate.pallas_ltu import coverage_scores_pallas
         from ..ops.pallas.regions import bc3_region_streams_tpu
 
-        streams = bc3_region_streams_tpu(flat, alpha_keys, colour_keys)
+        streams = bc3_region_streams_tpu(flat, alpha_keys, colour_keys,
+                                         interpret=interp)
         a_rows, si = [], 0
         for sa in alpha_keys:
             if sa:
@@ -278,8 +414,9 @@ def bc3_auto_step_single(flat, valid_len=None,
                 si += 1
         c_rows, _ = _rows_from_streams(streams[si:], colour_keys)
         a_scores = coverage_scores_pallas(jnp.stack(a_rows), valid_len // 2,
-                                          offsets)
-        c_scores = coverage_scores_pallas(jnp.stack(c_rows), valid_len, offsets)
+                                          offsets, interpret=interp)
+        c_scores = coverage_scores_pallas(jnp.stack(c_rows), valid_len, offsets,
+                                          interpret=interp)
     else:
         dec = _decorrelated_pairs(colors, [v for v, _ in colour_keys])
         alpha_interleaved = lanes.u16_to_byte_lanes(ep).astype(jnp.uint8)
@@ -369,23 +506,22 @@ def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool, mesh=None):
 def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
                       mesh=None):
     B, W2 = flats.shape
-    use_words = _batched_words_gate(2 * W2, W2, offsets, allow_pallas, mesh)
+    use_words = _batched_words_gate(2 * W2, B, W2, 2, offsets, allow_pallas, mesh)
+    interp = _interp()
     if use_words:
-        from ..ops.pallas.planes import deinterleave_words_tpu
-
-        colors, indices = (
-            s.reshape(B, -1) for s in
-            deinterleave_words_tpu(flats.reshape(-1).astype(jnp.uint32), 2))
+        colors, indices = _words_deinterleave(flats, 2, mesh, interp)
     else:
         colors, indices = jax.vmap(
             lambda f: lanes.deinterleave(f.astype(jnp.uint32), 2))(flats)
     if use_words:
         from ..ops.pallas.regions import bc1_region_streams_tpu
 
-        streams = bc1_region_streams_tpu(flats.reshape(-1), candidates)
-        rows, _ = _batched_rows_from_streams(streams, candidates, B,
+        streams = _words_regions(
+            flats, lambda f: bc1_region_streams_tpu(f, candidates,
+                                                    interpret=interp), mesh)
+        rows, _ = _batched_rows_from_streams(streams, candidates,
                                              valid_lens // 2)
-        scores = _packed_scores(rows, valid_lens, offsets)
+        scores = _packed_scores_dispatch(rows, valid_lens, offsets, mesh, interp)
     else:
         def regions_fn(flat_colors, vl):
             dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
@@ -402,23 +538,22 @@ def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
 def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
                       mesh=None):
     B, W4 = flats.shape
-    use_words = _batched_words_gate(W4, W4, offsets, allow_pallas, mesh)
+    use_words = _batched_words_gate(W4, B, W4, 4, offsets, allow_pallas, mesh)
+    interp = _interp()
     if use_words:
-        from ..ops.pallas.planes import deinterleave_words_tpu
-
-        a_lo, a_hi, colors, idx = (
-            s.reshape(B, -1) for s in
-            deinterleave_words_tpu(flats.reshape(-1).astype(jnp.uint32), 4))
+        a_lo, a_hi, colors, idx = _words_deinterleave(flats, 4, mesh, interp)
     else:
         a_lo, a_hi, colors, idx = jax.vmap(
             lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
     if use_words:
         from ..ops.pallas.regions import bc2_region_streams_tpu
 
-        streams = bc2_region_streams_tpu(flats.reshape(-1), candidates)
-        rows, _ = _batched_rows_from_streams(streams, candidates, B,
+        streams = _words_regions(
+            flats, lambda f: bc2_region_streams_tpu(f, candidates,
+                                                    interpret=interp), mesh)
+        rows, _ = _batched_rows_from_streams(streams, candidates,
                                              valid_lens // 2)
-        scores = _packed_scores(rows, valid_lens, offsets)
+        scores = _packed_scores_dispatch(rows, valid_lens, offsets, mesh, interp)
     else:
         def regions_fn(flat_colors, vl):
             dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
@@ -438,14 +573,12 @@ def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
     # distinct rows only: the 8 fast candidates share 2 alpha + 4 colour layouts
     alpha_keys = tuple(dict.fromkeys(sa for _, sa, _ in candidates))
     colour_keys = tuple(dict.fromkeys((v, sc) for v, _, sc in candidates))
-    use_words = (_batched_words_gate(W4, W4, offsets, allow_pallas, mesh)
-                 and _batched_words_gate(W4 // 2, W4, offsets, allow_pallas, mesh))
+    use_words = (_batched_words_gate(W4, B, W4, 4, offsets, allow_pallas, mesh)
+                 and _batched_words_gate(W4 // 2, B, W4, 4, offsets,
+                                         allow_pallas, mesh))
+    interp = _interp()
     if use_words:
-        from ..ops.pallas.planes import deinterleave_words_tpu
-
-        w0, w1, colors, cidx = (
-            s.reshape(B, -1) for s in
-            deinterleave_words_tpu(flats.reshape(-1).astype(jnp.uint32), 4))
+        w0, w1, colors, cidx = _words_deinterleave(flats, 4, mesh, interp)
     else:
         w0, w1, colors, cidx = jax.vmap(
             lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
@@ -454,23 +587,24 @@ def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
     if use_words:
         from ..ops.pallas.regions import bc3_region_streams_tpu
 
-        streams = bc3_region_streams_tpu(flats.reshape(-1), alpha_keys,
-                                         colour_keys)
+        streams = _words_regions(
+            flats, lambda f: bc3_region_streams_tpu(f, alpha_keys, colour_keys,
+                                                    interpret=interp), mesh)
         a_rows, si = [], 0
         for sa in alpha_keys:
             if sa:
-                half = streams[si].shape[0] // B
                 a_rows.append(jax.vmap(_concat_words_at)(
-                    streams[si].reshape(B, half),
-                    streams[si + 1].reshape(B, half), valid_lens // 4))
+                    streams[si], streams[si + 1], valid_lens // 4))
                 si += 2
             else:
-                a_rows.append(streams[si].reshape(B, -1))
+                a_rows.append(streams[si])
                 si += 1
-        c_rows, _ = _batched_rows_from_streams(streams[si:], colour_keys, B,
+        c_rows, _ = _batched_rows_from_streams(streams[si:], colour_keys,
                                                valid_lens // 2)
-        a_scores = _packed_scores(a_rows, valid_lens // 2, offsets)
-        c_scores = _packed_scores(c_rows, valid_lens, offsets)
+        a_scores = _packed_scores_dispatch(a_rows, valid_lens // 2, offsets,
+                                           mesh, interp)
+        c_scores = _packed_scores_dispatch(c_rows, valid_lens, offsets, mesh,
+                                           interp)
     else:
         def regions_fn(flat_colors, flat_ep, vl):
             n_valid = vl // 4
@@ -575,6 +709,140 @@ def bc5_auto_step_single(flat, valid_len=None,
     return tuple(o[0] for o in out)
 
 
+# --- host-scored batched steps (zstd presets) ----------------------------------------
+# The zstd estimator lives on the host (libzstd), so these steps return every
+# candidate's estimation-region row plus the aux lane streams instead of running
+# the argmin on device: the CLI scores the rows with the native pthread batch
+# estimator (``dlt_zstd_estimate_batch``) overlapped with the next batch's device
+# work, then serializes the winner DIRECTLY from its region row (a candidate's
+# region bytes ARE its on-disk colour/alpha section -- ``ops/pallas/regions.py``).
+
+def _bc1_batched_regions_impl(flats, valid_lens, candidates, allow_pallas: bool):
+    B, W2 = flats.shape
+    use_words = _batched_words_gate(2 * W2, B, W2, 2, DEFAULT_OFFSETS,
+                                    allow_pallas, None)
+    interp = _interp()
+    if use_words:
+        from ..ops.pallas.regions import bc1_region_streams_tpu
+
+        _, indices = _words_deinterleave(flats, 2, None, interp)
+        streams = _words_regions(
+            flats, lambda f: bc1_region_streams_tpu(f, candidates,
+                                                    interpret=interp), None)
+        rows, _ = _batched_rows_from_streams(streams, candidates,
+                                             valid_lens // 2)
+        rows3 = jnp.stack(rows, axis=1)
+    else:
+        colors, indices = jax.vmap(
+            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 2))(flats)
+
+        def regions_fn(flat_colors, vl):
+            dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
+            return jnp.stack([_colour_region_row(dec[v], split, vl // 4)
+                              for v, split in candidates])
+
+        rows3 = jax.vmap(regions_fn)(colors, valid_lens)
+    return indices, rows3
+
+
+def _bc2_batched_regions_impl(flats, valid_lens, candidates, allow_pallas: bool):
+    B, W4 = flats.shape
+    use_words = _batched_words_gate(W4, B, W4, 4, DEFAULT_OFFSETS,
+                                    allow_pallas, None)
+    interp = _interp()
+    if use_words:
+        from ..ops.pallas.regions import bc2_region_streams_tpu
+
+        a_lo, a_hi, _, idx = _words_deinterleave(flats, 4, None, interp)
+        streams = _words_regions(
+            flats, lambda f: bc2_region_streams_tpu(f, candidates,
+                                                    interpret=interp), None)
+        rows, _ = _batched_rows_from_streams(streams, candidates,
+                                             valid_lens // 2)
+        rows3 = jnp.stack(rows, axis=1)
+    else:
+        a_lo, a_hi, colors, idx = jax.vmap(
+            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
+
+        def regions_fn(flat_colors, vl):
+            dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
+            return jnp.stack([_colour_region_row(dec[v], split, vl // 4)
+                              for v, split in candidates])
+
+        rows3 = jax.vmap(regions_fn)(colors, valid_lens)
+    return a_lo, a_hi, idx, rows3
+
+
+def _bc3_batched_regions_impl(flats, valid_lens, candidates, allow_pallas: bool):
+    B, W4 = flats.shape
+    alpha_keys = tuple(dict.fromkeys(sa for _, sa, _ in candidates))
+    colour_keys = tuple(dict.fromkeys((v, sc) for v, _, sc in candidates))
+    use_words = (_batched_words_gate(W4, B, W4, 4, DEFAULT_OFFSETS,
+                                     allow_pallas, None)
+                 and _batched_words_gate(W4 // 2, B, W4, 4, DEFAULT_OFFSETS,
+                                         allow_pallas, None))
+    interp = _interp()
+    if use_words:
+        from ..ops.pallas.regions import bc3_region_streams_tpu
+
+        w0, w1, _, cidx = _words_deinterleave(flats, 4, None, interp)
+        _, h1 = lanes.split_u32(w0)
+        h2, h3 = lanes.split_u32(w1)
+        streams = _words_regions(
+            flats, lambda f: bc3_region_streams_tpu(f, alpha_keys, colour_keys,
+                                                    interpret=interp), None)
+        a_rows, si = [], 0
+        for sa in alpha_keys:
+            if sa:
+                a_rows.append(jax.vmap(_concat_words_at)(
+                    streams[si], streams[si + 1], valid_lens // 4))
+                si += 2
+            else:
+                a_rows.append(streams[si])
+                si += 1
+        c_rows, _ = _batched_rows_from_streams(streams[si:], colour_keys,
+                                               valid_lens // 2)
+        a_rows3 = jnp.stack(a_rows, axis=1)
+        c_rows3 = jnp.stack(c_rows, axis=1)
+    else:
+        w0, w1, colors, cidx = jax.vmap(
+            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
+        ep, h1 = lanes.split_u32(w0)
+        h2, h3 = lanes.split_u32(w1)
+
+        def regions_fn(flat_colors, flat_ep, vl):
+            n_valid = vl // 4
+            dec = _decorrelated_pairs(flat_colors, [v for v, _ in colour_keys])
+            alpha_interleaved = lanes.u16_to_byte_lanes(flat_ep).astype(jnp.uint8)
+            alpha_split = _compact_pair((flat_ep & 0xFF).astype(jnp.uint8),
+                                        (flat_ep >> 8).astype(jnp.uint8), n_valid)
+            alpha_rows = jnp.stack([alpha_split if sa else alpha_interleaved
+                                    for sa in alpha_keys])
+            colour_rows = jnp.stack([_colour_region_row(dec[v], sc, n_valid)
+                                     for v, sc in colour_keys])
+            return alpha_rows, colour_rows
+
+        a_rows3, c_rows3 = jax.vmap(regions_fn)(colors, ep, valid_lens)
+    return h1, h2, h3, cidx, a_rows3, c_rows3
+
+
+_BATCHED_REGIONS_IMPLS = {"bc1": _bc1_batched_regions_impl,
+                          "bc2": _bc2_batched_regions_impl,
+                          "bc3": _bc3_batched_regions_impl}
+
+
+def auto_step_batched_regions(fmt: str, candidates):
+    """Single-device batched step for host-scored (zstd) searches: returns aux
+    lane streams + per-candidate region rows, no device argmin."""
+    impl = _BATCHED_REGIONS_IMPLS[fmt]
+
+    @jax.jit
+    def step(flats, valid_lens):
+        return impl(flats, valid_lens, candidates, allow_pallas=True)
+
+    return step
+
+
 _BATCHED_IMPLS = {"bc1": _bc1_batched_impl, "bc2": _bc2_batched_impl,
                   "bc3": _bc3_batched_impl, "bc4": _bc4_batched_impl,
                   "bc5": _bc5_batched_impl}
@@ -597,7 +865,7 @@ def _batched(mesh: Mesh, fmt: str, n_outputs: int, candidates, offsets):
     impl = _BATCHED_IMPLS[fmt]
 
     def step(flat, valid_len):
-        return impl(flat, valid_len, candidates, offsets, allow_pallas=False,
+        return impl(flat, valid_len, candidates, offsets, allow_pallas=True,
                     mesh=mesh)
 
     out_sh = (files_blocks,) * (n_outputs - 1) + (files_sh,)

@@ -63,3 +63,21 @@ def test_cli_batched_transform_matches_per_file(tree):
     assert main(["untransform", str(out_b), str(back)]) == 0
     for rel in ("a.dds", "sub/b.dds"):
         assert (back / rel).read_bytes() == (src / rel).read_bytes(), rel
+
+
+@pytest.mark.parametrize("preset", ["optimal", "max"])
+def test_cli_batched_zstd_presets_match_per_file(tree, preset):
+    """The zstd presets batch by default now (device-built candidate regions +
+    native pthread batch estimation); outputs must agree byte-for-byte with the
+    per-file path and round-trip."""
+    src = tree / "in"
+    out_b, out_f, back = tree / "outbz", tree / "outfz", tree / "backz"
+    assert main(["transform", str(src), str(out_b), "--preset", preset]) == 1
+    assert main(["transform", str(src), str(out_f), "--preset", preset,
+                 "--no-batch"]) == 1
+    for rel in ("a.dds", "sub/b.dds"):
+        assert (out_b / rel).read_bytes() == (out_f / rel).read_bytes(), rel
+    (out_b / "junk.txt").unlink(missing_ok=True)
+    assert main(["untransform", str(out_b), str(back)]) == 0
+    for rel in ("a.dds", "sub/b.dds"):
+        assert (back / rel).read_bytes() == (src / rel).read_bytes(), rel

@@ -194,3 +194,176 @@ def test_sharded_step_shardmap_scorer_matches_single(monkeypatch):
         np.testing.assert_array_equal(c1[b], s1)
         np.testing.assert_array_equal(idx[b], sidx)
         assert int(best[b]) == int(sbest)
+
+
+def test_grid_rows_ok_matches_grid_rows():
+    from dxt_lossless_transform_tpu.ops.pallas.shuffle import (
+        WIDTH, _grid_rows, grid_rows_ok,
+    )
+
+    for words in (0, WIDTH - 1, WIDTH, 2 * WIDTH, 128 * WIDTH, 160 * WIDTH,
+                  256 * WIDTH, 129 * WIDTH, 384 * WIDTH):
+        ok = grid_rows_ok(words, 128)
+        try:
+            _grid_rows(words, 128)
+            raised = False
+        except ValueError:
+            raised = True
+        assert ok == (not raised), words
+
+
+def test_pad_batch_for_tiles():
+    from dxt_lossless_transform_tpu.parallel.pipeline import _pad_batch_for_tiles
+
+    # 2 rows/file (bc1 min bucket): 10 files -> 20 rows <= 128, no padding
+    assert _pad_batch_for_tiles(10, 4096, 1) == 10
+    # 80 files x 2 rows = 160 rows: pad to a multiple of 64 files (128 rows)
+    assert _pad_batch_for_tiles(80, 4096, 1) == 128
+    # 4 rows/file: 40 files -> 160 rows: pad to multiple of 32
+    assert _pad_batch_for_tiles(40, 8192, 1) == 64
+    # >=128 rows per file always divides
+    assert _pad_batch_for_tiles(33, 128 * 2048, 1) == 33
+    # word counts below one tile keep the caller's padding (gate falls back)
+    assert _pad_batch_for_tiles(7, 1024, 1) == 7
+
+
+def test_batched_words_gate_divisibility():
+    """The gate must reject flattened batches whose tile-row total exceeds 128
+    without dividing it (ADVICE r3: 10 x 128 KiB BC1 files -> 160 rows raised at
+    trace time on TPU)."""
+    from dxt_lossless_transform_tpu.parallel import sharded
+
+    offsets = (1, 2, 4)
+    orig = sharded._WORDS_INTERPRET
+    sharded._WORDS_INTERPRET = True  # make the backend check pass on CPU
+    try:
+        w2 = 32768  # 16384 blocks = 128 KiB per file, 16 tile rows each
+        assert sharded._batched_words_gate(2 * w2, 8, w2, 2, offsets, True, None)
+        assert not sharded._batched_words_gate(2 * w2, 10, w2, 2, offsets, True,
+                                               None)  # 160 rows
+        assert sharded._batched_words_gate(2 * w2, 16, w2, 2, offsets, True, None)
+    finally:
+        sharded._WORDS_INTERPRET = orig
+
+
+def test_batched_words_path_matches_byte_path(monkeypatch):
+    """Single-device batched step: the Mosaic words path (interpret mode on CPU)
+    must be bit-identical to the XLA byte path, ragged files included."""
+    from dxt_lossless_transform_tpu.parallel import sharded
+
+    monkeypatch.setattr(sharded, "_WORDS_INTERPRET", True)
+    rng = np.random.default_rng(12)
+    nblocks = 16384  # region bytes 65536 = 2 * SPAN
+    B = 2
+    flats = jnp.asarray(rng.integers(0, 2**32, (B, 2 * nblocks), dtype=np.uint32))
+    valid = jnp.asarray([4 * nblocks, 4 * nblocks - 502], jnp.int32)
+    key = sharded._BC1_CANDIDATES
+    words = jax.device_get(sharded._bc1_batched_impl(
+        flats, valid, key, sharded.DEFAULT_OFFSETS, allow_pallas=True))
+    bytes_ = jax.device_get(sharded._bc1_batched_impl(
+        flats, valid, key, sharded.DEFAULT_OFFSETS, allow_pallas=False))
+    for w, b in zip(words, bytes_):
+        np.testing.assert_array_equal(w, b)
+
+
+def test_mesh_words_path_matches_single(monkeypatch):
+    """Full Mosaic words path under an 8-device mesh (per-shard region builders +
+    deinterleave + packed windowed scorer): bit-identical to the unsharded
+    single step, ragged file included."""
+    from dxt_lossless_transform_tpu.parallel import sharded
+
+    monkeypatch.setattr(sharded, "_WORDS_INTERPRET", True)
+    calls = {"mesh_words": 0, "packed_shardmap": 0}
+    real_call, real_scores = sharded._mesh_words_call, sharded._packed_scores_shardmap
+
+    def spy_call(*a, **k):
+        calls["mesh_words"] += 1
+        return real_call(*a, **k)
+
+    def spy_scores(*a, **k):
+        calls["packed_shardmap"] += 1
+        return real_scores(*a, **k)
+
+    monkeypatch.setattr(sharded, "_mesh_words_call", spy_call)
+    monkeypatch.setattr(sharded, "_packed_scores_shardmap", spy_scores)
+
+    mesh = make_mesh(8)
+    nb = mesh.shape["blocks"]
+    from dxt_lossless_transform_tpu.estimate.pallas_ltu import SPAN
+
+    nblocks = nb * SPAN // 2  # colour-region chunk per shard = 2 * SPAN bytes
+    B = 2 * mesh.shape["files"]
+    rng = np.random.default_rng(21)
+    flats = jnp.asarray(rng.integers(0, 2**32, (B, 2 * nblocks), dtype=np.uint32))
+    valid = jnp.asarray([4 * nblocks, 4 * nblocks - 502] * (B // 2), jnp.int32)
+    step = sharded.bc1_auto_step(mesh)
+    c0, c1, idx, best = jax.device_get(jax.block_until_ready(step(flats, valid)))
+    assert calls["mesh_words"] == 2, "per-shard words kernels were not used"
+    assert calls["packed_shardmap"] == 1, "packed shard_map scorer was not used"
+    for b in range(B):
+        s0, s1, sidx, sbest = jax.device_get(
+            bc1_auto_step_single(flats[b], valid[b]))
+        np.testing.assert_array_equal(c0[b], s0)
+        np.testing.assert_array_equal(c1[b], s1)
+        np.testing.assert_array_equal(idx[b], sidx)
+        assert int(best[b]) == int(sbest)
+
+
+def test_mesh_words_path_bc3_matches_single(monkeypatch):
+    """BC3 mesh words path (dedup'd alpha + colour rows, two packed shard_map
+    scorer calls) vs the unsharded single step."""
+    from dxt_lossless_transform_tpu.estimate.pallas_ltu import SPAN
+    from dxt_lossless_transform_tpu.parallel import sharded
+
+    monkeypatch.setattr(sharded, "_WORDS_INTERPRET", True)
+    calls = {"packed_shardmap": 0}
+    real_scores = sharded._packed_scores_shardmap
+
+    def spy_scores(*a, **k):
+        calls["packed_shardmap"] += 1
+        return real_scores(*a, **k)
+
+    monkeypatch.setattr(sharded, "_packed_scores_shardmap", spy_scores)
+    mesh = make_mesh(8)
+    nb = mesh.shape["blocks"]
+    nblocks = nb * SPAN // 2  # alpha chunk/shard = SPAN bytes, colour = 2*SPAN
+    B = mesh.shape["files"]
+    rng = np.random.default_rng(33)
+    flats = jnp.asarray(rng.integers(0, 2**32, (B, 4 * nblocks), dtype=np.uint32))
+    valid = jnp.asarray([4 * nblocks - 502] * B, jnp.int32)
+    step = sharded.bc3_auto_step(mesh)
+    out = jax.device_get(jax.block_until_ready(step(flats, valid)))
+    assert calls["packed_shardmap"] == 2, "packed shard_map scorer not used"
+    for b in range(B):
+        single = jax.device_get(
+            sharded.bc3_auto_step_single(flats[b], valid[b]))
+        for got, want in zip(out, single):
+            np.testing.assert_array_equal(got[b], want)
+
+
+@pytest.mark.parametrize("fmt", ["bc1", "bc2", "bc3"])
+def test_batch_pipeline_host_scored_zstd(fmt):
+    """Host-scored (zstd-preset) batch mode: device-built candidate regions +
+    host batch estimation must reproduce the per-file auto path exactly
+    (same settings, same bytes)."""
+    from dxt_lossless_transform_tpu.estimate import ZstdEstimation
+    from dxt_lossless_transform_tpu.parallel.pipeline import BatchProcessor
+    from dxt_lossless_transform_tpu.oracle import bc2 as obc2, bc3 as obc3
+
+    gen = {"bc1": testgen.bc1_realistic, "bc2": testgen.bc2_realistic,
+           "bc3": testgen.bc3_realistic}[fmt]
+    oracle = {"bc1": obc1, "bc2": obc2, "bc3": obc3}[fmt]
+    auto = {"bc1": ops_auto.transform_bc1_auto, "bc2": ops_auto.transform_bc2_auto,
+            "bc3": ops_auto.transform_bc3_auto}[fmt]
+    est = ZstdEstimation(1)
+    proc = BatchProcessor(fmt, estimator=est, max_batch=4)
+    payloads = [gen(n, seed=100 + n) for n in (64, 600, 2048, 2049, 3000)]
+    results = proc.process(payloads)
+    assert [r.index for r in results] == list(range(len(payloads)))
+    for r, data in zip(results, payloads):
+        # Bit-exact vs the oracle transform with the chosen settings + reversible
+        assert r.transformed == oracle.transform(data, r.settings)
+        assert oracle.untransform(r.transformed, r.settings) == data
+        # Same winner as the per-file host auto with the same estimator
+        _, host_settings = auto(data, est)
+        assert r.settings == host_settings, (r.settings, host_settings)
