@@ -5,8 +5,17 @@ per chip, compared against the reference's published single-thread numbers
 (transform ~24 GB/s, untransform ~32.2 GB/s decimal => combined 13.75 GB/s;
 BASELINE.md rows 1-2).
 
-Robustness contract (round-3 redesign):
-- The headline stage runs FIRST; every later stage is optional detail.
+Robustness contract (round-4 rebalance):
+- A SIGALRM-bounded chip liveness probe runs FIRST: a wedged relay chip (a killed
+  client's hung executor) produces a clean ``{"chip": "wedged"}`` artifact within
+  ~60 s instead of hanging the round into rc=124.
+- The headline stage runs next; every later stage is optional detail, ordered
+  EVIDENCE FIRST (kernel parity, corpus ratio, CLI pipeline -- the stages that
+  turn perf claims into tested claims, ``bc3-api/README.MD:88-95``) and perf
+  detail after.
+- One 128 MiB buffer is uploaded ONCE and shared by every kernel/auto stage: the
+  relay moves host->device bytes at only a few MB/s, so per-stage uploads were
+  what starved the round-3 budget (~20 s each).
 - A global wall-clock budget (``DLT_BENCH_BUDGET_S``, default 240 s) is enforced:
   stages are skipped once the remaining budget drops below their cost estimate,
   and a SIGALRM backstop aborts a stuck stage.
@@ -18,8 +27,11 @@ Robustness contract (round-3 redesign):
 
 Methodology: kernel rates are measured with K round-trips chained inside one jit
 (back-to-back device execution, as a streaming pipeline with >=2 buffers in flight
-sustains); the ~2 ms per-dispatch relay latency of this environment is reported
-separately as single-dispatch rates in BENCH_DETAILS.json.
+sustains) and reported as the BEST OF 3 TRIALS -- the shared relay chip shows ~2x
+run-to-run contention noise from co-tenants, which is not a property of the kernel
+under test; single-trial means would report the co-tenant, not the kernel. The
+~2 ms per-dispatch relay latency is reported separately as single-dispatch rates
+in BENCH_DETAILS.json.
 """
 
 import json
@@ -32,7 +44,9 @@ import numpy as np
 
 _T0 = time.time()
 CHAIN_K = 8
+TRIALS = 3
 BUDGET_S = float(os.environ.get("DLT_BENCH_BUDGET_S", "240"))
+NBYTES = int(os.environ.get("DLT_BENCH_BYTES", str(128 * 1024 * 1024)))
 # Reference combined round-trip rate: 1 / (1/24 + 1/32.2) GB/s (decimal GB)
 BASELINE_ROUNDTRIP_GBPS = 1.0 / (1.0 / 24.0 + 1.0 / 32.2)
 
@@ -130,9 +144,9 @@ def _sync(x):
 
 
 def _bench(fn, *args, iters=20, warmup=2, trials=1):
-    """Mean seconds/call; with trials > 1, the best trial mean (the shared relay
-    chip shows ~2x run-to-run contention noise from co-tenants, which is not a
-    property of the kernel under test)."""
+    """Mean seconds/call; with trials > 1, the best trial mean (see module
+    docstring: best-of-N damps the relay's co-tenant contention noise and is the
+    labeled methodology for every 'sustained' number)."""
     best = None
     for t in range(trials):
         for _ in range(warmup if t == 0 else 0):
@@ -187,10 +201,42 @@ def _chain(fmt):
     return jax.jit({"bc1": bc1, "bc2": bc2, "bc3": bc3, "bc4": bc4, "bc5": bc5}[fmt])
 
 
+def _probe_chip(deadline_s: float = 60.0) -> bool:
+    """SIGALRM-bounded liveness check; False (and a structured artifact) if the
+    relay executor is wedged rather than hanging the whole bench into rc=124."""
+    import jax
+
+    class _Wedged(Exception):
+        pass
+
+    def on_alarm(signum, frame):
+        raise _Wedged()
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    signal.setitimer(signal.ITIMER_REAL, deadline_s)
+    try:
+        import jax.numpy as jnp
+
+        backend = jax.default_backend()
+        if backend == "tpu":
+            assert float(jnp.sum(jnp.ones(128))) == 128.0
+        _details["chip"] = "ok" if backend == "tpu" else backend
+        return True
+    except _Wedged:
+        _details["chip"] = "wedged"
+        _details["chip_note"] = (
+            f"no relay response within {deadline_s:.0f}s; a killed client's hung "
+            "executor (remote watchdog resets ~30 min) -- scripts/chip_probe.py")
+        _stage_log("CHIP WEDGED: emitting fast-fail artifact")
+        return False
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
-    signal.signal(signal.SIGALRM, _on_alarm)
 
     # Repo-local committed compile cache: a cold driver run hits warm entries.
     os.environ.setdefault(
@@ -199,6 +245,18 @@ def main():
     from dxt_lossless_transform_tpu.cli.main import _enable_persistent_compile_cache
 
     _enable_persistent_compile_cache()
+
+    if os.environ.get("DLT_BENCH_CPU") == "1":
+        # Debug hook: this environment's sitecustomize latches JAX_PLATFORMS
+        # before we run, so the config update is the only way to force CPU.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    if not _probe_chip():
+        _finalize()
+        return
+    signal.signal(signal.SIGALRM, _on_alarm)
 
     import jax
     import jax.numpy as jnp
@@ -211,16 +269,30 @@ def main():
     _details["budget_s"] = BUDGET_S
     _details["methodology"] = {
         "sustained": f"{CHAIN_K} roundtrips chained in one jit "
-                     "(streaming-pipeline rate)",
+                     f"(streaming-pipeline rate), BEST OF {TRIALS} TRIALS "
+                     "(the shared relay chip shows ~2x co-tenant contention "
+                     "noise; the best trial measures the kernel, not the "
+                     "co-tenant)",
         "single_dispatch": "one transform per dispatch through the relay "
                            "(~2 ms fixed overhead)"}
-    nbytes = 128 * 1024 * 1024
+    nbytes = NBYTES
     results = {}
     _details["kernels"] = results
 
-    # ---- HEADLINE FIRST: BC1 sustained roundtrip ----
+    # ---- ONE shared payload upload (the relay's host->device link is the
+    # scarce resource: ~20 s per 128 MiB; round 3 paid it once per stage) ----
+    shared = {}
+
+    def stage_upload():
+        shared["words"] = jnp.asarray(
+            rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
+        _sync(shared["words"])
+
+    run_stage("payload upload", stage_upload, cost_s=0, required=True)
+
+    # ---- HEADLINE: BC1 sustained roundtrip ----
     def stage_headline():
-        words = jnp.asarray(rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
+        words = shared["words"]
         fwd = lambda w: bc1.transform_device(w, 1, True)
         inv = lambda s: bc1.untransform_device(s, 1, True)
         streams = fwd(words)
@@ -232,155 +304,25 @@ def main():
         _headline["value"] = 1.0 / (1.0 / entry["transform_single_dispatch_GBps"]
                                     + 1.0 / entry["untransform_single_dispatch_GBps"])
         if on_tpu:
-            t_rt = _bench(_chain("bc1"), words, iters=5, trials=3)
+            t_rt = _bench(_chain("bc1"), words, iters=5, trials=TRIALS)
             entry["roundtrip_sustained_GBps"] = nbytes * CHAIN_K / t_rt / 1e9
             _headline["value"] = entry["roundtrip_sustained_GBps"]
 
     run_stage("HEADLINE bc1 kernels", stage_headline, cost_s=0, required=True)
 
-    # ---- details: other formats ----
-    def stage_fmt(name, mod):
-        def run():
-            words = jnp.asarray(rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
-            if name == "bc3":
-                fwd = lambda w: mod.transform_device(w, 1, True, True)
-                inv = lambda s: mod.untransform_device(s, 1, True, True)
-            else:
-                fwd = lambda w: mod.transform_device(w, 1, True)
-                inv = lambda s: mod.untransform_device(s, 1, True)
-            streams = fwd(words)
-            entry = {
-                "transform_single_dispatch_GBps": nbytes / _bench(fwd, words) / 1e9,
-                "untransform_single_dispatch_GBps":
-                    nbytes / _bench(inv, streams) / 1e9,
-            }
-            if on_tpu:
-                t_rt = _bench(_chain(name), words, iters=5, trials=3)
-                entry["roundtrip_sustained_GBps"] = nbytes * CHAIN_K / t_rt / 1e9
-            results[name] = entry
-        return run
-
-    run_stage("kernels: bc2", stage_fmt("bc2", bc2), cost_s=15)
-    run_stage("kernels: bc3", stage_fmt("bc3", bc3), cost_s=15)
-
-    def stage_bc45(name):
-        def run():
-            if not on_tpu:
-                return
-            words = jnp.asarray(rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
-            t_rt = _bench(_chain(name), words, iters=5)
-            results[name] = {
-                "roundtrip_sustained_GBps": nbytes * CHAIN_K / t_rt / 1e9}
-        return run
-
-    run_stage("kernels: bc4", stage_bc45("bc4"), cost_s=10)
-    run_stage("kernels: bc5", stage_bc45("bc5"), cost_s=10)
-
-    # ---- BC7 mode-aware kernel (framework extension) ----
-    def stage_bc7():
-        from dxt_lossless_transform_tpu.ops import bc7 as ops_bc7
-
-        nblk = nbytes // 16
-        words7 = jnp.asarray(rng.integers(0, 2**32, 4 * nblk, dtype=np.uint32))
-        results["bc7"] = {}
-        for label, sort7 in (("sort_planes", True), ("planes_only", False)):
-            fwd7 = lambda w: ops_bc7.transform_device(w, nblk, sort7, True)
-            planes, stream = fwd7(words7)
-            sraw = np.asarray(stream)  # unpack nibbles (low first) as untransform does
-            m_np = np.empty(2 * len(sraw), np.uint8)
-            m_np[0::2] = sraw & 0x0F
-            m_np[1::2] = sraw >> 4
-            modes7 = jnp.asarray(m_np)
-            inv7 = lambda p: ops_bc7.untransform_device(p, modes7, nblk, sort7, True)
-            t_fwd = _bench(fwd7, words7, iters=10, trials=3)
-            t_inv = _bench(inv7, planes, iters=10, trials=3)
-            results["bc7"][label] = {
-                "transform_GBps": nbytes / t_fwd / 1e9,
-                "untransform_GBps": nbytes / t_inv / 1e9,
-                "roundtrip_GBps": nbytes / (t_fwd + t_inv) / 1e9,
-            }
-
-    run_stage("kernels: bc7", stage_bc7, cost_s=30)
-
-    # ---- auto-search throughputs ----
-    def stage_auto():
-        from dxt_lossless_transform_tpu.parallel.sharded import bc1_auto_step_single
-
-        flat = jnp.asarray(rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
-        t_auto = _bench(lambda f: bc1_auto_step_single(f), flat, iters=20)
-        _details["bc1_auto_transform_MiBps"] = nbytes / t_auto / (1 << 20)
-
-    run_stage("auto-search", stage_auto, cost_s=25)
-
-    # reference baselines: BC2 LTU auto ~2036 MiB/s (bc2-api/README.MD:53),
-    # BC3 LTU auto ~678 MiB/s (bc3/src/transform/transform_auto.rs:100)
-    def stage_auto_bc23(name):
-        from dxt_lossless_transform_tpu.parallel import sharded as _sh
-
-        step = {"bc2": _sh.bc2_auto_step_single, "bc3": _sh.bc3_auto_step_single}[name]
-
-        def run():
-            flat = jnp.asarray(rng.integers(0, 2**32, nbytes // 4, dtype=np.uint32))
-            t_auto = _bench(lambda f: step(f), flat, iters=10)
-            _details[f"{name}_auto_transform_MiBps"] = nbytes / t_auto / (1 << 20)
-        return run
-
-    run_stage("auto-search bc2", stage_auto_bc23("bc2"), cost_s=20)
-    run_stage("auto-search bc3", stage_auto_bc23("bc3"), cost_s=20)
-
-    def stage_auto_batched():
-        from dxt_lossless_transform_tpu.parallel.sharded import (
-            auto_step_batched, _BC1_CANDIDATES)
-
-        B, nb = 16, 1 << 20
-        flats = jnp.asarray(rng.integers(0, 2**32, (B, 2 * nb), dtype=np.uint32))
-        valid = jnp.asarray(np.full((B,), 4 * nb), jnp.int32)
-        step = auto_step_batched("bc1", _BC1_CANDIDATES)
-        t_b = _bench(step, flats, valid, iters=10)
-        _details["bc1_batched_auto_MiBps"] = B * nb * 8 / t_b / (1 << 20)
-
-    run_stage("batched auto step", stage_auto_batched, cost_s=25)
-
-    # ---- zstd-preset auto-search (host path: native C++ region builders +
-    # task-parallel pthread estimation; reference: 265 MiB/s 1T on a 9950X3D,
-    # bc1/src/transform/mod.rs:33) ----
-    def stage_auto_zstd():
-        from dxt_lossless_transform_tpu.estimate import ZstdEstimation
-        from dxt_lossless_transform_tpu.ops import auto as _a
-        from dxt_lossless_transform_tpu.utils import testgen
-        from dxt_lossless_transform_tpu import runtime
-
-        data = testgen.bc1_realistic(2 << 20, seed=7)  # 16 MiB
-        est = ZstdEstimation(1)
-        _a.transform_bc1_auto(data, est)  # warm
-        t0 = time.perf_counter()
-        _a.transform_bc1_auto(data, est)
-        _details["bc1_auto_zstd_MiBps"] = len(data) / (time.perf_counter() - t0) / (1 << 20)
-        # Host-CPU calibration: this environment's single-thread magicless zstd-L1
-        # rate (the reference rig's implied rate is ~530 MB/s; normalize with this).
-        if runtime.available():
-            region = data[:len(data) // 2]
-            t0 = time.perf_counter()
-            runtime.zstd_estimate(region, 1)
-            _details["zstd1_single_thread_MiBps"] = (
-                len(region) / (time.perf_counter() - t0) / (1 << 20))
-
-    run_stage("zstd auto-search (host)", stage_auto_zstd, cost_s=15)
-
-    # ---- in-round kernel parity on the chip (quick subset; full matrix lives in
-    # scripts/tpu_parity.py) -- after perf stages so a cold compile can't starve
-    # the headline ----
+    # ---- EVIDENCE stages next: parity, ratio, CLI (the round-3 budget starved
+    # these; perf detail stages now run after them) ----
     def stage_parity():
         from dxt_lossless_transform_tpu.utils import parity
 
         if on_tpu:
             _details["parity_quick"] = parity.run(parity.quick_combos())
 
-    run_stage("kernel parity (quick)", stage_parity, cost_s=35)
+    run_stage("kernel parity (quick)", stage_parity, cost_s=30)
 
-    # ---- compression ratio, realistic corpus (photo/normal/flat/tiled/terrain
-    # families with full mip chains; the full 90-file study lives in
-    # CORPUS_REPORT.md) ----
+    # compression ratio, realistic corpus (photo/normal/flat/tiled/terrain
+    # families with full mip chains; the full corpus study lives in
+    # CORPUS_REPORT.md). Host-side stage: small payloads take the native path.
     def stage_ratio():
         import zstandard as _z
 
@@ -394,8 +336,9 @@ def main():
         cctx16 = _z.ZstdCompressor(level=16)
         est1 = _ZE(1)
         plain_total = default_total = auto_total = 0
+        n_files = 0
         for _family, mips in _corpus.build_realistic_corpus(
-                30, sizes=(256, 512, 1024)):
+                10, sizes=(256, 512)):
             payload = _corpus.encode_mips(
                 mips, lambda im: encode_bc1(im[..., :3]))
             default = _ops_bc1.transform(payload, Bc1TransformSettings())
@@ -404,9 +347,10 @@ def main():
             plain_total += len(cctx16.compress(payload))
             default_total += len(cctx16.compress(default))
             auto_total += len(cctx16.compress(out))
+            n_files += 1
         _details["corpus_ratio"] = {
-            "corpus": "30 realistic textures (photo/normal/flat/tiled/terrain, "
-                      "256-1024 px, full mip chains; 90-file study: "
+            "corpus": f"{n_files} realistic textures (photo/normal/flat/tiled/"
+                      "terrain, 256-512 px, full mip chains; full study: "
                       "CORPUS_REPORT.md)",
             "plain_zstd16": plain_total,
             "default_zstd16": default_total,
@@ -414,7 +358,7 @@ def main():
             "reduction_pct": round(100.0 * (1 - auto_total / plain_total), 2),
         }
 
-    run_stage("corpus ratio", stage_ratio, cost_s=40)
+    run_stage("corpus ratio", stage_ratio, cost_s=35)
 
     # ---- ratio parity on the reference corpus asset (if mounted) ----
     def stage_ratio_ref():
@@ -437,11 +381,12 @@ def main():
             "transformed_zstd16": len(cctx.compress(out)),
         }
 
-    run_stage("ratio check (reference asset)", stage_ratio_ref, cost_s=10)
+    run_stage("ratio check (reference asset)", stage_ratio_ref, cost_s=8)
 
     # ---- CLI batch pipeline vs per-file path on a many-small-files tree
     # (reference analog: the rayon-parallel production path,
-    # commands/transform/mod.rs:166-187) ----
+    # commands/transform/mod.rs:166-187). Rows cover the medium (device-LTU)
+    # AND optimal (device regions + native pthread zstd) presets. ----
     def stage_cli_batch():
         import shutil
         import tempfile
@@ -460,39 +405,178 @@ def main():
                 total += len(blob)
                 with open(os.path.join(src, f"t{i:03d}.dds"), "wb") as f:
                     f.write(blob)
-            # batched: the device batch pipeline. per_file_host: the default
-            # per-file path (payloads under DLT_DEVICE_MIN_BYTES stay on the
-            # native host runtime). per_file_device: threshold forced to 0 so
-            # every file pays its own device dispatches -- the cost the batch
-            # pipeline exists to amortize.
             rows = {}
-            for label, flag, thresh, reps in (
-                    ("batched", "--batch", None, 3),
-                    ("per_file_host", "--no-batch", None, 3),
-                    ("per_file_device", "--no-batch", "0", 1)):
-                if thresh is not None:
-                    os.environ["DLT_DEVICE_MIN_BYTES"] = thresh
-                try:
-                    best = None
-                    for rep in range(reps):  # best-of-N damps warmup jitter
-                        out = os.path.join(root, f"{label}{rep}")
-                        t0 = time.perf_counter()
-                        rc = cli_main(["transform", src, out, "--preset",
-                                       "medium", flag])
-                        dt = time.perf_counter() - t0
-                        if rc == 0 and (best is None or dt < best):
-                            best = dt
-                finally:
-                    if thresh is not None:
-                        del os.environ["DLT_DEVICE_MIN_BYTES"]
+            for label, preset, flag, reps in (
+                    ("medium_batched", "medium", "--batch", 2),
+                    ("medium_per_file", "medium", "--no-batch", 2),
+                    ("optimal_batched", "optimal", "--batch", 2),
+                    ("optimal_per_file", "optimal", "--no-batch", 2)):
+                best = None
+                for rep in range(reps):  # best-of-N damps warmup jitter
+                    out = os.path.join(root, f"{label}{rep}")
+                    t0 = time.perf_counter()
+                    rc = cli_main(["transform", src, out, "--preset", preset,
+                                   flag])
+                    dt = time.perf_counter() - t0
+                    if rc == 0 and (best is None or dt < best):
+                        best = dt
                 if best is not None:
                     rows[label] = {"files_per_s": round(n_files / best, 1),
                                    "MiBps": round(total / best / (1 << 20), 1)}
             _details["cli_tree_96x128px"] = rows
+
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
-    run_stage("cli batch pipeline", stage_cli_batch, cost_s=45)
+    run_stage("cli batch pipeline", stage_cli_batch, cost_s=40)
+
+    # ---- perf details: other formats (shared payload; no re-upload) ----
+    def stage_fmt(name, mod):
+        def run():
+            words = shared["words"]
+            if name == "bc3":
+                fwd = lambda w: mod.transform_device(w, 1, True, True)
+                inv = lambda s: mod.untransform_device(s, 1, True, True)
+            else:
+                fwd = lambda w: mod.transform_device(w, 1, True)
+                inv = lambda s: mod.untransform_device(s, 1, True)
+            streams = fwd(words)
+            entry = {
+                "transform_single_dispatch_GBps": nbytes / _bench(fwd, words) / 1e9,
+                "untransform_single_dispatch_GBps":
+                    nbytes / _bench(inv, streams) / 1e9,
+            }
+            if on_tpu:
+                t_rt = _bench(_chain(name), words, iters=5, trials=TRIALS)
+                entry["roundtrip_sustained_GBps"] = nbytes * CHAIN_K / t_rt / 1e9
+            results[name] = entry
+        return run
+
+    run_stage("kernels: bc2", stage_fmt("bc2", bc2), cost_s=12)
+    run_stage("kernels: bc3", stage_fmt("bc3", bc3), cost_s=12)
+
+    def stage_bc45(name):
+        def run():
+            if not on_tpu:
+                return
+            t_rt = _bench(_chain(name), shared["words"], iters=5, trials=TRIALS)
+            results[name] = {
+                "roundtrip_sustained_GBps": nbytes * CHAIN_K / t_rt / 1e9}
+        return run
+
+    run_stage("kernels: bc4", stage_bc45("bc4"), cost_s=8)
+    run_stage("kernels: bc5", stage_bc45("bc5"), cost_s=8)
+
+    # ---- BC7 mode-aware kernel (framework extension) ----
+    def stage_bc7():
+        from dxt_lossless_transform_tpu.ops import bc7 as ops_bc7
+
+        nblk = nbytes // 16
+        words7 = shared["words"]           # 4*nblk words == the shared buffer
+        results["bc7"] = {}
+        for label, sort7 in (("sort_planes", True), ("planes_only", False)):
+            fwd7 = lambda w: ops_bc7.transform_device(w, nblk, sort7, True)
+            planes, stream = fwd7(words7)
+            sraw = np.asarray(stream)  # unpack nibbles (low first) as untransform does
+            m_np = np.empty(2 * len(sraw), np.uint8)
+            m_np[0::2] = sraw & 0x0F
+            m_np[1::2] = sraw >> 4
+            modes7 = jnp.asarray(m_np)
+            inv7 = lambda p: ops_bc7.untransform_device(p, modes7, nblk, sort7, True)
+            t_fwd = _bench(fwd7, words7, iters=10, trials=TRIALS)
+            t_inv = _bench(inv7, planes, iters=10, trials=TRIALS)
+            results["bc7"][label] = {
+                "transform_GBps": nbytes / t_fwd / 1e9,
+                "untransform_GBps": nbytes / t_inv / 1e9,
+                "roundtrip_GBps": nbytes / (t_fwd + t_inv) / 1e9,
+            }
+
+    run_stage("kernels: bc7", stage_bc7, cost_s=25)
+
+    # ---- auto-search throughputs (shared payload) ----
+    # reference baselines: BC1 LTU auto ~1018 MiB/s (bc1/transform/mod.rs:34),
+    # BC2 ~2036 MiB/s (bc2-api/README.MD:53), BC3 ~678 MiB/s
+    # (bc3/src/transform/transform_auto.rs:100)
+    def stage_auto(name):
+        from dxt_lossless_transform_tpu.parallel import sharded as _sh
+
+        step = {"bc1": _sh.bc1_auto_step_single, "bc2": _sh.bc2_auto_step_single,
+                "bc3": _sh.bc3_auto_step_single}[name]
+
+        def run():
+            t_auto = _bench(lambda f: step(f), shared["words"], iters=10)
+            _details[f"{name}_auto_transform_MiBps"] = nbytes / t_auto / (1 << 20)
+        return run
+
+    run_stage("auto-search bc1", stage_auto("bc1"), cost_s=12)
+    run_stage("auto-search bc2", stage_auto("bc2"), cost_s=12)
+    run_stage("auto-search bc3", stage_auto("bc3"), cost_s=12)
+
+    def stage_auto_batched():
+        from dxt_lossless_transform_tpu.parallel.sharded import (
+            auto_step_batched, _BC1_CANDIDATES)
+
+        B = 16
+        nb = nbytes // 8 // B
+        flats = shared["words"].reshape(B, 2 * nb)
+        valid = jnp.asarray(np.full((B,), 4 * nb), jnp.int32)
+        step = auto_step_batched("bc1", _BC1_CANDIDATES)
+        t_b = _bench(step, flats, valid, iters=10)
+        _details["bc1_batched_auto_MiBps"] = B * nb * 8 / t_b / (1 << 20)
+
+    run_stage("batched auto step", stage_auto_batched, cost_s=18)
+
+    # ---- mesh(1,1) batched auto: the sharded step's words path on the chip ----
+    def stage_auto_mesh():
+        from dxt_lossless_transform_tpu.parallel.mesh import make_mesh
+        from dxt_lossless_transform_tpu.parallel.sharded import (
+            bc1_auto_step, _BC1_CANDIDATES)
+
+        if not on_tpu:
+            return
+        mesh = make_mesh(1)
+        B = 16
+        nb = nbytes // 8 // B
+        flats = shared["words"].reshape(B, 2 * nb)
+        valid = jnp.asarray(np.full((B,), 4 * nb), jnp.int32)
+        step = bc1_auto_step(mesh, _BC1_CANDIDATES)
+        t_b = _bench(step, flats, valid, iters=10)
+        _details["bc1_batched_auto_mesh_MiBps"] = B * nb * 8 / t_b / (1 << 20)
+
+    run_stage("batched auto step (mesh)", stage_auto_mesh, cost_s=18)
+
+    # ---- zstd-preset auto-search (host path: native C++ region builders +
+    # task-parallel pthread estimation; reference: 265 MiB/s 1T on a 9950X3D,
+    # bc1/src/transform/mod.rs:33) ----
+    def stage_auto_zstd():
+        from dxt_lossless_transform_tpu.estimate import ZstdEstimation
+        from dxt_lossless_transform_tpu.ops import auto as _a
+        from dxt_lossless_transform_tpu.utils import testgen
+        from dxt_lossless_transform_tpu import runtime
+
+        data = testgen.bc1_realistic(2 << 20, seed=7)  # 16 MiB
+        est = ZstdEstimation(1)
+        _a.transform_bc1_auto(data, est)  # warm
+        t0 = time.perf_counter()
+        _a.transform_bc1_auto(data, est)
+        auto_rate = len(data) / (time.perf_counter() - t0) / (1 << 20)
+        _details["bc1_auto_zstd_MiBps"] = auto_rate
+        # Host-CPU calibration: this environment's single-thread magicless zstd-L1
+        # rate. The reference rig's implied rate is ~1060 MB/s (README.MD:55-68);
+        # the NORMALIZED ratio auto/zstd1 makes the host-speed-adjusted claim
+        # directly (reference: 265/1060 = 0.25).
+        if runtime.available():
+            region = data[:len(data) // 2]
+            t0 = time.perf_counter()
+            runtime.zstd_estimate(region, 1)
+            zstd1 = len(region) / (time.perf_counter() - t0) / (1 << 20)
+            _details["zstd1_single_thread_MiBps"] = zstd1
+            _details["bc1_auto_zstd_normalized"] = {
+                "auto_over_zstd1": round(auto_rate / zstd1, 3),
+                "reference_auto_over_zstd1": round(265.0 / 1060.0, 3),
+            }
+
+    run_stage("zstd auto-search (host)", stage_auto_zstd, cost_s=12)
 
     _stage_log("done")
     _finalize()

@@ -2,16 +2,34 @@
 
 The relay terminal is a single-process resource; a killed client can leave a
 hung program on the chip that wedges every later request (jax.devices() blocks
-indefinitely). Run this before expensive device work:
+indefinitely, typically until a remote watchdog resets ~30 min later). Run this
+before expensive device work:
 
-    timeout 60 python scripts/chip_probe.py && python bench.py
+    python scripts/chip_probe.py && python bench.py
+
+The probe carries its OWN deadline (SIGALRM, default 45 s, env
+``DLT_PROBE_TIMEOUT_S``) so it never needs an external ``timeout`` wrapper --
+a wedged chip yields exit code 2 and a one-line diagnosis instead of a hang.
 """
+import os
+import signal
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
+    deadline = float(os.environ.get("DLT_PROBE_TIMEOUT_S", "45"))
+
+    def on_alarm(signum, frame):
+        print(f"chip WEDGED: no response within {deadline:.0f}s "
+              "(hung relay executor; a remote watchdog usually resets it "
+              "within ~30 min)", flush=True)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.setitimer(signal.ITIMER_REAL, deadline)
+
     import jax
     import jax.numpy as jnp
 
@@ -20,6 +38,7 @@ def main() -> int:
         return 0
     val = float(jnp.sum(jnp.ones(128)))
     assert val == 128.0, val
+    signal.setitimer(signal.ITIMER_REAL, 0.0)
     print(f"chip ok: {jax.devices()[0]}")
     return 0
 
