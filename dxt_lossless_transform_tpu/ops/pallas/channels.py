@@ -103,3 +103,107 @@ def merge_channels_tpu(streams, ri: int, gi: int, bi: int, dec: bool,
         interpret=interpret,
     )(*(s.reshape(grid * rows, WIDTH // 4) for s in streams))
     return res.reshape(-1)
+
+
+# --- BGR888 (3-byte pixels) -----------------------------------------------------------
+# lcm(3-byte stride, 4-byte words) = 12 bytes = 3 words = 4 pixels, so the tile
+# width is 1536 u32 lanes (512 pixel-quads/row; still a multiple of the 128-lane
+# minor tile). Word phases mod 3 of the transposed tile give the three words of
+# every quad; channel bytes fall out with static shifts:
+#   w0 = B0 G0 R0 B1   w1 = G1 R1 B2 G2   w2 = R2 B3 G3 R3
+# Each channel stream packs 4 consecutive pixels per output word (512 lanes).
+
+W_BGR = 1536
+
+
+def _grid_rows_bgr(n_px: int) -> tuple:
+    if n_px % (MAX_ROWS * 4 * (W_BGR // 3)):
+        raise ValueError(
+            f"bgr kernels need a pixel count that is a multiple of "
+            f"{MAX_ROWS * 4 * (W_BGR // 3)} (got {n_px})")
+    return n_px // (MAX_ROWS * 4 * (W_BGR // 3)), MAX_ROWS
+
+
+def bgr_pallas_ok(n_padded: int) -> bool:
+    """Gate: full 262144-pixel (768 KiB) tiles only."""
+    from .shuffle import pallas_available
+
+    return pallas_available() and n_padded % (MAX_ROWS * 4 * (W_BGR // 3)) == 0
+
+
+def _bgr_quad_channels(w0, w1, w2):
+    """Channel bytes of the 4 pixels of every quad: ch[c][p], c=B,G,R, p=0..3."""
+    ff = _U32(0xFF)
+    ch0 = (w0 & ff, w0 >> _U32(24), (w1 >> _U32(16)) & ff, (w2 >> _U32(8)) & ff)
+    ch1 = ((w0 >> _U32(8)) & ff, w1 & ff, w1 >> _U32(24), (w2 >> _U32(16)) & ff)
+    ch2 = ((w0 >> _U32(16)) & ff, (w1 >> _U32(8)) & ff, w2 & ff, w2 >> _U32(24))
+    return ch0, ch1, ch2
+
+
+def _split_bgr_kernel(dec: bool, rows: int):
+    def kernel(x_ref, *out_refs):
+        xt = x_ref[:].astype(_U32).T                     # (W_BGR, R)
+        w0, w1, w2 = _phases(xt, 3)                      # (W_BGR/3, R) each
+        ch0, ch1, ch2 = _bgr_quad_channels(w0, w1, w2)
+        if dec:  # b' = b - g, r' = r - g (bgr888: ri=2, gi=1, bi=0)
+            ch0 = tuple((b - g) & _U32(0xFF) for b, g in zip(ch0, ch1))
+            ch2 = tuple((r - g) & _U32(0xFF) for r, g in zip(ch2, ch1))
+        for c, ch in enumerate((ch0, ch1, ch2)):
+            out_refs[c][:] = (ch[0] | (ch[1] << _U32(8)) | (ch[2] << _U32(16))
+                              | (ch[3] << _U32(24))).T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("dec", "interpret"))
+def split_bgr_tpu(flat, dec: bool, interpret: bool = False):
+    """uint32[3*N/4] BGR888 byte-stream words -> 3 channel streams (B, G, R),
+    each uint32[N/4] (N = pixel count, a multiple of the tile gate)."""
+    n_px = flat.shape[0] * 4 // 3
+    grid, rows = _grid_rows_bgr(n_px)
+    res = pl.pallas_call(
+        _split_bgr_kernel(dec, rows),
+        grid=(grid,),
+        in_specs=[_vspec(W_BGR, rows)],
+        out_specs=[_vspec(W_BGR // 3, rows)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((grid * rows, W_BGR // 3), jnp.uint32)
+                   for _ in range(3)],
+        interpret=interpret,
+    )(flat.reshape(grid * rows, W_BGR))
+    return tuple(r.reshape(-1) for r in res)
+
+
+def _merge_bgr_kernel(dec: bool, rows: int):
+    def kernel(c0_ref, c1_ref, c2_ref, out_ref):
+        ff = _U32(0xFF)
+        chs = []
+        for r in (c0_ref, c1_ref, c2_ref):
+            w = r[:].astype(_U32).T                      # (W_BGR/3, R)
+            chs.append(tuple((w >> _U32(8 * p)) & ff for p in range(4)))
+        ch0, ch1, ch2 = chs
+        if dec:  # inverse lifting: b = b' + g, r = r' + g
+            ch0 = tuple((b + g) & ff for b, g in zip(ch0, ch1))
+            ch2 = tuple((r + g) & ff for r, g in zip(ch2, ch1))
+        w0 = (ch0[0] | (ch1[0] << _U32(8)) | (ch2[0] << _U32(16))
+              | (ch0[1] << _U32(24)))
+        w1 = (ch1[1] | (ch2[1] << _U32(8)) | (ch0[2] << _U32(16))
+              | (ch1[2] << _U32(24)))
+        w2 = (ch2[2] | (ch0[3] << _U32(8)) | (ch1[3] << _U32(16))
+              | (ch2[3] << _U32(24)))
+        out_ref[:] = _weave([w0, w1, w2]).T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("dec", "interpret"))
+def merge_bgr_tpu(streams, dec: bool, interpret: bool = False):
+    """Inverse of :func:`split_bgr_tpu`: 3x uint32[N/4] -> uint32[3*N/4]."""
+    n_px = streams[0].shape[0] * 4
+    grid, rows = _grid_rows_bgr(n_px)
+    res = pl.pallas_call(
+        _merge_bgr_kernel(dec, rows),
+        grid=(grid,),
+        in_specs=[_vspec(W_BGR // 3, rows)] * 3,
+        out_specs=_vspec(W_BGR, rows),
+        out_shape=jax.ShapeDtypeStruct((grid * rows, W_BGR), jnp.uint32),
+        interpret=interpret,
+    )(*(s.reshape(grid * rows, W_BGR // 3) for s in streams))
+    return res.reshape(-1)

@@ -8,8 +8,10 @@ streams -- channel split/merge are Mosaic kernels with the mod-256 lifting fused
 in (``ops/pallas/channels.py``), and the decorrelate-only layout is plain
 elementwise byte surgery on u32 lanes. Narrow (N, S) device arrays are avoided
 entirely: sub-128-lane minor dims pad to the full tile on TPU (8-32x write
-amplification; see ``ops/bc7.py``). BGR888 (3-byte stride) and small payloads
-keep the (N, S) XLA fallback / host paths.
+amplification; see ``ops/bc7.py``). BGR888's 3-byte stride rides its own flat
+Mosaic pair (12-byte/3-word/4-pixel period, 1536-lane tiles --
+``ops/pallas/channels.py:split_bgr_tpu``); dec-only BGR888 and small payloads
+keep the XLA fallback / host paths.
 """
 
 from __future__ import annotations
@@ -105,6 +107,15 @@ def transform(data, layout: str,
             out = np.asarray(_decorrelate_words_xla(flat, layout,
                                                     settings.decorrelate))
             return out[:n].astype("<u4").tobytes()
+    if size == 3 and settings.split_channels:
+        from .pallas.channels import bgr_pallas_ok, split_bgr_tpu
+
+        if bgr_pallas_ok(n_pad):
+            raw = np.zeros(3 * n_pad, np.uint8)
+            raw[:len(data)] = np.frombuffer(data, np.uint8)
+            streams = split_bgr_tpu(raw.view("<u4"), settings.decorrelate)
+            return b"".join(np.asarray(st).astype("<u4").tobytes()[:n]
+                            for st in streams)
     px = np.frombuffer(data, np.uint8).reshape(n, size)
     out = np.asarray(_transform_xla(lanes.pad_rows(px, n_pad), layout,
                                     settings.decorrelate, settings.split_channels))
@@ -144,6 +155,17 @@ def untransform(data, layout: str,
             out = np.asarray(_recorrelate_words_xla(flat, layout,
                                                     settings.decorrelate))
             return out[:n].astype("<u4").tobytes()
+    if size == 3 and settings.split_channels:
+        from .pallas.channels import bgr_pallas_ok, merge_bgr_tpu
+
+        if bgr_pallas_ok(n_pad):
+            by_ch = raw.reshape(3, n)
+            padded = np.zeros((3, n_pad), np.uint8)
+            padded[:, :n] = by_ch
+            out = np.asarray(merge_bgr_tpu(
+                tuple(padded[c].view("<u4") for c in range(3)),
+                settings.decorrelate))
+            return out.astype("<u4").tobytes()[:3 * n]
     if settings.split_channels:
         payload = np.ascontiguousarray(lanes.pad_rows(raw.reshape(size, n).T, n_pad).T)
     else:

@@ -105,9 +105,13 @@ def box_downsample(img: np.ndarray) -> np.ndarray:
 
 
 def mip_chain(img: np.ndarray, min_size: int = 4) -> List[np.ndarray]:
-    """Full chain [img, img/2, ..., min_size] (square power-of-two inputs)."""
+    """Mip chain [img, img/2, ...] down to ``min_size`` (power-of-two inputs) or
+    to the last level whose halving stays 4x4-block encodable (non-power-of-two
+    inputs, e.g. 320 -> ... -> 20; real DDS chains continue to 1x1 with block
+    rounding, which the block encoders here do not model)."""
     chain = [img]
-    while img.shape[0] > min_size:
+    while (img.shape[0] > min_size
+           and img.shape[0] % 8 == 0 and img.shape[1] % 8 == 0):
         img = box_downsample(img)
         chain.append(img)
     return chain
@@ -139,7 +143,10 @@ def _fractal_height(size: int, rng) -> np.ndarray:
     for octave in range(2, int(np.log2(size))):
         cells = 1 << octave
         grid = rng.standard_normal((cells, cells))
-        up = np.kron(grid, np.ones((size // cells, size // cells)))
+        if size % cells == 0:
+            up = np.kron(grid, np.ones((size // cells, size // cells)))
+        else:  # non-power-of-two size: nearest upsample of the octave grid
+            up = _resize(grid, size)
         acc += up / (1 << (octave - 2))
     return acc
 

@@ -119,3 +119,57 @@ def make_dds(fmt: str, width: int, height: int, mipmaps: int = 1, seed: int = 0,
     header[0x54:0x58] = _FOURCC[fmt]
     struct.pack_into("<I", header, 0x6C, 0x1000)  # caps: DDSCAPS_TEXTURE
     return bytes(header) + payload + trailing
+
+
+def bc7_realistic(num_blocks: int, seed: int = 0) -> bytes:
+    """Mode-clustered BC7 blocks (modes 4/5/6 mix, correlated payload bytes) --
+    the regime where the mode-sort transform wins (``oracle/bc7.py``)."""
+    rng = np.random.default_rng(seed)
+    modes = rng.choice([4, 5, 6], size=num_blocks, p=[0.2, 0.3, 0.5])
+    blocks = np.zeros((num_blocks, 16), np.uint8)
+    blocks[:, 0] = (1 << modes).astype(np.uint8)
+    base = rng.integers(0, 256, 16, np.uint8)
+    noise = rng.integers(0, 24, (num_blocks, 16), np.uint8)
+    blocks[:, 1:] = (base[None, 1:] + noise[:, 1:]
+                     + (modes[:, None] * 31)).astype(np.uint8)
+    return blocks.tobytes()
+
+
+_DXGI = {"BC1": 71, "BC2": 74, "BC3": 77, "BC4": 80, "BC5": 83, "BC6H": 95,
+         "BC7": 98}
+_BLOCK_SIZE_DX10 = {"BC1": 8, "BC2": 16, "BC3": 16, "BC4": 8, "BC5": 16,
+                    "BC6H": 16, "BC7": 16}
+
+
+def make_dx10_dds(fmt: str, width: int, height: int, mipmaps: int = 1,
+                  seed: int = 0, trailing: bytes = b"") -> bytes:
+    """DX10-header DDS (magic + 124 B header + 20 B DX10 extension, payload at
+    0x94; ``dds/constants.rs:5-73``) with realistic synthetic payload -- the only
+    legal container form for BC6H/BC7."""
+    if fmt not in _DXGI:
+        raise ValueError(f"unsupported DX10 format {fmt}")
+    bs = _BLOCK_SIZE_DX10[fmt]
+    total_blocks = 0
+    w, h = width, height
+    for _ in range(mipmaps):
+        total_blocks += ((w + 3) // 4) * ((h + 3) // 4)
+        w, h = max(w // 2, 1), max(h // 2, 1)
+    gen = {"BC1": bc1_realistic, "BC2": bc2_realistic, "BC3": bc3_realistic,
+           "BC4": lambda n, s: bc_blocks(n, 8, s),
+           "BC5": lambda n, s: bc_blocks(n, 16, s),
+           "BC6H": bc7_realistic, "BC7": bc7_realistic}[fmt]
+    payload = gen(total_blocks, seed)
+
+    flags = _DDSD_CAPS | _DDSD_HEIGHT | _DDSD_WIDTH | _DDSD_PIXELFORMAT
+    if mipmaps > 1:
+        flags |= _DDSD_MIPMAPCOUNT
+    header = bytearray(0x94)
+    header[0:4] = b"DDS "
+    struct.pack_into("<7I", header, 4, 124, flags, height, width, 0, 0, mipmaps)
+    struct.pack_into("<2I", header, 0x4C, 32, _DDPF_FOURCC)
+    header[0x54:0x58] = b"DX10"
+    # DX10 extension: dxgiFormat, resourceDimension=3 (2D), miscFlag, arraySize,
+    # miscFlags2
+    struct.pack_into("<5I", header, 0x80, _DXGI[fmt], 3, 0, 1, 0)
+    struct.pack_into("<I", header, 0x6C, 0x1000)  # caps: DDSCAPS_TEXTURE
+    return bytes(header) + payload + trailing

@@ -71,7 +71,10 @@ def build_corpus(n_files: int, realistic: bool = True):
     realistic=False: the legacy single-mip value-noise corpus (kept for
     comparability with the round-2 numbers)."""
     if realistic:
-        return corpus_mod.build_realistic_corpus(n_files, sizes=(256, 512, 1024))
+        # v2 (round 4): non-power-of-two sizes included; 2048 px entries push the
+        # per-format volume past 150 MiB at 300 files (verdict r3 #6)
+        return corpus_mod.build_realistic_corpus(
+            n_files, sizes=(256, 320, 512, 768, 1024, 2048))
     sizes = (128, 256, 512)
     kinds = ("albedo", "foliage")
     entries = []
@@ -97,12 +100,14 @@ def study_format(fmt: str, entries, level: int):
     _log(f"{fmt}: encoded {len(payloads)} files "
          f"({sum(map(len, payloads)) / 1e6:.1f} MB)")
 
-    # ground truth: true zstd size of every candidate's full transformed output
-    all_outputs = []
+    # ground truth: true zstd size of every candidate's full transformed output,
+    # streamed per file (materializing all candidates of a 400 MB corpus at once
+    # would hold ~6 GB; per-file chunks keep the pthread pool busy regardless)
+    truth_rows = []
     for data in payloads:
-        all_outputs.extend(oracle.transform(data, s) for s in cand)
-    truth = np.asarray(_zstd_sizes(all_outputs, level)).reshape(len(payloads),
-                                                                len(cand))
+        outputs = [oracle.transform(data, s) for s in cand]
+        truth_rows.append(_zstd_sizes(outputs, level))
+    truth = np.asarray(truth_rows)
     _log(f"{fmt}: ground-truth zstd-{level} sizes done")
 
     plain_sizes = np.asarray(_zstd_sizes(payloads, level))
@@ -151,32 +156,67 @@ def study_format(fmt: str, entries, level: int):
     return results
 
 
+def _bc7_blocks(rng, n: int) -> bytes:
+    """Mode-clustered synthetic BC7 blocks (realistic mode mix, correlated
+    payload) -- BC7/BC6H have no image encoder here."""
+    modes = rng.choice([4, 5, 6], size=n, p=[0.2, 0.3, 0.5])
+    blocks = np.zeros((n, 16), np.uint8)
+    blocks[:, 0] = (1 << modes).astype(np.uint8)
+    base = rng.integers(0, 256, 16, np.uint8)
+    noise = rng.integers(0, 24, (n, 16), np.uint8)
+    blocks[:, 1:] = (base[None, 1:] + noise[:, 1:]
+                     + (modes[:, None] * 31)).astype(np.uint8)
+    return blocks.tobytes()
+
+
 def bc7_ratio(n_files: int, level: int):
-    """BC7/BC6H have no encoder here; measure the mode-sort transform's ratio on
-    mode-clustered synthetic blocks (realistic mode mix, correlated payload)."""
+    """Mode-sort transform ratio on mode-clustered synthetic blocks, PLUS a real
+    BC7 DDS (DX10 header) end-to-end leg: container transform through the
+    formats API, untransform back, byte-equality asserted."""
+    from dxt_lossless_transform_tpu.api import Bc7AutoTransformBuilder
+    from dxt_lossless_transform_tpu.estimate import LtuEstimation
+    from dxt_lossless_transform_tpu.formats import TransformBundle
+    from dxt_lossless_transform_tpu.formats.api import (
+        transform_slice_with_bundle, untransform_slice,
+    )
+    from dxt_lossless_transform_tpu.formats.handlers import DdsHandler
     from dxt_lossless_transform_tpu.oracle import bc7 as obc7
     from dxt_lossless_transform_tpu.settings import Bc7TransformSettings
+    from dxt_lossless_transform_tpu.utils.testgen import make_dx10_dds
 
     rng = np.random.default_rng(7)
     plain = trans = orig = 0
     for i in range(n_files):
         n = 4096 * int(rng.integers(1, 5))
-        modes = rng.choice([4, 5, 6], size=n, p=[0.2, 0.3, 0.5])
-        blocks = np.zeros((n, 16), np.uint8)
-        blocks[:, 0] = (1 << modes).astype(np.uint8)
-        base = rng.integers(0, 256, 16, np.uint8)
-        noise = rng.integers(0, 24, (n, 16), np.uint8)
-        blocks[:, 1:] = (base[None, 1:] + noise[:, 1:] + (modes[:, None] * 31)).astype(
-            np.uint8)
-        data = blocks.tobytes()
+        data = _bc7_blocks(rng, n)
         out = obc7.transform(data, Bc7TransformSettings(True, True))
         p, t = _zstd_sizes([data, out], level)
         plain += p
         trans += t
         orig += len(data)
-    return {"files": n_files, "original_bytes": orig, "plain_zstd": plain,
-            "transformed_zstd": trans,
-            "reduction_pct": round(100.0 * (1 - trans / plain), 2)}
+    result = {"files": n_files, "original_bytes": orig, "plain_zstd": plain,
+              "transformed_zstd": trans,
+              "reduction_pct": round(100.0 * (1 - trans / plain), 2)}
+
+    # Real-container leg: DX10-header BC7 DDS files through the file-formats API
+    bundle = TransformBundle(bc7=Bc7AutoTransformBuilder(LtuEstimation()))
+    handler = DdsHandler()
+    dds_plain = dds_trans = 0
+    n_dds = max(4, n_files // 4)
+    for i in range(n_dds):
+        size = int(rng.choice([128, 256, 320]))
+        blob = make_dx10_dds("BC7", size, size, mipmaps=3, seed=900 + i)
+        t_blob = transform_slice_with_bundle(handler, blob, bundle)
+        back = untransform_slice(handler, t_blob)
+        assert back == blob, f"BC7 DDS roundtrip mismatch (file {i})"
+        p, t = _zstd_sizes([blob, t_blob], level)
+        dds_plain += p
+        dds_trans += t
+    result["dds_dx10"] = {
+        "files": n_dds, "plain_zstd": dds_plain, "transformed_zstd": dds_trans,
+        "reduction_pct": round(100.0 * (1 - dds_trans / dds_plain), 2),
+        "roundtrip": "byte-exact"}
+    return result
 
 
 def load_path_benchmark(entries, level: int, iters: int = 5):
@@ -271,7 +311,7 @@ def reference_asset_check(level: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--files", type=int, default=120)
+    ap.add_argument("--files", type=int, default=300)
     ap.add_argument("--level", type=int, default=16)
     ap.add_argument("--legacy", action="store_true",
                     help="round-2 value-noise corpus instead of the realistic one")
@@ -279,7 +319,8 @@ def main():
 
     images = build_corpus(args.files, realistic=not args.legacy)
     desc = (f"{args.files} mixed-family textures per format (photo/normal/flat/"
-            "tiled/terrain; 256-1024 px; full mip chains)" if not args.legacy else
+            "tiled/terrain; 256-2048 px incl. non-power-of-two 320/768; full mip "
+            "chains)" if not args.legacy else
             f"{args.files} procedural textures per format "
             "(128/256/512 px, albedo+foliage mix)")
     report = {"corpus": desc, "final_compressor": f"zstd-{args.level}"}
@@ -331,6 +372,12 @@ def main():
               f"{b7['files']} files, {b7['original_bytes'] / 1e6:.1f} MB: "
               f"plain {b7['plain_zstd']} -> transformed {b7['transformed_zstd']} "
               f"({b7['reduction_pct']:+.2f}%).", ""]
+    d7 = b7.get("dds_dx10")
+    if d7:
+        lines += [f"Real-container leg: {d7['files']} DX10-header BC7 DDS files "
+                  f"through the formats API, untransform byte-exact; zstd-16 "
+                  f"{d7['plain_zstd']} -> {d7['transformed_zstd']} "
+                  f"({d7['reduction_pct']:+.2f}%).", ""]
     lp = report.get("load_path_bc1")
     if lp:
         lines += ["## Load path (BC1, whole corpus)", "",

@@ -157,3 +157,27 @@ def test_uncompressed_dds_end_to_end(bit_count, masks, size):
     assert len(transformed) == len(data)
     assert handler.can_handle_untransform(transformed)
     assert handler.untransform(transformed) == data
+
+
+@pytest.mark.parametrize("dec", [False, True])
+def test_bgr_kernels_interpret_match_oracle(dec):
+    """BGR888 Mosaic split/merge kernels (interpret mode) vs the numpy oracle."""
+    import numpy as np
+
+    from dxt_lossless_transform_tpu.oracle import rgb as orgb
+    from dxt_lossless_transform_tpu.ops.pallas.channels import (
+        MAX_ROWS, W_BGR, merge_bgr_tpu, split_bgr_tpu,
+    )
+    from dxt_lossless_transform_tpu.settings import RgbTransformSettings
+
+    n = MAX_ROWS * 4 * (W_BGR // 3)  # one full tile of pixels
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, 3 * n, np.uint8).tobytes()
+    s = RgbTransformSettings(decorrelate=dec, split_channels=True)
+    want = orgb.transform(data, "bgr888", s)
+    flat = np.frombuffer(data, "<u4")
+    streams = split_bgr_tpu(flat, dec, interpret=True)
+    got = b"".join(np.asarray(st).astype("<u4").tobytes() for st in streams)
+    assert got == want
+    back = merge_bgr_tpu(streams, dec, interpret=True)
+    assert np.asarray(back).astype("<u4").tobytes() == data
