@@ -4,16 +4,21 @@ Role analog: the reference's LTU estimator
 (``dxt-lossless-transform-ltu/src/lib.rs:48-117``) scores a candidate as
 ``len - estimate_num_lz_matches_fast(data)``; only relative ordering matters.
 Its hash-table match counter is inherently sequential, so this build replaces it with
-a TPU-native *sampled-offset match model*: a position is covered if its 3-byte gram
+a TPU-native *sampled-offset match model*: a position is covered if its 4-byte gram
 equals the gram at any of a fixed ladder of backward offsets (dense short range +
 geometric long range, mirroring where matches actually occur in block-stream data --
-stream element strides and texture row strides). The score is
+stream element strides and texture row strides), and a covered position is worth
+more the NEARER its closest match (zstd spends fewer bits on small offsets). With
+W(k) = 24 - round(log2 k) the score is
 
-    score = valid_len - sum_i any_k( gram[i] == gram[i - k] )
+    score = 24 * valid_len - sum_i W( min k : gram4[i] == gram4[i - k] )
 
-which is pure shift/compare/reduce -- one fused, HBM-bandwidth-bound XLA kernel,
-batched over all candidate layouts at once (the whole auto-search estimates in a
-single device call, vs the reference's per-candidate sequential loop).
+which is pure shift/compare/select/reduce -- one fused, HBM-bandwidth-bound XLA
+kernel, batched over all candidate layouts at once (the whole auto-search estimates
+in a single device call, vs the reference's per-candidate sequential loop).
+Round-4 retune (scripts/ltu_tune.py, realistic corpus v2): 3-gram unweighted ->
+4-gram offset-weighted lifts BC1 exact-pick 46 -> 57% and selection efficiency
+99.03 -> 99.70% (BC3: 45 -> 55%, 99.15 -> 99.76%).
 """
 
 from __future__ import annotations
@@ -34,44 +39,57 @@ from .base import SizeEstimation
 DEFAULT_OFFSETS = (1, 2, 3, 4, 5, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 256,
                    512, 1024, 2048, 4096)
 
+WEIGHT_SCALE = 24
+
+
+def offset_weight(k: int) -> int:
+    """Integer match-value of a position whose nearest match is at offset k:
+    WEIGHT_SCALE - round(log2 k) (nearer matches cost zstd fewer offset bits)."""
+    import math
+
+    return WEIGHT_SCALE - (int(round(math.log2(k))) if k > 1 else 0)
+
 
 @partial(jax.jit, static_argnames=("offsets",))
 def _coverage_scores(regions, valid_len, offsets: tuple):
     """(C, L) uint8 candidate regions -> (C,) float32 scores (lower = compresses better).
 
-    A position i is covered if its 3-byte gram equals the gram at i-k for any offset
-    k; gram equality is computed as the AND of three shifted byte equalities, keeping
-    all intermediates 1-byte wide (HBM-bandwidth matters: this loop dominates the
-    on-device auto-search).
+    A position i is covered if its 4-byte gram equals the gram at i-k for some
+    offset k; its value is offset_weight(smallest such k). Gram equality is the
+    AND of four shifted byte equalities and the weight select keeps a 1-byte lane
+    (HBM bandwidth matters: this loop dominates the on-device auto-search).
+    Offsets are processed descending so the nearest match's weight lands last.
     """
     b = regions.astype(jnp.uint8)
     length = b.shape[1]
-    covered = jnp.zeros((b.shape[0], length - 2), dtype=jnp.bool_)
-    for k in offsets:
-        if k + 2 >= length:
-            break
+    w = jnp.zeros((b.shape[0], length - 3), dtype=jnp.uint8)
+    for k in sorted(offsets, reverse=True):
+        if k + 3 >= length:
+            continue
         eq = b[:, k:] == b[:, :-k]                  # byte equality at backshift k
-        gram_eq = eq[:, :-2] & eq[:, 1:-1] & eq[:, 2:]
-        covered = jnp.concatenate(
-            [covered[:, :k], covered[:, k:] | gram_eq], axis=1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, length - 2), 1)
-    valid = pos < (valid_len - 2)
-    matches = jnp.sum(jnp.where(valid, covered, False), axis=1)
-    return (valid_len - matches).astype(jnp.float32)
+        gram_eq = eq[:, :-3] & eq[:, 1:-2] & eq[:, 2:-1] & eq[:, 3:]
+        w = jnp.concatenate(
+            [w[:, :k],
+             jnp.where(gram_eq, jnp.uint8(offset_weight(k)), w[:, k:])], axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, length - 3), 1)
+    valid = pos < (valid_len - 3)
+    matches = jnp.sum(jnp.where(valid, w, jnp.uint8(0)).astype(jnp.int32), axis=1)
+    return (WEIGHT_SCALE * valid_len - matches).astype(jnp.float32)
 
 
 def _coverage_score_np(data: np.ndarray, offsets) -> int:
     """Numpy twin of :func:`_coverage_scores` for one buffer (host fast path)."""
     b = np.ascontiguousarray(data, np.int64)
-    if b.size < 3:
-        return int(b.size)
-    g = b[:-2] | (b[1:-1] << 8) | (b[2:] << 16)
-    covered = np.zeros(g.size, bool)
-    for k in offsets:
+    if b.size < 4:
+        return WEIGHT_SCALE * int(b.size)
+    g = b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16) | (b[3:] << 24)
+    w = np.zeros(g.size, np.int32)
+    for k in sorted(offsets, reverse=True):
         if k >= g.size:
-            break
-        covered[k:] |= g[k:] == g[:-k]
-    return int(b.size - covered.sum())
+            continue
+        eq = g[k:] == g[:-k]
+        w[k:][eq] = offset_weight(k)
+    return WEIGHT_SCALE * int(b.size) - int(w.sum())
 
 
 # Buffers below this size are scored on the host (device dispatch latency through the

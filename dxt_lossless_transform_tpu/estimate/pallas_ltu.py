@@ -4,12 +4,14 @@ The XLA formulation (:func:`.ltu._coverage_scores`) materializes per-offset equa
 arrays in HBM (~10 GB of traffic for a 128 MiB search); this kernel keeps the whole
 working set in VMEM. Each grid step DMAs exactly ONE new tile: a sliding window in
 VMEM scratch holds the previous two tiles (the backward-offset halo, up to 4096
-bytes) while the incoming tile provides the 2-byte gram lookahead, so HBM reads are
+bytes) while the incoming tile provides the 3-byte gram lookahead, so HBM reads are
 1x the data (the round-1 version re-fetched prev/cur/next per step = 3x).
 
-Per tile: byte equalities for every offset with roll-composed flat shifts, 3-gram
-matches ORed, one partial count accumulated per candidate row. ``valid_len`` is a
-scalar or a per-row array (the flattened batch x candidates corpus grid).
+Per tile: byte equalities for every offset with roll-composed flat shifts, 4-gram
+matches selecting the nearest-offset weight (offsets descending; see
+``ltu.offset_weight``), one partial weighted count accumulated per candidate row.
+``valid_len`` is a scalar or a per-row array (the flattened batch x candidates
+corpus grid).
 
 Semantics are bit-identical to the XLA/numpy/C++ twins (differential-tested).
 """
@@ -23,6 +25,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .ltu import WEIGHT_SCALE, offset_weight
 
 ROWS = 32          # sublanes per tile
 W = 1024           # lanes per tile
@@ -64,23 +68,24 @@ def _make_kernel_packed(offsets, grid_j, count_lo, count_hi):
 
     4 byte positions per lane: per offset the aligned source stream is one (two,
     for offsets not a multiple of 4) word-level flat shift, the byte equalities
-    come from one SWAR zero-detect, and the 3-gram AND is a shift-combine of the
-    packed equality bits. Counts are bit-identical to the byte-lane kernel
-    (differential-tested); measured ~1.7x its throughput on v5e.
+    come from one SWAR zero-detect, the 4-gram AND is a shift-combine of the
+    packed equality bits, and the nearest-offset weight is SWAR-selected into a
+    packed per-byte weight word (offsets descending). Weighted counts are
+    bit-identical to the byte-lane kernel (differential-tested).
     """
     rows_per_tile = ROWS
 
-    def _covered(win, base, guard: bool):
-        """Packed coverage bits for the CUR tile (win rows [ROWS:2*ROWS)).
+    def _weights(win, base, guard: bool):
+        """Packed per-byte weights for the CUR tile (win rows [ROWS:2*ROWS)).
 
         ``win``: (2*ROWS+1, W4) u32 window [prev | cur | 1 lookahead row]."""
         cur_ext = win[rows_per_tile:2 * rows_per_tile + 1]     # (ROWS+1, W4)
-        covered = jnp.zeros((rows_per_tile, W4), jnp.uint32)
+        wf = jnp.zeros((rows_per_tile, W4), jnp.uint32)
         if guard:
             gw = (lax.broadcasted_iota(jnp.int32, (rows_per_tile, W4), 0) * (4 * W4)
                   + lax.broadcasted_iota(jnp.int32, (rows_per_tile, W4), 1) * 4
                   + base)                                      # byte 0 position
-        for k in offsets:
+        for k in sorted(offsets, reverse=True):
             q, r = divmod(k, 4)
             if (q % W4 == 0) and r == 0:
                 # pure static row slice (k in {4*W4, 8*W4, ...} = {1024, ...})
@@ -109,11 +114,15 @@ def _make_kernel_packed(offsets, grid_j, count_lo, count_hi):
             Bn = _flat_shift_left(B, 1)                        # word t+1 bits
             s1 = (B >> jnp.uint32(8)) | (Bn << jnp.uint32(24))
             s2 = (B >> jnp.uint32(16)) | (Bn << jnp.uint32(16))
-            c = (B & s1 & s2)[:rows_per_tile]
+            s3 = (B >> jnp.uint32(24)) | (Bn << jnp.uint32(8))
+            c = (B & s1 & s2 & s3)[:rows_per_tile]
             if guard:
                 c &= gm
-            covered |= c
-        return covered
+            # byte-granular select: matched bytes take this offset's weight
+            m8 = ((c >> jnp.uint32(7)) & jnp.uint32(0x01010101)) * jnp.uint32(0xFF)
+            wk = jnp.uint32(offset_weight(k) * 0x01010101)
+            wf = (wf & ~m8) | (wk & m8)
+        return wf
 
     def kernel(valid_ref, pos0_ref, in_ref, out_ref, prev_ref, cur_ref, acc_ref):
         # Same windowing as the byte-lane kernel: grid step j delivers tile
@@ -134,20 +143,20 @@ def _make_kernel_packed(offsets, grid_j, count_lo, count_hi):
             win = jnp.concatenate(
                 [prev_ref[...], cur_ref[...], incoming[:1]], axis=0)
             base = pos0 + (j - 1) * SPAN
-            covered = lax.cond(base < SPAN,
-                               lambda: _covered(win, base, True),
-                               lambda: _covered(win, base, False))
+            wf = lax.cond(base < SPAN,
+                          lambda: _weights(win, base, True),
+                          lambda: _weights(win, base, False))
             local_w = ((j - 1) * SPAN
-                       + lax.broadcasted_iota(jnp.int32, covered.shape, 0) * (4 * W4)
-                       + lax.broadcasted_iota(jnp.int32, covered.shape, 1) * 4)
+                       + lax.broadcasted_iota(jnp.int32, wf.shape, 0) * (4 * W4)
+                       + lax.broadcasted_iota(jnp.int32, wf.shape, 1) * 4)
             total = jnp.zeros((), jnp.float32)
             for b in range(4):
-                bit = ((covered >> jnp.uint32(8 * b + 7))
-                       & jnp.uint32(1)).astype(jnp.int32)
+                wb = ((wf >> jnp.uint32(8 * b))
+                      & jnp.uint32(0xFF)).astype(jnp.int32)
                 pos = local_w + b
                 counted = ((pos >= count_lo) & (pos < count_hi)
-                           & (pos0 + pos < row_valid - 2))
-                total += jnp.sum(jnp.where(counted, bit, 0).astype(jnp.float32))
+                           & (pos0 + pos < row_valid - 3))
+                total += jnp.sum(jnp.where(counted, wb, 0).astype(jnp.float32))
             acc_ref[0] += total
 
             prev_ref[...] = cur_ref[...]
@@ -171,34 +180,35 @@ def _make_kernel(offsets, grid_j, count_lo, count_hi):
     """
     rows_per_tile = ROWS
 
-    def _covered(g2, base, guard: bool):
-        """Coverage of the CUR tile (g2 rows [ROWS:2*ROWS)) against backward
-        offsets; all shift work happens on the minimal row window per offset.
+    def _weights(g4, base, guard: bool):
+        """Nearest-offset weights of the CUR tile (g4 rows [ROWS:2*ROWS)) against
+        backward offsets (descending, so the smallest matching offset's weight
+        lands last); all shift work happens on the minimal row window per offset.
         ``base`` is the global position of the tile's first byte."""
-        g_cur = g2[rows_per_tile:2 * rows_per_tile]
-        covered = jnp.zeros(g_cur.shape, jnp.int32)
+        g_cur = g4[rows_per_tile:2 * rows_per_tile]
+        w = jnp.zeros(g_cur.shape, jnp.int32)
         if guard:
             gpos = (lax.broadcasted_iota(jnp.int32, g_cur.shape, 0) * W
                     + lax.broadcasted_iota(jnp.int32, g_cur.shape, 1) + base)
-        for k in offsets:
+        for k in sorted(offsets, reverse=True):
             if k % W == 0:
                 # pure static row slice, no vector shuffles at all
                 r = rows_per_tile - k // W
-                shifted_cur = g2[r:r + rows_per_tile]
+                shifted_cur = g4[r:r + rows_per_tile]
             else:
                 # minimal window: cur's backshift-k sources live in rows
                 # [ROWS-1, 2*ROWS); one lane roll + row roll on ROWS+1 rows
-                src = g2[rows_per_tile - 1:2 * rows_per_tile]
+                src = g4[rows_per_tile - 1:2 * rows_per_tile]
                 shifted_cur = _flat_shift_right(src, k)[1:]
             eq = (g_cur == shifted_cur)
             if guard:
                 eq &= gpos >= k  # stream head: no matches before position 0
-            covered |= eq.astype(jnp.int32)
-        return covered
+            w = jnp.where(eq, jnp.int32(offset_weight(k)), w)
+        return w
 
     def kernel(valid_ref, pos0_ref, in_ref, out_ref, prev_ref, cur_ref, acc_ref):
         # Grid step j delivers tile min(j, grid_j-1); tile j-1 is computed once its
-        # 2-byte gram lookahead (tile j's first row) is resident. Scratch rolls the
+        # 3-byte gram lookahead (tile j's first row) is resident. Scratch rolls the
         # [prev, cur] window forward; each tile is DMA'd from HBM exactly once.
         j = pl.program_id(1)
         row_valid = valid_ref[pl.program_id(0)]
@@ -216,22 +226,23 @@ def _make_kernel(offsets, grid_j, count_lo, count_hi):
         @pl.when(j > 0)
         def _():
             # grams over [prev, cur, first row of next]: the extra row feeds the
-            # lookahead of cur's last two byte positions and is then discarded
+            # lookahead of cur's last three byte positions and is then discarded
             win = jnp.concatenate(
                 [prev_ref[...], cur_ref[...], incoming[:1]], axis=0).astype(jnp.int32)
-            g2 = (win | (_flat_shift_left(win, 1) << 8)
-                  | (_flat_shift_left(win, 2) << 16))[:2 * rows_per_tile]
+            g4 = (win | (_flat_shift_left(win, 1) << 8)
+                  | (_flat_shift_left(win, 2) << 16)
+                  | (_flat_shift_left(win, 3) << 24))[:2 * rows_per_tile]
 
             base = pos0 + (j - 1) * SPAN  # global position of this tile's start
-            covered = lax.cond(base < SPAN,
-                               lambda: _covered(g2, base, True),
-                               lambda: _covered(g2, base, False))
+            w = lax.cond(base < SPAN,
+                         lambda: _weights(g4, base, True),
+                         lambda: _weights(g4, base, False))
             local = ((j - 1) * SPAN
-                     + lax.broadcasted_iota(jnp.int32, covered.shape, 0) * W
-                     + lax.broadcasted_iota(jnp.int32, covered.shape, 1))
+                     + lax.broadcasted_iota(jnp.int32, w.shape, 0) * W
+                     + lax.broadcasted_iota(jnp.int32, w.shape, 1))
             counted = ((local >= count_lo) & (local < count_hi)
-                       & (pos0 + local < row_valid - 2))
-            acc_ref[0] += jnp.sum(jnp.where(counted, covered, 0).astype(jnp.float32))
+                       & (pos0 + local < row_valid - 3))
+            acc_ref[0] += jnp.sum(jnp.where(counted, w, 0).astype(jnp.float32))
 
             prev_ref[...] = cur_ref[...]
             cur_ref[...] = incoming
@@ -300,7 +311,7 @@ def coverage_scores_pallas(regions, valid_len, offsets: tuple,
                                   (n_rows,))
     counts = _counts_call(regions, valid_rows, jnp.int32(0), offsets, 0, nbytes,
                           interpret=interpret)
-    return valid_rows.astype(jnp.float32) - counts
+    return WEIGHT_SCALE * valid_rows.astype(jnp.float32) - counts
 
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))

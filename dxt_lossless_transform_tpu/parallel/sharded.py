@@ -260,11 +260,13 @@ def _packed_scores_shardmap(mesh, rows, valid_lens, offsets, interp: bool):
                                           offsets, interpret=interp)
         return jax.lax.psum(counts, "blocks").reshape(Bl, C)
 
+    from ..estimate.ltu import WEIGHT_SCALE
+
     counts = shard_map(local, mesh=mesh,
                        in_specs=(P("files", None, "blocks"), P("files")),
                        out_specs=P("files", None),
                        check_vma=False)(regions3, valid_lens)
-    return valid_lens.astype(jnp.float32)[:, None] - counts
+    return WEIGHT_SCALE * valid_lens.astype(jnp.float32)[:, None] - counts
 
 
 def _packed_scores_dispatch(rows, valid_lens, offsets, mesh, interp: bool):
@@ -472,11 +474,13 @@ def _scores_flat_shardmap(mesh, regions3, valid_lens, offsets, interpret: bool):
                                           interpret=interpret)
         return jax.lax.psum(counts, "blocks").reshape(Bl, C)
 
+    from ..estimate.ltu import WEIGHT_SCALE
+
     counts = shard_map(local, mesh=mesh,
                        in_specs=(P("files", None, "blocks"), P("files")),
                        out_specs=P("files", None),
                        check_vma=False)(regions3, valid_lens)
-    return valid_lens.astype(jnp.float32)[:, None] - counts
+    return WEIGHT_SCALE * valid_lens.astype(jnp.float32)[:, None] - counts
 
 
 def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool, mesh=None):

@@ -17,6 +17,7 @@
 #include <algorithm>
 #include <new>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -398,26 +399,36 @@ extern "C" int dlt_zstd_estimate_batch(const uint8_t* const* ptrs, const size_t*
 
 // ------------------------------------------------- sampled-offset LZ coverage -------
 // Twin of estimate/ltu.py::_coverage_score_np -- must stay bit-identical.
+// Round 4: 4-byte grams, offset-weighted (W(k) = 24 - lround(log2 k); descending
+// offset order so the NEAREST match's weight wins); score = 24*len - sum W.
 
 static const int kOffsets[] = {1, 2, 3, 4, 5, 6, 8, 12, 16, 24, 32, 48, 64, 96,
                                128, 256, 512, 1024, 2048, 4096};
+static const int kWeightScale = 24;
+
+static inline uint8_t ltu_weight(int k) {
+    return (uint8_t)(kWeightScale - (k > 1 ? (int)lround(log2((double)k)) : 0));
+}
 
 extern "C" size_t dlt_ltu_estimate(const uint8_t* data, size_t len) {
-    if (len < 3) return len;
-    size_t glen = len - 2;
+    if (len < 4) return (size_t)kWeightScale * len;
+    size_t glen = len - 3;
     std::vector<uint32_t> g(glen);
     for (size_t i = 0; i < glen; i++)
         g[i] = (uint32_t)data[i] | ((uint32_t)data[i + 1] << 8)
-             | ((uint32_t)data[i + 2] << 16);
-    std::vector<uint8_t> covered(glen, 0);
-    for (int k : kOffsets) {
-        if ((size_t)k >= glen) break;
+             | ((uint32_t)data[i + 2] << 16) | ((uint32_t)data[i + 3] << 24);
+    std::vector<uint8_t> w(glen, 0);
+    const int n_off = (int)(sizeof(kOffsets) / sizeof(kOffsets[0]));
+    for (int oi = n_off - 1; oi >= 0; oi--) {
+        int k = kOffsets[oi];
+        if ((size_t)k >= glen) continue;
+        uint8_t wk = ltu_weight(k);
         for (size_t i = (size_t)k; i < glen; i++)
-            covered[i] |= (g[i] == g[i - (size_t)k]);
+            if (g[i] == g[i - (size_t)k]) w[i] = wk;
     }
-    size_t matches = 0;
-    for (size_t i = 0; i < glen; i++) matches += covered[i];
-    return len - matches;
+    size_t weighted = 0;
+    for (size_t i = 0; i < glen; i++) weighted += w[i];
+    return (size_t)kWeightScale * len - weighted;
 }
 
 
