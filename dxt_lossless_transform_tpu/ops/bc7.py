@@ -122,6 +122,17 @@ def _chunk_keys(modes_u32):
             + jnp.arange(c, dtype=jnp.uint16)[None, :])
 
 
+def _packed_stream_bytes(packed, n_valid):
+    """Fused-kernel mode words (8 modes/u32) -> the uint8[N/2] nibble stream with
+    modes of padding blocks (>= n_valid) zeroed."""
+    widx = jnp.arange(packed.shape[0], dtype=jnp.int32)
+    keep = jnp.clip(n_valid.astype(jnp.int32) - widx * 8, 0, 8)
+    mask = jnp.where(keep >= 8, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << (4 * keep).astype(jnp.uint32))
+                     - jnp.uint32(1))
+    return jax.lax.bitcast_convert_type(packed & mask, jnp.uint8).reshape(-1)
+
+
 def _planes_from_cols(cols):
     """uint32[4, N] word columns -> uint8[16, N] byte planes (LE within each word)."""
     return jnp.concatenate(
@@ -163,17 +174,28 @@ def _transform_xla(flat, n_valid, sort: bool, planes: bool, fmt: str = "bc7",
     n_pad = flat.shape[0] // 4
     if sort:
         if use_pallas:
-            from .pallas.planes import split_cols_tpu
+            # fused stage: columns + raw sort keys + packed mode stream in one
+            # Mosaic pass (saves the separate mode/key/pack reads of column 0)
+            from .pallas.planes import split_cols_modes_tpu
 
-            cols = split_cols_tpu(flat)
+            c = _oracle.SORT_CHUNK_BLOCKS  # n_pad % (128*512) == 0 => multiple
+            assert c & (c - 1) == 0 and 15 * c + (c - 1) <= 0xFFFF
+            cols, rawkeys, packed = split_cols_modes_tpu(flat, fmt, c)
+            idx = jnp.arange(n_pad, dtype=jnp.uint32)
+            pad = jnp.uint32({"bc7": 8, "bc6h": 15}[fmt])
+            key = jnp.where(idx < n_valid, rawkeys,
+                            pad * jnp.uint32(c) + (idx & jnp.uint32(c - 1))
+                            ).astype(jnp.uint16).reshape(-1, c)
+            stream = _packed_stream_bytes(packed, n_valid)
         else:
             cols = tuple(flat.reshape(-1, 4).T)
-        modes = _modes_from_words(cols[0], n_valid, fmt)
-        stream = _pack_nibbles(modes, n_valid)
-        key = _chunk_keys(modes)
+            modes = _modes_from_words(cols[0], n_valid, fmt)
+            stream = _pack_nibbles(modes, n_valid)
+            key = _chunk_keys(modes)
         sorted_ = jax.lax.sort(
-            (key, *(c.reshape(key.shape) for c in cols)), num_keys=1, dimension=1)
-        cols = tuple(c.reshape(-1) for c in sorted_[1:])
+            (key, *(c_.reshape(key.shape) for c_ in cols)), num_keys=1,
+            dimension=1)
+        cols = tuple(c_.reshape(-1) for c_ in sorted_[1:])
     else:
         stream = jnp.zeros((n_pad // 2,), jnp.uint8)
         cols = None

@@ -229,3 +229,71 @@ def merge_planes_tpu(planes, interpret: bool = False):
         interpret=interpret,
     )(*(p.reshape(grid * rows, W_IN // 4) for p in planes))
     return jnp.stack([r.reshape(-1) for r in res])
+
+
+def _mode_bc7(b):
+    """BC7 mode id of byte-0 lanes: index of the lowest set bit, 8 if zero
+    (``oracle/bc7.py``); popcount-free static compare chain."""
+    mode = jnp.full(b.shape, 8, _U32)
+    for i in range(7, -1, -1):  # descending: the LOWEST set bit wins last
+        is_i = ((b >> _U32(i)) & _U32(1)) == _U32(1)
+        if i:
+            is_i &= (b & _U32((1 << i) - 1)) == _U32(0)
+        mode = jnp.where(is_i, _U32(i), mode)
+    return mode
+
+
+def _mode_bc6h(b):
+    """BC6H grouping id (``oracle/bc6h.py``): 2-bit modes -> 0,1; valid 5-bit
+    two-region -> 2..9; one-region -> 10..13; reserved -> 14."""
+    two = b & _U32(3)
+    v = b & _U32(31)
+    v4 = v >> _U32(2)
+    v4c = jnp.where(v4 > _U32(4), _U32(4), v4)  # Mosaic lacks arith.minui
+    id5 = jnp.where((v & _U32(1)) != 0, _U32(10) + v4c, _U32(2) + v4)
+    return jnp.where(two < 2, two, id5)
+
+
+def _split_cols_modes_kernel(fmt: str, chunk: int, rows: int):
+    def kernel(x_ref, *out_refs):
+        g = pl.program_id(0)
+        wt = _phases(x_ref[:].astype(_U32).T, 4)     # word w of each block
+        for w in range(4):
+            out_refs[w][:] = wt[w].T
+        b0 = wt[0] & _U32(0xFF)
+        mode = _mode_bc7(b0) if fmt == "bc7" else _mode_bc6h(b0)
+        # within-chunk sort key (mode in the high bits; ops/bc7.py:_chunk_keys)
+        lane = jax.lax.broadcasted_iota(jnp.int32, mode.shape, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, mode.shape, 1)
+        idx = ((g * rows + row) * W_IN + lane).astype(_U32) & _U32(chunk - 1)
+        out_refs[4][:] = (mode * _U32(chunk) + idx).T
+        # packed 4-bit mode stream, 8 blocks per u32 word (low nibble first)
+        q = _phases(mode, 8)
+        packed = q[0]
+        for i in range(1, 8):
+            packed = packed | (q[i] << _U32(4 * i))
+        out_refs[5][:] = packed.T
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("fmt", "chunk", "interpret"))
+def split_cols_modes_tpu(flat, fmt: str, chunk: int, interpret: bool = False):
+    """Fused forward stage for the BC7/BC6H mode sort: uint32[4*N] block words ->
+    (4 word columns uint32[N], raw sort keys uint32[N], packed mode words
+    uint32[N/8]). Saves the separate mode-extract / key-build / nibble-pack
+    passes over column 0 (~3 ms per 128 MiB measured round 4). Padding-block
+    key/stream fixup happens outside (callers mask idx >= n_valid)."""
+    n = flat.shape[0] // 4
+    grid, rows = _grid_rows_cols(n)
+    res = pl.pallas_call(
+        _split_cols_modes_kernel(fmt, chunk, rows),
+        grid=(grid,),
+        in_specs=[_vspec(4 * W_IN, rows)],
+        out_specs=[_vspec(W_IN, rows)] * 5 + [_vspec(W_IN // 8, rows)],
+        out_shape=[jax.ShapeDtypeStruct((grid * rows, W_IN), jnp.uint32)
+                   for _ in range(5)]
+        + [jax.ShapeDtypeStruct((grid * rows, W_IN // 8), jnp.uint32)],
+        interpret=interpret,
+    )(flat.reshape(grid * rows, 4 * W_IN))
+    return tuple(r.reshape(-1) for r in res[:4]), res[4].reshape(-1), \
+        res[5].reshape(-1)

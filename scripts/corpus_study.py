@@ -278,6 +278,80 @@ def load_path_benchmark(entries, level: int, iters: int = 5):
     }
 
 
+def load_path_storage(entries, level: int, bc1_cfg=None):
+    """Cold-cache END-TO-END load: read blob from disk + decompress (+ untransform)
+    -- the scenario the transform exists for. This host's cold-cache read rate is
+    ~75 MB/s, so the smaller transformed blob wins the read time back many times
+    over the untransform cost (the warm-RAM microbenchmark in
+    :func:`load_path_benchmark` cannot show this; the reference's +18% was
+    measured decompress-bound, ``bc1-api/README.MD:286-313``)."""
+    import os
+    import tempfile
+
+    import zstandard as z
+
+    from dxt_lossless_transform_tpu.estimate import ZstdEstimation
+    from dxt_lossless_transform_tpu.ops import auto as ops_auto, bc1 as ops_bc1
+
+    est = ZstdEstimation(1)
+    comp = z.ZstdCompressor(level=level)
+    dctx = z.ZstdDecompressor()
+    root = tempfile.mkdtemp(prefix="dlt_loadpath_")
+    items = []
+    orig_bytes = 0
+    try:
+        for i, (_fam, mips) in enumerate(entries):
+            payload = corpus_mod.encode_mips(mips, FORMATS["bc1"]["encode"])
+            out, settings = ops_auto.transform_bc1_auto(payload, est)
+            pp = os.path.join(root, f"p{i:04d}.zst")
+            pt = os.path.join(root, f"t{i:04d}.zst")
+            with open(pp, "wb") as f:
+                f.write(comp.compress(payload))
+            with open(pt, "wb") as f:
+                f.write(comp.compress(out))
+            items.append((len(payload), pp, pt, settings))
+            orig_bytes += len(payload)
+
+        def drop_caches():
+            os.sync()
+            try:
+                with open("/proc/sys/vm/drop_caches", "w") as f:
+                    f.write("3")
+                return True
+            except OSError:
+                return False
+
+        can_drop = drop_caches()
+        t0 = time.time()
+        for n, pp, _pt, _s in items:
+            with open(pp, "rb") as f:
+                dctx.decompress(f.read(), max_output_size=n)
+        t_plain = time.time() - t0
+        if can_drop:
+            drop_caches()
+        t0 = time.time()
+        for n, _pp, pt, st in items:
+            with open(pt, "rb") as f:
+                ops_bc1.untransform(
+                    dctx.decompress(f.read(), max_output_size=n), st)
+        t_trans = time.time() - t0
+        plain_blob = sum(os.path.getsize(pp) for _n, pp, _t, _s in items)
+        trans_blob = sum(os.path.getsize(pt) for _n, _p, pt, _s in items)
+        return {
+            "cold_cache": can_drop,
+            "original_bytes": orig_bytes,
+            "plain_blob_bytes": plain_blob,
+            "transformed_blob_bytes": trans_blob,
+            "plain_read_decompress_s": round(t_plain, 3),
+            "transformed_read_decompress_untransform_s": round(t_trans, 3),
+            "load_speed_delta_pct": round(100.0 * (t_plain / t_trans - 1), 1),
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def reference_asset_check(level: int):
     """The reference's shipped 256px asset: its own encoder's payload vs ours from
     the same source PNG -- shows the transform gain is encoder-robust."""
@@ -329,6 +403,9 @@ def main():
     report["bc7"] = bc7_ratio(max(8, args.files // 8), args.level)
     _log("load-path benchmark")
     report["load_path_bc1"] = load_path_benchmark(images, args.level)
+    _log("load-path benchmark (cold-cache storage)")
+    report["load_path_storage_bc1"] = load_path_storage(
+        images[:max(30, args.files // 5)], args.level)
     report["reference_asset_bc1"] = reference_asset_check(args.level)
 
     with open("CORPUS_REPORT.json", "w") as f:
@@ -397,6 +474,18 @@ def main():
                   f"rate) the same measured decompress split projects to "
                   f"**{lp['projected_delta_on_reference_host_pct']:+.1f}%**.",
                   ""]
+    ls = report.get("load_path_storage_bc1")
+    if ls:
+        lines += ["## Load path, cold-cache storage (BC1)", "",
+                  f"End-to-end load of {ls['original_bytes'] / 1e6:.1f} MB of "
+                  f"textures from disk (page cache dropped: {ls['cold_cache']}): "
+                  f"plain read+decompress {ls['plain_read_decompress_s']} s vs "
+                  f"transformed read+decompress+untransform "
+                  f"{ls['transformed_read_decompress_untransform_s']} s = "
+                  f"**{ls['load_speed_delta_pct']:+.1f}%** load speed. On "
+                  "storage-bound hosts the smaller transformed blob "
+                  f"({ls['transformed_blob_bytes']} vs {ls['plain_blob_bytes']} "
+                  "B) pays for the untransform many times over.", ""]
     ra = report.get("reference_asset_bc1")
     if ra:
         o, rr = ra["our_encoder"], ra["reference_encoder"]

@@ -230,3 +230,34 @@ def test_transform_auto_device_gate_off_on_cpu():
     from dxt_lossless_transform_tpu.ops.bc7 import _auto_device_ok
 
     assert _auto_device_ok(LtuEstimation(), 1 << 20) is False
+
+
+@pytest.mark.parametrize("fmt", ["bc7", "bc6h"])
+def test_split_cols_modes_fused_kernel(fmt):
+    """The fused forward kernel (cols + raw keys + packed mode words) must agree
+    with the separate XLA stages, padding fixup included."""
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.ops import bc7 as ops_bc7
+    from dxt_lossless_transform_tpu.ops.pallas.planes import split_cols_modes_tpu
+    from dxt_lossless_transform_tpu.oracle.bc7 import SORT_CHUNK_BLOCKS as C
+
+    n = 128 * 512  # one tile
+    rng = np.random.default_rng(17)
+    flat = jnp.asarray(rng.integers(0, 2**32, 4 * n, dtype=np.uint32))
+    n_valid = jnp.uint32(n - 777)
+    cols, rawkeys, packed = split_cols_modes_tpu(flat, fmt, C, interpret=True)
+    want_cols = tuple(np.asarray(flat).reshape(-1, 4).T)
+    for got, want in zip(cols, want_cols):
+        np.testing.assert_array_equal(np.asarray(got), want)
+    modes = ops_bc7._modes_from_words(cols[0], n_valid, fmt)
+    want_keys = ops_bc7._chunk_keys(modes).reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    pad = {"bc7": 8, "bc6h": 15}[fmt]
+    got_keys = jnp.where(idx < n_valid, rawkeys,
+                         jnp.uint32(pad * C) + (idx & jnp.uint32(C - 1))
+                         ).astype(jnp.uint16)
+    np.testing.assert_array_equal(np.asarray(got_keys), np.asarray(want_keys))
+    want_stream = np.asarray(ops_bc7._pack_nibbles(modes, n_valid))
+    got_stream = np.asarray(ops_bc7._packed_stream_bytes(packed, n_valid))
+    np.testing.assert_array_equal(got_stream, want_stream)
