@@ -228,6 +228,12 @@ def load_path_benchmark(entries, level: int, iters: int = 5):
     from dxt_lossless_transform_tpu.estimate import ZstdEstimation
     from dxt_lossless_transform_tpu.ops import auto as ops_auto, bc1 as ops_bc1
 
+    import os
+
+    # Load-time is a HOST scenario: force the native untransform path (payloads
+    # >= DLT_DEVICE_MIN_BYTES would otherwise ride the device relay at a few
+    # hundred MB/s and poison the measurement).
+    os.environ["DLT_DEVICE_MIN_BYTES"] = str(1 << 62)
     est = ZstdEstimation(1)
     comp = z.ZstdCompressor(level=level)
     items = []
@@ -293,6 +299,7 @@ def load_path_storage(entries, level: int, bc1_cfg=None):
     from dxt_lossless_transform_tpu.estimate import ZstdEstimation
     from dxt_lossless_transform_tpu.ops import auto as ops_auto, bc1 as ops_bc1
 
+    os.environ["DLT_DEVICE_MIN_BYTES"] = str(1 << 62)  # host untransform path
     est = ZstdEstimation(1)
     comp = z.ZstdCompressor(level=level)
     dctx = z.ZstdDecompressor()
