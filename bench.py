@@ -201,7 +201,7 @@ def _chain(fmt):
     return jax.jit({"bc1": bc1, "bc2": bc2, "bc3": bc3, "bc4": bc4, "bc5": bc5}[fmt])
 
 
-def _probe_chip(deadline_s: float = 60.0) -> bool:
+def _probe_chip(deadline_s: float = 120.0) -> bool:
     """SIGALRM-bounded liveness check; False (and a structured artifact) if the
     relay executor is wedged rather than hanging the whole bench into rc=124."""
     import jax
@@ -226,7 +226,8 @@ def _probe_chip(deadline_s: float = 60.0) -> bool:
         _details["chip"] = "wedged"
         _details["chip_note"] = (
             f"no relay response within {deadline_s:.0f}s; a killed client's hung "
-            "executor (remote watchdog resets ~30 min) -- scripts/chip_probe.py")
+            "executor (remote watchdog resets ~30 min; healthy cold init takes "
+            "~10-30 s) -- scripts/chip_probe.py")
         _stage_log("CHIP WEDGED: emitting fast-fail artifact")
         return False
     finally:
