@@ -339,7 +339,7 @@ def main():
         plain_total = default_total = auto_total = 0
         n_files = 0
         for _family, mips in _corpus.build_realistic_corpus(
-                10, sizes=(256, 512)):
+                12, sizes=(256, 512, 1024)):
             payload = _corpus.encode_mips(
                 mips, lambda im: encode_bc1(im[..., :3]))
             default = _ops_bc1.transform(payload, Bc1TransformSettings())
@@ -351,7 +351,7 @@ def main():
             n_files += 1
         _details["corpus_ratio"] = {
             "corpus": f"{n_files} realistic textures (photo/normal/flat/tiled/"
-                      "terrain, 256-512 px, full mip chains; full study: "
+                      "terrain, 256-1024 px, full mip chains; full study: "
                       "CORPUS_REPORT.md)",
             "plain_zstd16": plain_total,
             "default_zstd16": default_total,

@@ -193,6 +193,8 @@ class BatchProcessor:
         bs, wpb = self.cfg["block_size"], self.cfg["words"]
         by_bucket: dict = {}
         for i, data in enumerate(payloads):
+            if order[i] is not None:
+                continue  # already resolved (small-file native path)
             if len(data) % bs:
                 raise ValueError(f"payload {i}: length {len(data)} not divisible by {bs}")
             n = len(data) // bs
@@ -245,8 +247,52 @@ class BatchProcessor:
         """Device region building overlapped with host estimation: batch k+1's
         device step is dispatched (async) before batch k's rows are scored, the
         analog of the reference parallelizing its zstd presets
-        (``commands/transform/mod.rs:166-187``)."""
+        (``commands/transform/mod.rs:166-187``). Sub-threshold payloads skip the
+        device entirely (region round-trips through the host link cost more than
+        they save there) and run the all-native C++ auto instead."""
         from collections import deque
+
+        from ..ops import auto as ops_auto, lanes
+
+        thresh = lanes.device_threshold_bytes()
+        small = [i for i, p in enumerate(payloads)
+                 if order[i] is None and len(p) < thresh]
+        if small:
+            from ..settings import (
+                BC1_COMPREHENSIVE_CANDIDATES, BC2_COMPREHENSIVE_CANDIDATES,
+                BC3_COMPREHENSIVE_CANDIDATES,
+            )
+
+            native_auto = {
+                "bc1": ops_auto.transform_bc1_auto,
+                "bc2": ops_auto.transform_bc2_auto,
+                "bc3": ops_auto.transform_bc3_auto}[self.fmt]
+            comprehensive = {"bc1": BC1_COMPREHENSIVE_CANDIDATES,
+                             "bc2": BC2_COMPREHENSIVE_CANDIDATES,
+                             "bc3": BC3_COMPREHENSIVE_CANDIDATES}[self.fmt]
+            if self.candidates == tuple(comprehensive):
+                kw = dict(use_all_decorrelation_modes=True)
+            elif self.candidates == tuple(self.cfg["candidates"]):
+                kw = dict()
+            else:  # custom candidate set: no all-native fast path
+                kw = dict(candidates=self.candidates)
+
+            def run_native(i):
+                out, settings = native_auto(payloads[i], self.estimator, **kw)
+                order[i] = BatchResult(i, out, settings)
+
+            # host-thread parallel across files (the rayon analog,
+            # commands/transform/mod.rs:166-187): the native auto releases the GIL
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(len(small), (_os.cpu_count() or 2))
+            if workers > 1:
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    list(pool.map(run_native, small))
+            else:
+                for i in small:
+                    run_native(i)
 
         pending = deque()
         for chunk, flats, valid in self._prepare_batches(payloads, order):

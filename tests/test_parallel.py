@@ -342,10 +342,13 @@ def test_mesh_words_path_bc3_matches_single(monkeypatch):
 
 
 @pytest.mark.parametrize("fmt", ["bc1", "bc2", "bc3"])
-def test_batch_pipeline_host_scored_zstd(fmt):
+def test_batch_pipeline_host_scored_zstd(fmt, monkeypatch):
     """Host-scored (zstd-preset) batch mode: device-built candidate regions +
     host batch estimation must reproduce the per-file auto path exactly
-    (same settings, same bytes)."""
+    (same settings, same bytes). Threshold forced to 0 so the DEVICE region
+    path is exercised (small payloads otherwise take the all-native shortcut,
+    covered by test_batch_pipeline_host_scored_small_native)."""
+    monkeypatch.setenv("DLT_DEVICE_MIN_BYTES", "0")
     from dxt_lossless_transform_tpu.estimate import ZstdEstimation
     from dxt_lossless_transform_tpu.parallel.pipeline import BatchProcessor
     from dxt_lossless_transform_tpu.oracle import bc2 as obc2, bc3 as obc3
@@ -367,3 +370,21 @@ def test_batch_pipeline_host_scored_zstd(fmt):
         # Same winner as the per-file host auto with the same estimator
         _, host_settings = auto(data, est)
         assert r.settings == host_settings, (r.settings, host_settings)
+
+
+def test_batch_pipeline_host_scored_small_native():
+    """Sub-threshold payloads in host-scored mode take the all-native auto and
+    still return ordered, per-file-identical results (mixed with empty files)."""
+    from dxt_lossless_transform_tpu.estimate import ZstdEstimation
+    from dxt_lossless_transform_tpu.parallel.pipeline import BatchProcessor
+
+    est = ZstdEstimation(1)
+    proc = BatchProcessor("bc1", estimator=est, max_batch=4)
+    payloads = [testgen.bc1_realistic(n, seed=n) for n in (64, 700, 2048)] + [b""]
+    results = proc.process(payloads)
+    assert [r.index for r in results] == list(range(len(payloads)))
+    assert results[-1].transformed == b""
+    for r, data in zip(results[:-1], payloads):
+        assert r.transformed == obc1.transform(data, r.settings)
+        _, host_settings = ops_auto.transform_bc1_auto(data, est)
+        assert r.settings == host_settings
