@@ -142,18 +142,30 @@ def _score_host(fmt: str, estimator: SizeEstimation, rows) -> np.ndarray:
 
 
 def _native_zstd_auto(fmt: str, data, estimator, use_all: bool):
-    """Full C++ auto-search for the zstd presets (region-only builders + the
-    task-parallel pthread loop); returns (transformed, settings) or None if the
-    native runtime is unavailable. Estimates use the same libzstd engine as
-    ``ZstdEstimation``, so scores -- and argmin ties -- agree exactly."""
+    """Full C++ auto-search for the built-in estimators (region-only builders +
+    the task-parallel pthread loop); returns (transformed, settings) or None if
+    the native runtime is unavailable. zstd estimates use the same libzstd
+    engine as ``ZstdEstimation`` and the LTU scorer is the bit-identical C++
+    twin, so scores -- and argmin ties -- agree exactly with the host paths."""
+    from ..estimate.ltu import DEFAULT_OFFSETS, LtuEstimation
     from ..estimate.zstd import ZstdEstimation
     from .. import runtime
 
-    if not isinstance(estimator, ZstdEstimation) or not runtime.available():
+    if not runtime.available():
+        return None
+    if isinstance(estimator, ZstdEstimation):
+        kind, level = "zstd", estimator.level
+    elif (isinstance(estimator, LtuEstimation)
+          and estimator.offsets == DEFAULT_OFFSETS
+          and len(data) < lanes.device_threshold_bytes()):
+        # small payloads only: above the threshold the batched device search
+        # (regions + packed scorer in one jit) beats the host C++ loop
+        kind, level = "ltu", 0
+    else:
         return None
     from ..settings import YCoCgVariant
 
-    est = runtime.builtin_estimator("zstd", estimator.level)
+    est = runtime.builtin_estimator(kind, level)
     if fmt == "bc1":
         out, v, sp = runtime.bc1_transform_auto(data, est, use_all)
         return out, Bc1TransformSettings(YCoCgVariant(v), sp)

@@ -183,3 +183,33 @@ def test_typed_errors_per_format():
         ops_auto.transform_bc2_auto(b"\x00" * 128, Failing())
     with pytest.raises(errors.AutoTransformError):
         ops_auto.transform_bc3_auto(b"\x00" * 128, Failing())
+
+
+@pytest.mark.parametrize("fmt", ["bc1", "bc2", "bc3"])
+def test_native_ltu_auto_matches_python_path(fmt):
+    """The C++ LTU auto shortcut (small payloads) must pick exactly what the
+    python region path picks -- the scorer twins are bit-identical and both
+    argmins keep the first minimum."""
+    from dxt_lossless_transform_tpu import runtime
+    from dxt_lossless_transform_tpu.estimate import LtuEstimation
+    from dxt_lossless_transform_tpu.ops import auto as ops_auto
+    from dxt_lossless_transform_tpu.settings import (
+        BC1_FAST_CANDIDATES, BC2_FAST_CANDIDATES, BC3_FAST_CANDIDATES,
+    )
+    from dxt_lossless_transform_tpu.utils import testgen
+
+    if not runtime.available():
+        pytest.skip("native runtime unavailable")
+    gen = {"bc1": testgen.bc1_realistic, "bc2": testgen.bc2_realistic,
+           "bc3": testgen.bc3_realistic}[fmt]
+    auto = {"bc1": ops_auto.transform_bc1_auto, "bc2": ops_auto.transform_bc2_auto,
+            "bc3": ops_auto.transform_bc3_auto}[fmt]
+    cands = {"bc1": BC1_FAST_CANDIDATES, "bc2": BC2_FAST_CANDIDATES,
+             "bc3": BC3_FAST_CANDIDATES}[fmt]
+    est = LtuEstimation()
+    for seed in range(6):
+        data = gen(1024 + 37 * seed, seed=seed)
+        out_native, s_native = auto(data, est)                  # native shortcut
+        out_py, s_py = auto(data, est, candidates=cands)        # python regions
+        assert s_native == s_py, (fmt, seed)
+        assert out_native == out_py
