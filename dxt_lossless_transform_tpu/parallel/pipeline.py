@@ -182,11 +182,28 @@ class BatchProcessor:
             # shapes allow, GSPMD-partitioned XLA otherwise). Without: the
             # single-device batched step whose scoring runs through the Mosaic
             # coverage kernel on the flattened (batch x candidates) grid.
-            self._step = (cfg["step"](mesh, self._cand_key) if mesh is not None
-                          else sharded.auto_step_batched(fmt, self._cand_key))
+            # Steps are built per ``full`` flag (exactly-bucket-sized batches
+            # skip the ragged-compaction machinery; sharded.py).
+            self._steps = {}
+
+    def _get_step(self, full: bool):
+        if self.estimator is not None:
+            return self._step
+        if full not in self._steps:
+            if self.mesh is not None:
+                self._steps[full] = sharded._batched(
+                    self.mesh, self.fmt,
+                    {"bc1": 4, "bc2": 6, "bc3": 8, "bc4": 5, "bc5": 9}[self.fmt],
+                    self._cand_key, sharded.DEFAULT_OFFSETS, full=full)
+            else:
+                self._steps[full] = sharded.auto_step_batched(
+                    self.fmt, self._cand_key, full=full)
+        return self._steps[full]
 
     def _run_batch(self, flats: np.ndarray, valid: np.ndarray):
-        return self._step(jnp.asarray(flats), jnp.asarray(valid))
+        full = bool((valid * self.cfg["words"]
+                     == 4 * flats.shape[1]).all()) and self.estimator is None
+        return self._get_step(full)(jnp.asarray(flats), jnp.asarray(valid))
 
     def _prepare_batches(self, payloads: Sequence[bytes], order):
         """Bucket payloads into fixed-shape (chunk, flats, valid) batches."""

@@ -155,15 +155,22 @@ def _concat_words_at(c0w, c1w, byte_pos):
     return jax.lax.dynamic_update_slice(row, sh, (w0,))[:n_row]
 
 
-def _batched_rows_from_streams(streams, candidates, byte_pos):
+def _batched_rows_from_streams(streams, candidates, byte_pos, full: bool = False):
     """Per-candidate (B, Lw) u32 rows from (B, half)-shaped candidate streams.
 
-    ``byte_pos``: (B,) byte offsets for the second stream of split candidates."""
+    ``byte_pos``: (B,) byte offsets for the second stream of split candidates.
+    ``full`` (static): every file exactly fills its bucket, so the ragged
+    compaction degenerates to a plain concatenation (the vmapped
+    dynamic-update-slice machinery costs ~30% of the whole batched step)."""
     rows, si = [], 0
     for _v, split in candidates:
         if split:
-            rows.append(jax.vmap(_concat_words_at)(streams[si], streams[si + 1],
-                                                   byte_pos))
+            if full:
+                rows.append(jnp.concatenate([streams[si], streams[si + 1]],
+                                            axis=1))
+            else:
+                rows.append(jax.vmap(_concat_words_at)(
+                    streams[si], streams[si + 1], byte_pos))
             si += 2
         else:
             rows.append(streams[si])
@@ -508,7 +515,7 @@ def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool, mesh=None):
 
 
 def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
-                      mesh=None):
+                      mesh=None, full: bool = False):
     B, W2 = flats.shape
     use_words = _batched_words_gate(2 * W2, B, W2, 2, offsets, allow_pallas, mesh)
     interp = _interp()
@@ -524,7 +531,7 @@ def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
             flats, lambda f: bc1_region_streams_tpu(f, candidates,
                                                     interpret=interp), mesh)
         rows, _ = _batched_rows_from_streams(streams, candidates,
-                                             valid_lens // 2)
+                                             valid_lens // 2, full)
         scores = _packed_scores_dispatch(rows, valid_lens, offsets, mesh, interp)
     else:
         def regions_fn(flat_colors, vl):
@@ -540,7 +547,7 @@ def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
 
 
 def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
-                      mesh=None):
+                      mesh=None, full: bool = False):
     B, W4 = flats.shape
     use_words = _batched_words_gate(W4, B, W4, 4, offsets, allow_pallas, mesh)
     interp = _interp()
@@ -556,7 +563,7 @@ def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
             flats, lambda f: bc2_region_streams_tpu(f, candidates,
                                                     interpret=interp), mesh)
         rows, _ = _batched_rows_from_streams(streams, candidates,
-                                             valid_lens // 2)
+                                             valid_lens // 2, full)
         scores = _packed_scores_dispatch(rows, valid_lens, offsets, mesh, interp)
     else:
         def regions_fn(flat_colors, vl):
@@ -572,7 +579,7 @@ def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
 
 
 def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
-                      mesh=None):
+                      mesh=None, full: bool = False):
     B, W4 = flats.shape
     # distinct rows only: the 8 fast candidates share 2 alpha + 4 colour layouts
     alpha_keys = tuple(dict.fromkeys(sa for _, sa, _ in candidates))
@@ -597,14 +604,18 @@ def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
         a_rows, si = [], 0
         for sa in alpha_keys:
             if sa:
-                a_rows.append(jax.vmap(_concat_words_at)(
-                    streams[si], streams[si + 1], valid_lens // 4))
+                if full:
+                    a_rows.append(jnp.concatenate(
+                        [streams[si], streams[si + 1]], axis=1))
+                else:
+                    a_rows.append(jax.vmap(_concat_words_at)(
+                        streams[si], streams[si + 1], valid_lens // 4))
                 si += 2
             else:
                 a_rows.append(streams[si])
                 si += 1
         c_rows, _ = _batched_rows_from_streams(streams[si:], colour_keys,
-                                               valid_lens // 2)
+                                               valid_lens // 2, full)
         a_scores = _packed_scores_dispatch(a_rows, valid_lens // 2, offsets,
                                            mesh, interp)
         c_scores = _packed_scores_dispatch(c_rows, valid_lens, offsets, mesh,
@@ -646,7 +657,7 @@ def _ep_region_rows(ep, n_valid, candidates):
 
 
 def _bc4_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
-                      mesh=None):
+                      mesh=None, full: bool = False):
     """BC4 estimation region = the endpoint stream (2 B/block; the 6 B/block index
     section is never itself transformed -- ``oracle/bc4.py`` layout)."""
     def regions_fn(flat, vl):
@@ -662,7 +673,7 @@ def _bc4_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
 
 
 def _bc5_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
-                      mesh=None):
+                      mesh=None, full: bool = False):
     """BC5 = two BC4 channels; the R and G endpoint regions are scored separately
     and summed (the host auto concatenates them -- rank-equivalent for the
     coverage estimator)."""
@@ -852,25 +863,31 @@ _BATCHED_IMPLS = {"bc1": _bc1_batched_impl, "bc2": _bc2_batched_impl,
                   "bc5": _bc5_batched_impl}
 
 
-def auto_step_batched(fmt: str, candidates, offsets=DEFAULT_OFFSETS):
-    """Single-device batched step (no mesh): Mosaic scoring when shapes allow."""
+def auto_step_batched(fmt: str, candidates, offsets=DEFAULT_OFFSETS,
+                      full: bool = False):
+    """Single-device batched step (no mesh): Mosaic scoring when shapes allow.
+
+    ``full`` (static): caller guarantees valid_lens == the padded buffer size for
+    every file, skipping the ragged-compaction machinery."""
     impl = _BATCHED_IMPLS[fmt]
 
     @jax.jit
     def step(flats, valid_lens):
-        return impl(flats, valid_lens, candidates, offsets, allow_pallas=True)
+        return impl(flats, valid_lens, candidates, offsets, allow_pallas=True,
+                    full=full)
 
     return step
 
 
-def _batched(mesh: Mesh, fmt: str, n_outputs: int, candidates, offsets):
+def _batched(mesh: Mesh, fmt: str, n_outputs: int, candidates, offsets,
+             full: bool = False):
     files_blocks = NamedSharding(mesh, P("files", "blocks"))
     files_sh = NamedSharding(mesh, P("files"))
     impl = _BATCHED_IMPLS[fmt]
 
     def step(flat, valid_len):
         return impl(flat, valid_len, candidates, offsets, allow_pallas=True,
-                    mesh=mesh)
+                    mesh=mesh, full=full)
 
     out_sh = (files_blocks,) * (n_outputs - 1) + (files_sh,)
     return jax.jit(step, in_shardings=(files_blocks, files_sh), out_shardings=out_sh)

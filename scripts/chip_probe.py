@@ -19,12 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    deadline = float(os.environ.get("DLT_PROBE_TIMEOUT_S", "45"))
+    deadline = float(os.environ.get("DLT_PROBE_TIMEOUT_S", "90"))
 
     def on_alarm(signum, frame):
-        print(f"chip WEDGED: no response within {deadline:.0f}s "
-              "(hung relay executor; a remote watchdog usually resets it "
-              "within ~30 min)", flush=True)
+        print(f"chip UNRESPONSIVE: no reply within {deadline:.0f}s -- either a "
+              "wedged relay executor (a killed client hangs it; remote watchdog "
+              "resets ~30 min) or heavy co-tenant load (uploads have measured "
+              "200+ s under contention). Retry in >=10 min before concluding "
+              "wedged.", flush=True)
         os._exit(2)
 
     signal.signal(signal.SIGALRM, on_alarm)
