@@ -521,7 +521,7 @@ def main():
         nb = nbytes // 8 // B
         flats = shared["words"].reshape(B, 2 * nb)
         valid = jnp.asarray(np.full((B,), 4 * nb), jnp.int32)
-        step = auto_step_batched("bc1", _BC1_CANDIDATES)
+        step = auto_step_batched("bc1", _BC1_CANDIDATES, full=True)
         t_b = _bench(step, flats, valid, iters=10)
         _details["bc1_batched_auto_MiBps"] = B * nb * 8 / t_b / (1 << 20)
 
@@ -540,7 +540,7 @@ def main():
         nb = nbytes // 8 // B
         flats = shared["words"].reshape(B, 2 * nb)
         valid = jnp.asarray(np.full((B,), 4 * nb), jnp.int32)
-        step = bc1_auto_step(mesh, _BC1_CANDIDATES)
+        step = bc1_auto_step(mesh, _BC1_CANDIDATES, full=True)
         t_b = _bench(step, flats, valid, iters=10)
         _details["bc1_batched_auto_mesh_MiBps"] = B * nb * 8 / t_b / (1 << 20)
 

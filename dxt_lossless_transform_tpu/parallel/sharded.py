@@ -893,29 +893,34 @@ def _batched(mesh: Mesh, fmt: str, n_outputs: int, candidates, offsets,
     return jax.jit(step, in_shardings=(files_blocks, files_sh), out_shardings=out_sh)
 
 
-def bc1_auto_step(mesh: Mesh, candidates=_BC1_CANDIDATES, offsets=DEFAULT_OFFSETS):
+def bc1_auto_step(mesh: Mesh, candidates=_BC1_CANDIDATES, offsets=DEFAULT_OFFSETS,
+                  full: bool = False):
     """Batched+sharded BC1 step: (B, 2N) words -> 3 stream arrays + best (B,)."""
-    return _batched(mesh, "bc1", 4, candidates, offsets)
+    return _batched(mesh, "bc1", 4, candidates, offsets, full=full)
 
 
-def bc2_auto_step(mesh: Mesh, candidates=_BC2_CANDIDATES, offsets=DEFAULT_OFFSETS):
+def bc2_auto_step(mesh: Mesh, candidates=_BC2_CANDIDATES, offsets=DEFAULT_OFFSETS,
+                  full: bool = False):
     """Batched+sharded BC2 step: (B, 4N) words -> 5 stream arrays + best (B,)."""
-    return _batched(mesh, "bc2", 6, candidates, offsets)
+    return _batched(mesh, "bc2", 6, candidates, offsets, full=full)
 
 
-def bc3_auto_step(mesh: Mesh, candidates=_BC3_CANDIDATES, offsets=DEFAULT_OFFSETS):
+def bc3_auto_step(mesh: Mesh, candidates=_BC3_CANDIDATES, offsets=DEFAULT_OFFSETS,
+                  full: bool = False):
     """Batched+sharded BC3 step: (B, 4N) words -> 7 stream arrays + best (B,)."""
-    return _batched(mesh, "bc3", 8, candidates, offsets)
+    return _batched(mesh, "bc3", 8, candidates, offsets, full=full)
 
 
-def bc4_auto_step(mesh: Mesh, candidates=_BC4_CANDIDATES, offsets=DEFAULT_OFFSETS):
+def bc4_auto_step(mesh: Mesh, candidates=_BC4_CANDIDATES, offsets=DEFAULT_OFFSETS,
+                  full: bool = False):
     """Batched+sharded BC4 step: (B, 2N) words -> 4 stream arrays + best (B,)."""
-    return _batched(mesh, "bc4", 5, candidates, offsets)
+    return _batched(mesh, "bc4", 5, candidates, offsets, full=full)
 
 
-def bc5_auto_step(mesh: Mesh, candidates=_BC5_CANDIDATES, offsets=DEFAULT_OFFSETS):
+def bc5_auto_step(mesh: Mesh, candidates=_BC5_CANDIDATES, offsets=DEFAULT_OFFSETS,
+                  full: bool = False):
     """Batched+sharded BC5 step: (B, 4N) words -> 8 stream arrays + best (B,)."""
-    return _batched(mesh, "bc5", 9, candidates, offsets)
+    return _batched(mesh, "bc5", 9, candidates, offsets, full=full)
 
 
 # --- BC7 / BC6H mode-aware sharded steps --------------------------------------------------
