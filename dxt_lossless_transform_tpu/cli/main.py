@@ -127,7 +127,7 @@ def _process_tree(args, work_fn, verb: str):
     return 1 if failures else 0
 
 
-_BATCH_FORMATS = {"bc1", "bc2", "bc3", "bc4", "bc5"}
+_BATCH_FORMATS = {"bc1", "bc2", "bc3", "bc4", "bc5", "bc7", "bc6h"}
 # Host-scored (zstd) batching ships every candidate's region back through the
 # host link; above this size the per-file native auto (whose regions never leave
 # the C++ runtime) wins, so big files take the per-file path.
@@ -143,8 +143,12 @@ def _batch_processors_for_preset(preset: str, max_batch: int):
     overlapped (``parallel.pipeline._process_host_scored``)."""
     from ..parallel.pipeline import BatchProcessor
 
+    from ..parallel.pipeline import ModeSortBatchProcessor
+
     if preset == "medium":
-        return lambda fmt: BatchProcessor(fmt, max_batch=max_batch)
+        return lambda fmt: (ModeSortBatchProcessor(fmt, max_batch=max_batch)
+                            if fmt in ("bc7", "bc6h")
+                            else BatchProcessor(fmt, max_batch=max_batch))
     if preset in ("optimal", "max"):
         from ..settings import (
             BC1_COMPREHENSIVE_CANDIDATES, BC2_COMPREHENSIVE_CANDIDATES,
@@ -181,7 +185,8 @@ def _transform_batched(args, bundle, handlers):
 
     for_header = {"bc1": TransformHeader.for_bc1, "bc2": TransformHeader.for_bc2,
                   "bc3": TransformHeader.for_bc3, "bc4": TransformHeader.for_bc4,
-                  "bc5": TransformHeader.for_bc5}
+                  "bc5": TransformHeader.for_bc5, "bc7": TransformHeader.for_bc7,
+                  "bc6h": TransformHeader.for_bc6h}
 
     src, dst = Path(args.input), Path(args.output)
     files = find_all_files(src)
@@ -214,7 +219,9 @@ def _transform_batched(args, bundle, handlers):
             if (fmt in _BATCH_FORMATS
                     and len(data) >= info.data_offset + info.data_length
                     and not (zstd_mode and (info.data_length > _BATCH_ZSTD_MAX_BYTES
-                                            or fmt not in ("bc1", "bc2", "bc3")))):
+                                            or fmt not in ("bc1", "bc2", "bc3")))
+                    and not (fmt in ("bc7", "bc6h")
+                             and info.data_length > _BATCH_ZSTD_MAX_BYTES)):
                 groups[fmt].append((f, data, info))
             else:
                 fallback.append(f)

@@ -448,6 +448,48 @@ def _auto_device(flat, n_valid, candidates, offsets, row_len: int, fmt: str,
     return regions[best], valid_arr[best], best
 
 
+@partial(jax.jit, static_argnames=("candidates", "offsets", "row_len", "fmt"))
+def auto_step_batched_modesort(flats, n_valids, candidates, offsets,
+                               row_len: int, fmt: str):
+    """Batched BC7/BC6H auto-search: (B, 4*Np) flat block words + per-file valid
+    block counts -> (winner rows (B, row_len) u8, valid byte lengths (B,),
+    best (B,)). Candidate streams are assembled with the vmappable XLA path and
+    scored flat through the Mosaic coverage kernel when shapes allow -- the
+    corpus-pipeline analog of :func:`_auto_device` (one device call per batch
+    instead of per file)."""
+    from ..estimate.ltu import _coverage_scores
+
+    def single(flat, nv):
+        rows, valids = [], []
+        for sort, planes in candidates:
+            r, v = _assemble_stream_row(flat, nv, row_len, sort, planes, fmt,
+                                        False)
+            rows.append(r)
+            valids.append(v)
+        return jnp.stack(rows), jnp.stack(valids)
+
+    rows, valids = jax.vmap(single)(flats, n_valids.astype(jnp.uint32))
+    B, C, L = rows.shape
+    flat_rows = rows.reshape(B * C, L)
+    flat_valids = valids.reshape(B * C)
+    use_pk = jax.default_backend() == "tpu"
+    if use_pk:
+        from ..estimate.pallas_ltu import SPAN, coverage_scores_pallas
+
+        use_pk = L % SPAN == 0 and max(offsets) <= SPAN
+    if use_pk:
+        scores = coverage_scores_pallas(flat_rows, flat_valids,
+                                        offsets).reshape(B, C)
+    else:
+        scores = jax.vmap(
+            lambda r, v: _coverage_scores(r[None], v, offsets)[0])(
+                flat_rows, flat_valids).reshape(B, C)
+    best = jnp.argmin(scores, axis=1).astype(jnp.int32)
+    winner = jnp.take_along_axis(rows, best[:, None, None], axis=1)[:, 0]
+    valid = jnp.take_along_axis(valids, best[:, None], axis=1)[:, 0]
+    return winner, valid, best
+
+
 def _auto_device_ok(estimator, n: int) -> bool:
     from ..estimate.ltu import DEFAULT_OFFSETS, LtuEstimation
 

@@ -411,3 +411,71 @@ def transform_corpus_bc1(payloads: Sequence[bytes], mesh=None,
                          candidates=BC1_FAST_CANDIDATES) -> List[BatchResult]:
     """One-shot convenience wrapper over :class:`Bc1BatchProcessor`."""
     return Bc1BatchProcessor(mesh, candidates).process(payloads)
+
+
+class ModeSortBatchProcessor:
+    """BC7/BC6H corpus batching: every candidate's full stream assembled + scored
+    on device per fixed-shape batch (``ops/bc7.py:auto_step_batched_modesort``),
+    only the winner rows downloaded. The mode-sort formats have no cheap
+    estimation region (the whole stream is scored), so this replaces the
+    BC1-BC5 processors' stream/region machinery with one row per file."""
+
+    BLOCK_SIZE = 16
+
+    def __init__(self, fmt: str = "bc7", max_batch: int = 64, candidates=None):
+        from ..settings import BC6H_FAST_CANDIDATES, BC7_FAST_CANDIDATES
+
+        if fmt not in ("bc7", "bc6h"):
+            raise ValueError(f"mode-sort batching is for bc7/bc6h, not {fmt}")
+        self.fmt = fmt
+        self.settings = tuple(candidates if candidates is not None else
+                              (BC7_FAST_CANDIDATES if fmt == "bc7"
+                               else BC6H_FAST_CANDIDATES))
+        self._cand_key = tuple((s.sort_by_mode, s.split_byte_planes)
+                               for s in self.settings)
+        self.max_batch = max_batch
+        self._steps = {}
+
+    def _step(self, bucket: int):
+        if bucket not in self._steps:
+            from functools import partial as _partial
+
+            from ..estimate.ltu import DEFAULT_OFFSETS
+            from ..estimate.pallas_ltu import SPAN
+            from ..ops.bc7 import auto_step_batched_modesort
+
+            row_len = -(-(bucket // 2 + 16 * bucket) // SPAN) * SPAN
+            self._steps[bucket] = _partial(
+                auto_step_batched_modesort, candidates=self._cand_key,
+                offsets=DEFAULT_OFFSETS, row_len=row_len, fmt=self.fmt)
+        return self._steps[bucket]
+
+    def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:
+        order: List[Optional[BatchResult]] = [None] * len(payloads)
+        by_bucket: dict = {}
+        for i, data in enumerate(payloads):
+            if len(data) % self.BLOCK_SIZE:
+                raise ValueError(
+                    f"payload {i}: length {len(data)} not divisible by 16")
+            n = len(data) // self.BLOCK_SIZE
+            if n == 0:
+                order[i] = BatchResult(i, b"", self.settings[-1])
+                continue
+            by_bucket.setdefault(lanes.bucket_size(n), []).append(i)
+
+        for bucket, indices in sorted(by_bucket.items()):
+            for start in range(0, len(indices), self.max_batch):
+                chunk = indices[start:start + self.max_batch]
+                flats = np.zeros((len(chunk), 4 * bucket), np.uint32)
+                n_valids = np.zeros(len(chunk), np.uint32)
+                for row, idx in enumerate(chunk):
+                    w = np.frombuffer(payloads[idx], "<u4")
+                    flats[row, :len(w)] = w
+                    n_valids[row] = len(w) // 4
+                winner, valid, best = jax.device_get(self._step(bucket)(
+                    jnp.asarray(flats), jnp.asarray(n_valids)))
+                for row, idx in enumerate(chunk):
+                    order[idx] = BatchResult(
+                        idx, winner[row].tobytes()[:int(valid[row])],
+                        self.settings[int(best[row])])
+        return [r for r in order if r is not None]

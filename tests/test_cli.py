@@ -81,3 +81,21 @@ def test_cli_batched_zstd_presets_match_per_file(tree, preset):
     assert main(["untransform", str(out_b), str(back)]) == 0
     for rel in ("a.dds", "sub/b.dds"):
         assert (back / rel).read_bytes() == (src / rel).read_bytes(), rel
+
+
+def test_cli_batched_bc7_dx10_tree(tmp_path):
+    """BC7/BC6H DDS files (DX10 header) ride the medium batch pipeline and
+    round-trip byte-exactly."""
+    from dxt_lossless_transform_tpu.utils.testgen import make_dx10_dds
+
+    src = tmp_path / "in7"
+    src.mkdir()
+    for i in range(4):
+        (src / f"t{i}.dds").write_bytes(make_dx10_dds("BC7", 64, 64, seed=i))
+    (src / "h.dds").write_bytes(make_dx10_dds("BC6H", 32, 32, seed=9))
+    out, back = tmp_path / "out7", tmp_path / "back7"
+    assert main(["transform", str(src), str(out), "--preset", "medium",
+                 "--batch"]) == 0
+    assert main(["untransform", str(out), str(back)]) == 0
+    for f in src.iterdir():
+        assert (back / f.name).read_bytes() == f.read_bytes(), f.name

@@ -388,3 +388,30 @@ def test_batch_pipeline_host_scored_small_native():
         assert r.transformed == obc1.transform(data, r.settings)
         _, host_settings = ops_auto.transform_bc1_auto(data, est)
         assert r.settings == host_settings
+
+
+@pytest.mark.parametrize("fmt", ["bc7", "bc6h"])
+def test_modesort_batch_processor_matches_per_file(fmt):
+    """BC7/BC6H corpus batching picks and bytes must equal the per-file auto
+    (the scorer twins are bit-identical)."""
+    from dxt_lossless_transform_tpu.estimate import LtuEstimation
+    from dxt_lossless_transform_tpu.ops import bc6h as ops_bc6h, bc7 as ops_bc7
+    from dxt_lossless_transform_tpu.oracle import bc6h as obc6h, bc7 as obc7
+    from dxt_lossless_transform_tpu.parallel.pipeline import ModeSortBatchProcessor
+    from dxt_lossless_transform_tpu.utils import testgen
+
+    auto = {"bc7": ops_bc7.transform_bc7_auto,
+            "bc6h": ops_bc6h.transform_bc6h_auto}[fmt]
+    oracle = {"bc7": obc7, "bc6h": obc6h}[fmt]
+    est = LtuEstimation()
+    proc = ModeSortBatchProcessor(fmt, max_batch=4)
+    payloads = [testgen.bc7_realistic(n, seed=n) for n in (64, 700, 2048, 2049)]
+    payloads.append(b"")
+    results = proc.process(payloads)
+    assert [r.index for r in results] == list(range(len(payloads)))
+    assert results[-1].transformed == b""
+    for r, data in zip(results[:-1], payloads):
+        _, host_settings = auto(data, est)
+        assert r.settings == host_settings, (fmt, r.index)
+        assert r.transformed == oracle.transform(data, r.settings)
+        assert oracle.untransform(r.transformed, r.settings) == data
