@@ -161,11 +161,11 @@ def _batch_processors_for_preset(preset: str, max_batch: int):
                 "bc3": BC3_COMPREHENSIVE_CANDIDATES}
 
         def make(fmt):
-            if fmt not in comp:
-                return None  # bc4/bc5 keep the per-file path under zstd presets
+            if fmt in ("bc7", "bc6h"):
+                return None  # mode-sort formats keep the per-file zstd path
             return BatchProcessor(
                 fmt, max_batch=max_batch, estimator=ZstdEstimation(1),
-                candidates=comp[fmt] if ultra else None)
+                candidates=comp[fmt] if ultra and fmt in comp else None)
 
         return make
     return None
@@ -219,7 +219,7 @@ def _transform_batched(args, bundle, handlers):
             if (fmt in _BATCH_FORMATS
                     and len(data) >= info.data_offset + info.data_length
                     and not (zstd_mode and (info.data_length > _BATCH_ZSTD_MAX_BYTES
-                                            or fmt not in ("bc1", "bc2", "bc3")))
+                                            or fmt in ("bc7", "bc6h")))
                     and not (fmt in ("bc7", "bc6h")
                              and info.data_length > _BATCH_ZSTD_MAX_BYTES)):
                 groups[fmt].append((f, data, info))

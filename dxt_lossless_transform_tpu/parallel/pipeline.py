@@ -174,8 +174,6 @@ class BatchProcessor:
         if estimator is not None:
             # Host-scored mode (the CLI's zstd presets): the device builds every
             # candidate's estimation region; the host estimator ranks them.
-            if fmt not in ("bc1", "bc2", "bc3"):
-                raise ValueError(f"host-scored batching not supported for {fmt}")
             self._step = sharded.auto_step_batched_regions(fmt, self._cand_key)
         else:
             # With a mesh: sharded step (per-shard Mosaic kernels when local
@@ -280,13 +278,18 @@ class BatchProcessor:
                 BC3_COMPREHENSIVE_CANDIDATES,
             )
 
+            from ..ops import bc45 as ops_bc45
+
             native_auto = {
                 "bc1": ops_auto.transform_bc1_auto,
                 "bc2": ops_auto.transform_bc2_auto,
-                "bc3": ops_auto.transform_bc3_auto}[self.fmt]
+                "bc3": ops_auto.transform_bc3_auto,
+                "bc4": ops_bc45.transform_bc4_auto,
+                "bc5": ops_bc45.transform_bc5_auto}[self.fmt]
             comprehensive = {"bc1": BC1_COMPREHENSIVE_CANDIDATES,
                              "bc2": BC2_COMPREHENSIVE_CANDIDATES,
-                             "bc3": BC3_COMPREHENSIVE_CANDIDATES}[self.fmt]
+                             "bc3": BC3_COMPREHENSIVE_CANDIDATES,
+                             "bc4": (), "bc5": ()}[self.fmt]
             if self.candidates == tuple(comprehensive):
                 kw = dict(use_all_decorrelation_modes=True)
             elif self.candidates == tuple(self.cfg["candidates"]):
@@ -361,6 +364,34 @@ class BatchProcessor:
                 order[file_idx] = BatchResult(file_idx, out, settings)
             return
         C = len(self._cand_key)
+        if self.fmt == "bc4":
+            h1, h2, h3, rows = outs
+            bufs = [self._row_bytes(rows[row, c], 2 * n)
+                    for row, n in enumerate(ns) for c in range(C)]
+            sizes = np.asarray(self.estimator.estimate_batch(bufs)).reshape(
+                len(ns), C)
+            for row, (file_idx, n) in enumerate(zip(chunk, ns)):
+                best = int(np.argmin(sizes[row]))
+                out = (self._row_bytes(rows[row, best], 2 * n)
+                       + _idx_u16s(h1[row], h2[row], h3[row], n))
+                order[file_idx] = BatchResult(file_idx, out, self.candidates[best])
+            return
+        if self.fmt == "bc5":
+            rh1, rh2, rh3, gh1, gh2, gh3, r_rows, g_rows = outs
+            # per-file auto scores the CONCATENATED r+g endpoint streams
+            bufs = [self._row_bytes(r_rows[row, c], 2 * n)
+                    + self._row_bytes(g_rows[row, c], 2 * n)
+                    for row, n in enumerate(ns) for c in range(C)]
+            sizes = np.asarray(self.estimator.estimate_batch(bufs)).reshape(
+                len(ns), C)
+            for row, (file_idx, n) in enumerate(zip(chunk, ns)):
+                best = int(np.argmin(sizes[row]))
+                out = (self._row_bytes(r_rows[row, best], 2 * n)
+                       + self._row_bytes(g_rows[row, best], 2 * n)
+                       + _idx_u16s(rh1[row], rh2[row], rh3[row], n)
+                       + _idx_u16s(gh1[row], gh2[row], gh3[row], n))
+                order[file_idx] = BatchResult(file_idx, out, self.candidates[best])
+            return
         if self.fmt == "bc1":
             idx, rows = outs
         else:  # bc2

@@ -841,9 +841,41 @@ def _bc3_batched_regions_impl(flats, valid_lens, candidates, allow_pallas: bool)
     return h1, h2, h3, cidx, a_rows3, c_rows3
 
 
+def _bc4_batched_regions_impl(flats, valid_lens, candidates, allow_pallas: bool):
+    """BC4 host-scored regions: the endpoint stream per candidate (the index
+    section is never transformed)."""
+    def fn(flat, vl):
+        w0, w1 = lanes.deinterleave(flat.astype(jnp.uint32), 2)
+        ep, h1 = lanes.split_u32(w0)
+        h2, h3 = lanes.split_u32(w1)
+        return _ep_region_rows(ep, vl // 4, candidates), h1, h2, h3
+
+    rows3, h1, h2, h3 = jax.vmap(fn)(flats, valid_lens)
+    return h1, h2, h3, rows3
+
+
+def _bc5_batched_regions_impl(flats, valid_lens, candidates, allow_pallas: bool):
+    """BC5 host-scored regions: R and G endpoint rows (host sums the scores)."""
+    def fn(flat, vl):
+        rw0, rw1, gw0, gw1 = lanes.deinterleave(flat.astype(jnp.uint32), 4)
+        r_ep, rh1 = lanes.split_u32(rw0)
+        rh2, rh3 = lanes.split_u32(rw1)
+        g_ep, gh1 = lanes.split_u32(gw0)
+        gh2, gh3 = lanes.split_u32(gw1)
+        n_valid = vl // 4
+        return (_ep_region_rows(r_ep, n_valid, candidates),
+                _ep_region_rows(g_ep, n_valid, candidates),
+                rh1, rh2, rh3, gh1, gh2, gh3)
+
+    r_rows, g_rows, rh1, rh2, rh3, gh1, gh2, gh3 = jax.vmap(fn)(flats, valid_lens)
+    return rh1, rh2, rh3, gh1, gh2, gh3, r_rows, g_rows
+
+
 _BATCHED_REGIONS_IMPLS = {"bc1": _bc1_batched_regions_impl,
                           "bc2": _bc2_batched_regions_impl,
-                          "bc3": _bc3_batched_regions_impl}
+                          "bc3": _bc3_batched_regions_impl,
+                          "bc4": _bc4_batched_regions_impl,
+                          "bc5": _bc5_batched_regions_impl}
 
 
 def auto_step_batched_regions(fmt: str, candidates):

@@ -415,3 +415,29 @@ def test_modesort_batch_processor_matches_per_file(fmt):
         assert r.settings == host_settings, (fmt, r.index)
         assert r.transformed == oracle.transform(data, r.settings)
         assert oracle.untransform(r.transformed, r.settings) == data
+
+
+@pytest.mark.parametrize("fmt", ["bc4", "bc5"])
+def test_batch_pipeline_host_scored_bc45(fmt, monkeypatch):
+    """BC4/BC5 host-scored (zstd) batch mode vs the per-file auto path."""
+    monkeypatch.setenv("DLT_DEVICE_MIN_BYTES", "0")  # exercise the device rows
+    from dxt_lossless_transform_tpu.estimate import ZstdEstimation
+    from dxt_lossless_transform_tpu.ops import bc45 as ops_bc45
+    from dxt_lossless_transform_tpu.oracle import bc4 as obc45
+    from dxt_lossless_transform_tpu.parallel.pipeline import BatchProcessor
+
+    bs = {"bc4": 8, "bc5": 16}[fmt]
+    auto = {"bc4": ops_bc45.transform_bc4_auto,
+            "bc5": ops_bc45.transform_bc5_auto}[fmt]
+    tf = {"bc4": obc45.transform_bc4, "bc5": obc45.transform_bc5}[fmt]
+    utf = {"bc4": obc45.untransform_bc4, "bc5": obc45.untransform_bc5}[fmt]
+    est = ZstdEstimation(1)
+    proc = BatchProcessor(fmt, estimator=est, max_batch=4)
+    payloads = [testgen.bc_blocks(n, bs, seed=n) for n in (64, 700, 2048, 2049)]
+    results = proc.process(payloads)
+    assert [r.index for r in results] == list(range(len(payloads)))
+    for r, data in zip(results, payloads):
+        _, host_settings = auto(data, est)
+        assert r.settings == host_settings, (fmt, r.index)
+        assert r.transformed == tf(data, r.settings)
+        assert utf(r.transformed, r.settings) == data
