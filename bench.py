@@ -254,9 +254,17 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    # Two probe attempts: the relay flaps under co-tenant load (a probe has
+    # succeeded seconds before a 120 s stall), so one transient stall must not
+    # produce a wedged artifact for the whole round.
     if not _probe_chip():
-        _finalize()
-        return
+        _stage_log("probe retry in 45s (transient relay stall vs real wedge)")
+        time.sleep(45.0)
+        _details.pop("chip_note", None)
+        if not _probe_chip(deadline_s=150.0):
+            _finalize()
+            return
+        _details["chip"] = "ok (second attempt)"
     signal.signal(signal.SIGALRM, _on_alarm)
 
     import jax
