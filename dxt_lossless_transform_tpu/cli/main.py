@@ -133,6 +133,22 @@ _BATCH_FORMATS = {"bc1", "bc2", "bc3", "bc4", "bc5", "bc7", "bc6h"}
 # the C++ runtime) wins, so big files take the per-file path.
 _BATCH_ZSTD_MAX_BYTES = int(os.environ.get("DLT_BATCH_ZSTD_MAX_BYTES",
                                            str(8 << 20)))
+# Mode-sort (BC7/BC6H) batching downloads the winner's whole stream per file and
+# assembles candidates on the vmappable XLA path; large files are faster through
+# the per-file Mosaic device auto.
+_BATCH_MODESORT_MAX_BYTES = int(os.environ.get("DLT_BATCH_MODESORT_MAX_BYTES",
+                                               str(8 << 20)))
+
+
+def _batchable(fmt: str, data_length: int, preset: str) -> bool:
+    """Does this (format, size) ride the batch pipeline under this preset?"""
+    if fmt not in _BATCH_FORMATS:
+        return False
+    if preset in ("optimal", "max"):  # host-scored zstd mode
+        return fmt not in ("bc7", "bc6h") and data_length <= _BATCH_ZSTD_MAX_BYTES
+    if fmt in ("bc7", "bc6h"):
+        return data_length <= _BATCH_MODESORT_MAX_BYTES
+    return True
 
 
 def _batch_processors_for_preset(preset: str, max_batch: int):
@@ -204,7 +220,6 @@ def _transform_batched(args, bundle, handlers):
 
     make_proc = _batch_processors_for_preset(args.preset,
                                              getattr(args, "max_batch", 64))
-    zstd_mode = args.preset in ("optimal", "max")
 
     # Partition: batchable BC1-BC5 DDS payloads vs per-file fallback.
     groups: dict = {fmt: [] for fmt in _BATCH_FORMATS}
@@ -216,12 +231,9 @@ def _transform_batched(args, bundle, handlers):
             fmt = (_DDS_TO_TRANSFORM.get(info.format).name.lower()
                    if info is not None and _DDS_TO_TRANSFORM.get(info.format)
                    else None)
-            if (fmt in _BATCH_FORMATS
+            if (fmt is not None
                     and len(data) >= info.data_offset + info.data_length
-                    and not (zstd_mode and (info.data_length > _BATCH_ZSTD_MAX_BYTES
-                                            or fmt in ("bc7", "bc6h")))
-                    and not (fmt in ("bc7", "bc6h")
-                             and info.data_length > _BATCH_ZSTD_MAX_BYTES)):
+                    and _batchable(fmt, info.data_length, args.preset)):
                 groups[fmt].append((f, data, info))
             else:
                 fallback.append(f)

@@ -73,8 +73,14 @@ def _coverage_scores(regions, valid_len, offsets: tuple):
              jnp.where(gram_eq, jnp.uint8(offset_weight(k)), w[:, k:])], axis=1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, length - 3), 1)
     valid = pos < (valid_len - 3)
-    matches = jnp.sum(jnp.where(valid, w, jnp.uint8(0)).astype(jnp.int32), axis=1)
-    return (WEIGHT_SCALE * valid_len - matches).astype(jnp.float32)
+    # float32 accumulation: the weighted total reaches 24 * len (3.2e9 for a
+    # 128 MiB region), which wraps int32; f32 cannot wrap and stays exact below
+    # 2**24 (where the twin-equality tests live). Above that the score is within
+    # a few hundred of the exact integer -- ranking-benign (near-ties are coin
+    # flips for any approximate estimator; see CORPUS_REPORT.md).
+    matches = jnp.sum(jnp.where(valid, w, jnp.uint8(0)).astype(jnp.float32),
+                      axis=1)
+    return WEIGHT_SCALE * jnp.asarray(valid_len, jnp.float32) - matches
 
 
 def _coverage_score_np(data: np.ndarray, offsets) -> int:

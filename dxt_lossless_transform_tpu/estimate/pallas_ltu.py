@@ -13,7 +13,12 @@ matches selecting the nearest-offset weight (offsets descending; see
 ``valid_len`` is a scalar or a per-row array (the flattened batch x candidates
 corpus grid).
 
-Semantics are bit-identical to the XLA/numpy/C++ twins (differential-tested).
+Semantics match the XLA/numpy/C++ twins bit-exactly while the weighted total
+stays below 2**24 (float32 integer-exact range; the twin-equality tests live
+there). Larger regions accumulate in f32 -- within a few hundred of the exact
+integer on a 128 MiB region, which only reorders candidates that are effective
+ties (CORPUS_REPORT.md: such files are coin flips for any approximate
+estimator).
 """
 
 from __future__ import annotations
@@ -296,7 +301,8 @@ def _counts_call(regions, valid_rows, pos0, offsets, count_lo, count_hi,
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
 def coverage_scores_pallas(regions, valid_len, offsets: tuple,
                            interpret: bool = False):
-    """(C, L) uint8 regions -> (C,) float32 scores (valid_len - covered positions).
+    """(C, L) uint8 regions -> (C,) float32 scores
+    (WEIGHT_SCALE * valid_len - nearest-offset-weighted covered positions).
 
     ``regions`` may also be (C, L/4) uint32 rows carrying the same bytes as LE
     words (streams straight from the transform kernels); the kernel unpacks them
@@ -326,8 +332,9 @@ def coverage_counts_windowed(chunks, valid_rows, pos0, offsets: tuple,
     May also be uint32 rows carrying the same bytes as LE words (the packed
     SWAR kernel; halo = SPAN/4 words each side).
     ``pos0``: global stream position of local byte 0 (i.e. shard_start - SPAN).
-    Counts positions local in [SPAN, SPAN+Lc) whose global position is below
-    ``valid_rows`` - 2; summing these over shards equals the unsharded count.
+    Counts (weighted) positions local in [SPAN, SPAN+Lc) whose global position
+    is below ``valid_rows`` - 3 (4-byte grams); summing these over shards equals
+    the unsharded weighted count.
     """
     nbytes = chunks.shape[1] * (4 if chunks.dtype == jnp.uint32 else 1)
     return _counts_call(chunks, valid_rows.astype(jnp.int32),

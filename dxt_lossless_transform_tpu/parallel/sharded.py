@@ -226,60 +226,28 @@ def _words_regions(flats, builder, mesh):
     return _mesh_words_call(mesh, builder, flats)
 
 
-def _packed_scores(rows, valid_lens, offsets, interp: bool = False):
-    """(B, C, L/4) u32 candidate rows -> (B, C) scores via the packed scorer."""
+def _packed_scores(rows3, valid_lens, offsets, interp: bool = False):
+    """(B, C, L/4) u32 candidate rows (stacked) -> (B, C) scores via the packed
+    scorer."""
     from ..estimate.pallas_ltu import coverage_scores_pallas
 
-    regions3 = jnp.stack(rows, axis=1)
-    B, C, _ = regions3.shape
-    flat = regions3.reshape(B * C, -1)
+    B, C, _ = rows3.shape
+    flat = rows3.reshape(B * C, -1)
     valid = jnp.repeat(valid_lens.astype(jnp.int32), C)
     return coverage_scores_pallas(flat, valid, offsets,
                                   interpret=interp).reshape(B, C)
 
 
-def _packed_scores_shardmap(mesh, rows, valid_lens, offsets, interp: bool):
-    """Packed-u32 twin of :func:`_scores_flat_shardmap`: each shard scores its
-    region-row chunk with a SPAN-byte (SPAN/4-word) halo fetched over the blocks
-    axis and the partial counts are psum-reduced -- bit-identical to the
-    single-device packed scorer."""
-    from jax import shard_map
-
-    from ..estimate.pallas_ltu import SPAN, coverage_counts_windowed
-
-    HW = SPAN // 4
-    nb = mesh.shape["blocks"]
-    regions3 = jax.lax.with_sharding_constraint(
-        jnp.stack(rows, axis=1), NamedSharding(mesh, P("files", None, "blocks")))
-
-    def local(regions, valid):
-        Bl, C, Lc = regions.shape
-        s = jax.lax.axis_index("blocks")
-        flat = regions.reshape(Bl * C, Lc)
-        fwd = [(i, (i + 1) % nb) for i in range(nb)]
-        bwd = [(i, (i - 1) % nb) for i in range(nb)]
-        prev = jax.lax.ppermute(flat[:, -HW:], "blocks", fwd)
-        nxt = jax.lax.ppermute(flat[:, :HW], "blocks", bwd)
-        prev = jnp.where(s == 0, jnp.zeros_like(prev), prev)  # stream head halo
-        win = jnp.concatenate([prev, flat, nxt], axis=1)
-        valid_rows = jnp.repeat(valid.astype(jnp.int32), C)
-        counts = coverage_counts_windowed(win, valid_rows, s * (4 * Lc) - SPAN,
-                                          offsets, interpret=interp)
-        return jax.lax.psum(counts, "blocks").reshape(Bl, C)
-
-    from ..estimate.ltu import WEIGHT_SCALE
-
-    counts = shard_map(local, mesh=mesh,
-                       in_specs=(P("files", None, "blocks"), P("files")),
-                       out_specs=P("files", None),
-                       check_vma=False)(regions3, valid_lens)
-    return WEIGHT_SCALE * valid_lens.astype(jnp.float32)[:, None] - counts
+def _packed_scores_shardmap(mesh, rows3, valid_lens, offsets, interp: bool):
+    """Packed-u32 entry for :func:`_scores_flat_shardmap` (one scorer, both
+    element widths)."""
+    return _scores_flat_shardmap(mesh, rows3, valid_lens, offsets, interp)
 
 
-def _packed_scores_dispatch(rows, valid_lens, offsets, mesh, interp: bool):
+def _packed_scores_dispatch(rows3, valid_lens, offsets, mesh, interp: bool):
     if mesh is None:
-        return _packed_scores(rows, valid_lens, offsets, interp)
-    return _packed_scores_shardmap(mesh, rows, valid_lens, offsets, interp)
+        return _packed_scores(rows3, valid_lens, offsets, interp)
+    return _packed_scores_shardmap(mesh, rows3, valid_lens, offsets, interp)
 
 
 def _pick_and_decorrelate(colors, candidates, variant_col, scores):
@@ -457,11 +425,18 @@ def bc3_auto_step_single(flat, valid_len=None,
 # way) and partial counts are psum-reduced -- bit-identical to the XLA twin.
 
 def _scores_flat_shardmap(mesh, regions3, valid_lens, offsets, interpret: bool):
-    """(B, C, L) regions -> (B, C) scores via the per-shard Mosaic coverage kernel."""
+    """(B, C, L) regions -> (B, C) scores via the per-shard Mosaic coverage
+    kernel: each shard scores its chunk with a SPAN-byte halo fetched over the
+    blocks axis (one small ppermute each way) and partial weighted counts are
+    psum-reduced -- bit-identical to the single-device scorer. ``regions3`` may
+    be uint8 byte lanes or uint32 packed words (SPAN/4-word halos)."""
     from jax import shard_map
 
+    from ..estimate.ltu import WEIGHT_SCALE
     from ..estimate.pallas_ltu import SPAN, coverage_counts_windowed
 
+    epb = 4 if regions3.dtype == jnp.uint32 else 1  # bytes per element
+    HW = SPAN // epb
     nb = mesh.shape["blocks"]
     regions3 = jax.lax.with_sharding_constraint(
         regions3, NamedSharding(mesh, P("files", None, "blocks")))
@@ -472,16 +447,14 @@ def _scores_flat_shardmap(mesh, regions3, valid_lens, offsets, interpret: bool):
         flat = regions.reshape(Bl * C, Lc)
         fwd = [(i, (i + 1) % nb) for i in range(nb)]
         bwd = [(i, (i - 1) % nb) for i in range(nb)]
-        prev = jax.lax.ppermute(flat[:, -SPAN:], "blocks", fwd)
-        nxt = jax.lax.ppermute(flat[:, :SPAN], "blocks", bwd)
+        prev = jax.lax.ppermute(flat[:, -HW:], "blocks", fwd)
+        nxt = jax.lax.ppermute(flat[:, :HW], "blocks", bwd)
         prev = jnp.where(s == 0, jnp.zeros_like(prev), prev)  # stream head halo
-        rows = jnp.concatenate([prev, flat, nxt], axis=1)
+        win = jnp.concatenate([prev, flat, nxt], axis=1)
         valid_rows = jnp.repeat(valid.astype(jnp.int32), C)
-        counts = coverage_counts_windowed(rows, valid_rows, s * Lc - SPAN, offsets,
-                                          interpret=interpret)
+        counts = coverage_counts_windowed(win, valid_rows, s * (epb * Lc) - SPAN,
+                                          offsets, interpret=interpret)
         return jax.lax.psum(counts, "blocks").reshape(Bl, C)
-
-    from ..estimate.ltu import WEIGHT_SCALE
 
     counts = shard_map(local, mesh=mesh,
                        in_specs=(P("files", None, "blocks"), P("files")),
@@ -514,33 +487,57 @@ def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool, mesh=None):
     return jax.vmap(lambda r, v: _coverage_scores(r, v, offsets))(regions3, valid_lens)
 
 
-def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
-                      mesh=None, full: bool = False):
-    B, W2 = flats.shape
-    use_words = _batched_words_gate(2 * W2, B, W2, 2, offsets, allow_pallas, mesh)
+def _colour_rows_batched(flats, valid_lens, candidates, offsets,
+                         allow_pallas: bool, mesh, full: bool, wpb: int,
+                         region_builder):
+    """Shared BC1/BC2 batched row construction: (aux deinterleave streams,
+    per-candidate colour rows, use_words). The words path runs the Mosaic
+    deinterleave + region kernels (per shard under a mesh); the byte path builds
+    uint8 regions with the XLA twins. Used by BOTH the device-argmin steps and
+    the host-scored (zstd) region steps so the two cannot diverge."""
+    B, W = flats.shape
+    region_bytes = {2: 2 * W, 4: W}[wpb]  # colour region bytes per file
+    use_words = _batched_words_gate(region_bytes, B, W, wpb, offsets,
+                                    allow_pallas, mesh)
     interp = _interp()
     if use_words:
-        colors, indices = _words_deinterleave(flats, 2, mesh, interp)
-    else:
-        colors, indices = jax.vmap(
-            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 2))(flats)
-    if use_words:
-        from ..ops.pallas.regions import bc1_region_streams_tpu
-
+        aux = _words_deinterleave(flats, wpb, mesh, interp)
         streams = _words_regions(
-            flats, lambda f: bc1_region_streams_tpu(f, candidates,
-                                                    interpret=interp), mesh)
+            flats, lambda f: region_builder(f, candidates, interpret=interp),
+            mesh)
         rows, _ = _batched_rows_from_streams(streams, candidates,
                                              valid_lens // 2, full)
-        scores = _packed_scores_dispatch(rows, valid_lens, offsets, mesh, interp)
+        rows3 = jnp.stack(rows, axis=1)
     else:
+        aux = jax.vmap(
+            lambda f: lanes.deinterleave(f.astype(jnp.uint32), wpb))(flats)
+        colors = aux[0] if wpb == 2 else aux[2]
+
         def regions_fn(flat_colors, vl):
             dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
             return jnp.stack([_colour_region_row(dec[v], split, vl // 4)
                               for v, split in candidates])
 
-        regions = jax.vmap(regions_fn)(colors, valid_lens)
-        scores = _scores_flat(regions, valid_lens, offsets, allow_pallas, mesh)
+        rows3 = jax.vmap(regions_fn)(colors, valid_lens)
+    return aux, rows3, use_words, interp
+
+
+def _rows3_scores(rows3, valid_lens, offsets, allow_pallas, mesh, use_words,
+                  interp):
+    if use_words:
+        return _packed_scores_dispatch(rows3, valid_lens, offsets, mesh, interp)
+    return _scores_flat(rows3, valid_lens, offsets, allow_pallas, mesh)
+
+
+def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
+                      mesh=None, full: bool = False):
+    from ..ops.pallas.regions import bc1_region_streams_tpu
+
+    (colors, indices), rows3, use_words, interp = _colour_rows_batched(
+        flats, valid_lens, candidates, offsets, allow_pallas, mesh, full, 2,
+        bc1_region_streams_tpu)
+    scores = _rows3_scores(rows3, valid_lens, offsets, allow_pallas, mesh,
+                           use_words, interp)
     d0, d1, best = jax.vmap(
         lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
     return d0, d1, indices, best
@@ -548,31 +545,13 @@ def _bc1_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
 
 def _bc2_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool,
                       mesh=None, full: bool = False):
-    B, W4 = flats.shape
-    use_words = _batched_words_gate(W4, B, W4, 4, offsets, allow_pallas, mesh)
-    interp = _interp()
-    if use_words:
-        a_lo, a_hi, colors, idx = _words_deinterleave(flats, 4, mesh, interp)
-    else:
-        a_lo, a_hi, colors, idx = jax.vmap(
-            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
-    if use_words:
-        from ..ops.pallas.regions import bc2_region_streams_tpu
+    from ..ops.pallas.regions import bc2_region_streams_tpu
 
-        streams = _words_regions(
-            flats, lambda f: bc2_region_streams_tpu(f, candidates,
-                                                    interpret=interp), mesh)
-        rows, _ = _batched_rows_from_streams(streams, candidates,
-                                             valid_lens // 2, full)
-        scores = _packed_scores_dispatch(rows, valid_lens, offsets, mesh, interp)
-    else:
-        def regions_fn(flat_colors, vl):
-            dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
-            return jnp.stack([_colour_region_row(dec[v], split, vl // 4)
-                              for v, split in candidates])
-
-        regions = jax.vmap(regions_fn)(colors, valid_lens)
-        scores = _scores_flat(regions, valid_lens, offsets, allow_pallas, mesh)
+    (a_lo, a_hi, colors, idx), rows3, use_words, interp = _colour_rows_batched(
+        flats, valid_lens, candidates, offsets, allow_pallas, mesh, full, 4,
+        bc2_region_streams_tpu)
+    scores = _rows3_scores(rows3, valid_lens, offsets, allow_pallas, mesh,
+                           use_words, interp)
     d0, d1, best = jax.vmap(
         lambda col, sc: _pick_and_decorrelate(col, candidates, 0, sc))(colors, scores)
     return a_lo, a_hi, d0, d1, idx, best
@@ -616,10 +595,11 @@ def _bc3_batched_impl(flats, valid_lens, candidates, offsets, allow_pallas: bool
                 si += 1
         c_rows, _ = _batched_rows_from_streams(streams[si:], colour_keys,
                                                valid_lens // 2, full)
-        a_scores = _packed_scores_dispatch(a_rows, valid_lens // 2, offsets,
-                                           mesh, interp)
-        c_scores = _packed_scores_dispatch(c_rows, valid_lens, offsets, mesh,
+        a_scores = _packed_scores_dispatch(jnp.stack(a_rows, axis=1),
+                                           valid_lens // 2, offsets, mesh,
                                            interp)
+        c_scores = _packed_scores_dispatch(jnp.stack(c_rows, axis=1),
+                                           valid_lens, offsets, mesh, interp)
     else:
         def regions_fn(flat_colors, flat_ep, vl):
             n_valid = vl // 4
@@ -733,58 +713,20 @@ def bc5_auto_step_single(flat, valid_len=None,
 # region bytes ARE its on-disk colour/alpha section -- ``ops/pallas/regions.py``).
 
 def _bc1_batched_regions_impl(flats, valid_lens, candidates, allow_pallas: bool):
-    B, W2 = flats.shape
-    use_words = _batched_words_gate(2 * W2, B, W2, 2, DEFAULT_OFFSETS,
-                                    allow_pallas, None)
-    interp = _interp()
-    if use_words:
-        from ..ops.pallas.regions import bc1_region_streams_tpu
+    from ..ops.pallas.regions import bc1_region_streams_tpu
 
-        _, indices = _words_deinterleave(flats, 2, None, interp)
-        streams = _words_regions(
-            flats, lambda f: bc1_region_streams_tpu(f, candidates,
-                                                    interpret=interp), None)
-        rows, _ = _batched_rows_from_streams(streams, candidates,
-                                             valid_lens // 2)
-        rows3 = jnp.stack(rows, axis=1)
-    else:
-        colors, indices = jax.vmap(
-            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 2))(flats)
-
-        def regions_fn(flat_colors, vl):
-            dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
-            return jnp.stack([_colour_region_row(dec[v], split, vl // 4)
-                              for v, split in candidates])
-
-        rows3 = jax.vmap(regions_fn)(colors, valid_lens)
+    (_, indices), rows3, _, _ = _colour_rows_batched(
+        flats, valid_lens, candidates, DEFAULT_OFFSETS, allow_pallas, None,
+        False, 2, bc1_region_streams_tpu)
     return indices, rows3
 
 
 def _bc2_batched_regions_impl(flats, valid_lens, candidates, allow_pallas: bool):
-    B, W4 = flats.shape
-    use_words = _batched_words_gate(W4, B, W4, 4, DEFAULT_OFFSETS,
-                                    allow_pallas, None)
-    interp = _interp()
-    if use_words:
-        from ..ops.pallas.regions import bc2_region_streams_tpu
+    from ..ops.pallas.regions import bc2_region_streams_tpu
 
-        a_lo, a_hi, _, idx = _words_deinterleave(flats, 4, None, interp)
-        streams = _words_regions(
-            flats, lambda f: bc2_region_streams_tpu(f, candidates,
-                                                    interpret=interp), None)
-        rows, _ = _batched_rows_from_streams(streams, candidates,
-                                             valid_lens // 2)
-        rows3 = jnp.stack(rows, axis=1)
-    else:
-        a_lo, a_hi, colors, idx = jax.vmap(
-            lambda f: lanes.deinterleave(f.astype(jnp.uint32), 4))(flats)
-
-        def regions_fn(flat_colors, vl):
-            dec = _decorrelated_pairs(flat_colors, [v for v, _ in candidates])
-            return jnp.stack([_colour_region_row(dec[v], split, vl // 4)
-                              for v, split in candidates])
-
-        rows3 = jax.vmap(regions_fn)(colors, valid_lens)
+    (a_lo, a_hi, _, idx), rows3, _, _ = _colour_rows_batched(
+        flats, valid_lens, candidates, DEFAULT_OFFSETS, allow_pallas, None,
+        False, 4, bc2_region_streams_tpu)
     return a_lo, a_hi, idx, rows3
 
 

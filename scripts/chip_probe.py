@@ -7,7 +7,7 @@ before expensive device work:
 
     python scripts/chip_probe.py && python bench.py
 
-The probe carries its OWN deadline (SIGALRM, default 45 s, env
+The probe carries its OWN deadline (SIGALRM, default 90 s, env
 ``DLT_PROBE_TIMEOUT_S``) so it never needs an external ``timeout`` wrapper --
 a wedged chip yields exit code 2 and a one-line diagnosis instead of a hang.
 """

@@ -232,7 +232,8 @@ def load_path_benchmark(entries, level: int, iters: int = 5):
 
     # Load-time is a HOST scenario: force the native untransform path (payloads
     # >= DLT_DEVICE_MIN_BYTES would otherwise ride the device relay at a few
-    # hundred MB/s and poison the measurement).
+    # hundred MB/s and poison the measurement). Restored on exit.
+    saved_thresh = os.environ.get("DLT_DEVICE_MIN_BYTES")
     os.environ["DLT_DEVICE_MIN_BYTES"] = str(1 << 62)
     est = ZstdEstimation(1)
     comp = z.ZstdCompressor(level=level)
@@ -271,6 +272,10 @@ def load_path_benchmark(entries, level: int, iters: int = 5):
     # decompress split + a 30 GiB/s untransform.
     t_unsplit_ref = orig_bytes / (30 * 2**30)
     projected = 100.0 * (t_plain / (t_dec_t + t_unsplit_ref) - 1)
+    if saved_thresh is None:
+        del os.environ["DLT_DEVICE_MIN_BYTES"]
+    else:
+        os.environ["DLT_DEVICE_MIN_BYTES"] = saved_thresh
     return {
         "original_bytes": orig_bytes,
         "plain_blob_bytes": plain_blob,
@@ -299,6 +304,7 @@ def load_path_storage(entries, level: int, bc1_cfg=None):
     from dxt_lossless_transform_tpu.estimate import ZstdEstimation
     from dxt_lossless_transform_tpu.ops import auto as ops_auto, bc1 as ops_bc1
 
+    saved_thresh = os.environ.get("DLT_DEVICE_MIN_BYTES")
     os.environ["DLT_DEVICE_MIN_BYTES"] = str(1 << 62)  # host untransform path
     est = ZstdEstimation(1)
     comp = z.ZstdCompressor(level=level)
@@ -357,6 +363,10 @@ def load_path_storage(entries, level: int, bc1_cfg=None):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)
+        if saved_thresh is None:
+            os.environ.pop("DLT_DEVICE_MIN_BYTES", None)
+        else:
+            os.environ["DLT_DEVICE_MIN_BYTES"] = saved_thresh
 
 
 def reference_asset_check(level: int):

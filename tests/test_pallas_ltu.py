@@ -147,3 +147,19 @@ def test_deinterleave_words_kernel_matches_lanes():
         want = lanes.deinterleave(flat, k)
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_xla_scorer_no_int32_wrap_large_region():
+    """The weighted score reaches 24*len; a 128 MiB-class region must not wrap
+    int32 (regression: ranking silently corrupted above ~89 MiB)."""
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.estimate.ltu import (
+        DEFAULT_OFFSETS, WEIGHT_SCALE, _coverage_scores,
+    )
+
+    n = 96 * 1024 * 1024  # 96 MiB of a single byte: fully covered at offset 1
+    region = jnp.zeros((1, n), jnp.uint8)
+    score = float(_coverage_scores(region, jnp.int32(n), DEFAULT_OFFSETS)[0])
+    # nearly everything matches at offset 1 (weight 24): score ~ 0, never huge
+    assert 0 <= score < WEIGHT_SCALE * 1e4, score
