@@ -127,7 +127,9 @@ def _process_tree(args, work_fn, verb: str):
     return 1 if failures else 0
 
 
-_BATCH_FORMATS = {"bc1", "bc2", "bc3", "bc4", "bc5", "bc7", "bc6h"}
+_BATCH_FORMATS = {"bc1", "bc2", "bc3", "bc4", "bc5", "bc7", "bc6h",
+                  "rgba8888", "bgra8888", "bgr888"}
+_RGB_FORMATS = {"rgba8888", "bgra8888", "bgr888"}
 # Host-scored (zstd) batching ships every candidate's region back through the
 # host link; above this size the per-file native auto (whose regions never leave
 # the C++ runtime) wins, so big files take the per-file path.
@@ -144,6 +146,8 @@ def _batchable(fmt: str, data_length: int, preset: str) -> bool:
     """Does this (format, size) ride the batch pipeline under this preset?"""
     if fmt not in _BATCH_FORMATS:
         return False
+    if fmt in _RGB_FORMATS:
+        return data_length <= _BATCH_MODESORT_MAX_BYTES  # host-batched
     if preset in ("optimal", "max"):  # host-scored zstd mode
         return fmt not in ("bc7", "bc6h") and data_length <= _BATCH_ZSTD_MAX_BYTES
     if fmt in ("bc7", "bc6h"):
@@ -159,12 +163,18 @@ def _batch_processors_for_preset(preset: str, max_batch: int):
     overlapped (``parallel.pipeline._process_host_scored``)."""
     from ..parallel.pipeline import BatchProcessor
 
-    from ..parallel.pipeline import ModeSortBatchProcessor
+    from ..parallel.pipeline import ModeSortBatchProcessor, RgbBatchProcessor
 
     if preset == "medium":
-        return lambda fmt: (ModeSortBatchProcessor(fmt, max_batch=max_batch)
-                            if fmt in ("bc7", "bc6h")
-                            else BatchProcessor(fmt, max_batch=max_batch))
+        def make_medium(fmt):
+            if fmt in _RGB_FORMATS:
+                return RgbBatchProcessor(fmt, LtuEstimation(),
+                                         max_batch=max_batch)
+            if fmt in ("bc7", "bc6h"):
+                return ModeSortBatchProcessor(fmt, max_batch=max_batch)
+            return BatchProcessor(fmt, max_batch=max_batch)
+
+        return make_medium
     if preset in ("optimal", "max"):
         from ..settings import (
             BC1_COMPREHENSIVE_CANDIDATES, BC2_COMPREHENSIVE_CANDIDATES,
@@ -177,6 +187,9 @@ def _batch_processors_for_preset(preset: str, max_batch: int):
                 "bc3": BC3_COMPREHENSIVE_CANDIDATES}
 
         def make(fmt):
+            if fmt in _RGB_FORMATS:
+                return RgbBatchProcessor(fmt, ZstdEstimation(1),
+                                         max_batch=max_batch)
             if fmt in ("bc7", "bc6h"):
                 return None  # mode-sort formats keep the per-file zstd path
             return BatchProcessor(
@@ -203,6 +216,13 @@ def _transform_batched(args, bundle, handlers):
                   "bc3": TransformHeader.for_bc3, "bc4": TransformHeader.for_bc4,
                   "bc5": TransformHeader.for_bc5, "bc7": TransformHeader.for_bc7,
                   "bc6h": TransformHeader.for_bc6h}
+    from ..formats.embed import TransformFormat
+
+    for name, tf in (("rgba8888", TransformFormat.RGBA8888),
+                     ("bgra8888", TransformFormat.BGRA8888),
+                     ("bgr888", TransformFormat.BGR888)):
+        for_header[name] = (lambda s_, tf_=tf:
+                            TransformHeader.for_rgb(tf_, s_))
 
     src, dst = Path(args.input), Path(args.output)
     files = find_all_files(src)

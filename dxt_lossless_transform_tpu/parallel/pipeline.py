@@ -510,3 +510,52 @@ class ModeSortBatchProcessor:
                         idx, winner[row].tobytes()[:int(valid[row])],
                         self.settings[int(best[row])])
         return [r for r in order if r is not None]
+
+
+class RgbBatchProcessor:
+    """Uncompressed RGB(A) corpus batching: candidate streams are cheap byte
+    shuffles (host/numpy or device above the threshold), so the batch win is
+    scoring ALL files' candidates through one pthread ``estimate_batch`` call
+    instead of 4-buffer calls per file, plus host-thread-parallel transforms."""
+
+    def __init__(self, layout: str, estimator, max_batch: int = 64,
+                 candidates=None):
+        from ..settings import RGB_FAST_CANDIDATES
+
+        self.layout = layout
+        self.estimator = estimator
+        self.settings = tuple(candidates if candidates is not None
+                              else RGB_FAST_CANDIDATES)
+        self.max_batch = max_batch
+
+    def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..ops import rgb as ops_rgb
+
+        order: List[Optional[BatchResult]] = [None] * len(payloads)
+        live = [i for i, p in enumerate(payloads) if len(p)]
+        for i, p in enumerate(payloads):
+            if not len(p):
+                order[i] = BatchResult(i, b"", self.settings[-1])
+        C = len(self.settings)
+        for start in range(0, len(live), self.max_batch):
+            chunk = live[start:start + self.max_batch]
+            rows: List[Optional[bytes]] = [None] * (len(chunk) * C)
+
+            def build(job):
+                row, c = divmod(job, C)
+                rows[job] = ops_rgb.transform(payloads[chunk[row]], self.layout,
+                                              self.settings[c])
+
+            workers = min(len(chunk) * C, os.cpu_count() or 2)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(build, range(len(chunk) * C)))
+            sizes = np.asarray(self.estimator.estimate_batch(rows)).reshape(
+                len(chunk), C)
+            for row, idx in enumerate(chunk):
+                best = int(np.argmin(sizes[row]))
+                order[idx] = BatchResult(idx, rows[row * C + best],
+                                         self.settings[best])
+        return [r for r in order if r is not None]

@@ -173,3 +173,31 @@ def make_dx10_dds(fmt: str, width: int, height: int, mipmaps: int = 1,
     struct.pack_into("<5I", header, 0x80, _DXGI[fmt], 3, 0, 1, 0)
     struct.pack_into("<I", header, 0x6C, 0x1000)  # caps: DDSCAPS_TEXTURE
     return bytes(header) + payload + trailing
+
+
+def make_uncompressed_dds(layout: str, width: int, height: int,
+                          seed: int = 0) -> bytes:
+    """Legacy-header uncompressed-RGB DDS (masks-based detection,
+    ``dds/parse_dds.rs:171-200``): layout in {rgba8888, bgra8888, bgr888}."""
+    masks = {"rgba8888": (32, (0x000000FF, 0x0000FF00, 0x00FF0000, 0xFF000000)),
+             "bgra8888": (32, (0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)),
+             "bgr888": (24, (0x00FF0000, 0x0000FF00, 0x000000FF, 0))}[layout]
+    bit_count, m = masks
+    rng = np.random.default_rng(seed)
+    base = rng.integers(40, 200, 3)
+    px = np.empty((height, width, bit_count // 8), np.uint8)
+    yy = np.linspace(0, 40, height)[:, None]
+    for c in range(3):
+        px[..., c] = np.clip(base[c] + yy + rng.normal(0, 3, (height, width)),
+                             0, 255).astype(np.uint8)
+    if bit_count == 32:
+        px[..., 3] = 255
+    header = bytearray(0x80)
+    header[0:4] = b"DDS "
+    struct.pack_into("<7I", header, 4, 124, 0x100F, height, width, 0, 0, 1)
+    flags = 0x40 | (0x1 if m[3] else 0)  # DDPF_RGB (+ALPHAPIXELS)
+    struct.pack_into("<3I", header, 0x4C, 32, flags, 0)
+    struct.pack_into("<I", header, 0x58, bit_count)
+    struct.pack_into("<4I", header, 0x5C, *m)
+    struct.pack_into("<I", header, 0x6C, 0x1000)
+    return bytes(header) + px.tobytes()

@@ -99,3 +99,26 @@ def test_cli_batched_bc7_dx10_tree(tmp_path):
     assert main(["untransform", str(out), str(back)]) == 0
     for f in src.iterdir():
         assert (back / f.name).read_bytes() == f.read_bytes(), f.name
+
+
+@pytest.mark.parametrize("preset", ["medium", "optimal"])
+def test_cli_batched_rgb_tree(tmp_path, preset):
+    """Uncompressed RGB(A) DDS files ride the batch pipeline under both auto
+    presets, agree with the per-file path byte-for-byte, and round-trip."""
+    from dxt_lossless_transform_tpu.utils.testgen import make_uncompressed_dds
+
+    src = tmp_path / "inrgb"
+    src.mkdir()
+    for i, layout in enumerate(["rgba8888", "bgra8888", "bgr888", "rgba8888"]):
+        (src / f"{layout}{i}.dds").write_bytes(
+            make_uncompressed_dds(layout, 32, 24, seed=i))
+    out_b, out_f, back = tmp_path / "outrgb", tmp_path / "outrgbf", tmp_path / "backrgb"
+    assert main(["transform", str(src), str(out_b), "--preset", preset,
+                 "--batch"]) == 0
+    assert main(["transform", str(src), str(out_f), "--preset", preset,
+                 "--no-batch"]) == 0
+    for f in src.iterdir():
+        assert (out_b / f.name).read_bytes() == (out_f / f.name).read_bytes(), f.name
+    assert main(["untransform", str(out_b), str(back)]) == 0
+    for f in src.iterdir():
+        assert (back / f.name).read_bytes() == f.read_bytes(), f.name
