@@ -42,7 +42,7 @@ import time
 
 import numpy as np
 
-_T0 = time.time()
+_T0 = time.time()  # reset after the chip probe: budget covers bench WORK
 CHAIN_K = 8
 TRIALS = 3
 BUDGET_S = float(os.environ.get("DLT_BENCH_BUDGET_S", "240"))
@@ -265,6 +265,10 @@ def main():
             _finalize()
             return
         _details["chip"] = "ok (second attempt)"
+    # The stage budget covers bench WORK; probe/init time (10s healthy, ~170s
+    # after a relay flap) would otherwise starve the trailing stages.
+    global _T0
+    _T0 = time.time()
     signal.signal(signal.SIGALRM, _on_alarm)
 
     import jax
@@ -476,31 +480,6 @@ def main():
     run_stage("kernels: bc4", stage_bc45("bc4"), cost_s=8)
     run_stage("kernels: bc5", stage_bc45("bc5"), cost_s=8)
 
-    # ---- BC7 mode-aware kernel (framework extension) ----
-    def stage_bc7():
-        from dxt_lossless_transform_tpu.ops import bc7 as ops_bc7
-
-        nblk = nbytes // 16
-        words7 = shared["words"]           # 4*nblk words == the shared buffer
-        results["bc7"] = {}
-        for label, sort7 in (("sort_planes", True), ("planes_only", False)):
-            fwd7 = lambda w: ops_bc7.transform_device(w, nblk, sort7, True)
-            planes, stream = fwd7(words7)
-            sraw = np.asarray(stream)  # unpack nibbles (low first) as untransform does
-            m_np = np.empty(2 * len(sraw), np.uint8)
-            m_np[0::2] = sraw & 0x0F
-            m_np[1::2] = sraw >> 4
-            modes7 = jnp.asarray(m_np)
-            inv7 = lambda p: ops_bc7.untransform_device(p, modes7, nblk, sort7, True)
-            t_fwd = _bench(fwd7, words7, iters=10, trials=TRIALS)
-            t_inv = _bench(inv7, planes, iters=10, trials=TRIALS)
-            results["bc7"][label] = {
-                "transform_GBps": nbytes / t_fwd / 1e9,
-                "untransform_GBps": nbytes / t_inv / 1e9,
-                "roundtrip_GBps": nbytes / (t_fwd + t_inv) / 1e9,
-            }
-
-    run_stage("kernels: bc7", stage_bc7, cost_s=25)
 
     # ---- auto-search throughputs (shared payload) ----
     # reference baselines: BC1 LTU auto ~1018 MiB/s (bc1/transform/mod.rs:34),
@@ -586,6 +565,32 @@ def main():
             }
 
     run_stage("zstd auto-search (host)", stage_auto_zstd, cost_s=12)
+
+    # ---- BC7 mode-aware kernel (framework extension) ----
+    def stage_bc7():
+        from dxt_lossless_transform_tpu.ops import bc7 as ops_bc7
+
+        nblk = nbytes // 16
+        words7 = shared["words"]           # 4*nblk words == the shared buffer
+        results["bc7"] = {}
+        for label, sort7 in (("sort_planes", True), ("planes_only", False)):
+            fwd7 = lambda w: ops_bc7.transform_device(w, nblk, sort7, True)
+            planes, stream = fwd7(words7)
+            sraw = np.asarray(stream)  # unpack nibbles (low first) as untransform does
+            m_np = np.empty(2 * len(sraw), np.uint8)
+            m_np[0::2] = sraw & 0x0F
+            m_np[1::2] = sraw >> 4
+            modes7 = jnp.asarray(m_np)
+            inv7 = lambda p: ops_bc7.untransform_device(p, modes7, nblk, sort7, True)
+            t_fwd = _bench(fwd7, words7, iters=10, trials=TRIALS)
+            t_inv = _bench(inv7, planes, iters=10, trials=TRIALS)
+            results["bc7"][label] = {
+                "transform_GBps": nbytes / t_fwd / 1e9,
+                "untransform_GBps": nbytes / t_inv / 1e9,
+                "roundtrip_GBps": nbytes / (t_fwd + t_inv) / 1e9,
+            }
+
+    run_stage("kernels: bc7", stage_bc7, cost_s=25)
 
     _stage_log("done")
     _finalize()
