@@ -199,21 +199,26 @@ def bc7_ratio(n_files: int, level: int):
               "reduction_pct": round(100.0 * (1 - trans / plain), 2)}
 
     # Real-container leg: DX10-header BC7 DDS files through the file-formats API
-    bundle = TransformBundle(bc7=Bc7AutoTransformBuilder(LtuEstimation()))
+    from dxt_lossless_transform_tpu.api import Bc6hAutoTransformBuilder
+
+    bundle = TransformBundle(bc7=Bc7AutoTransformBuilder(LtuEstimation()),
+                             bc6h=Bc6hAutoTransformBuilder(LtuEstimation()))
     handler = DdsHandler()
     dds_plain = dds_trans = 0
     n_dds = max(4, n_files // 4)
     for i in range(n_dds):
         size = int(rng.choice([128, 256, 320]))
-        blob = make_dx10_dds("BC7", size, size, mipmaps=3, seed=900 + i)
+        fmt_dds = "BC6H" if i % 4 == 3 else "BC7"
+        blob = make_dx10_dds(fmt_dds, size, size, mipmaps=3, seed=900 + i)
         t_blob = transform_slice_with_bundle(handler, blob, bundle)
         back = untransform_slice(handler, t_blob)
-        assert back == blob, f"BC7 DDS roundtrip mismatch (file {i})"
+        assert back == blob, f"{fmt_dds} DDS roundtrip mismatch (file {i})"
         p, t = _zstd_sizes([blob, t_blob], level)
         dds_plain += p
         dds_trans += t
     result["dds_dx10"] = {
-        "files": n_dds, "plain_zstd": dds_plain, "transformed_zstd": dds_trans,
+        "files": n_dds, "formats": "BC7 + BC6H (1 in 4)",
+        "plain_zstd": dds_plain, "transformed_zstd": dds_trans,
         "reduction_pct": round(100.0 * (1 - dds_trans / dds_plain), 2),
         "roundtrip": "byte-exact"}
     return result
