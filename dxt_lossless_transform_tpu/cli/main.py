@@ -140,14 +140,20 @@ _BATCH_ZSTD_MAX_BYTES = int(os.environ.get("DLT_BATCH_ZSTD_MAX_BYTES",
 # the per-file Mosaic device auto.
 _BATCH_MODESORT_MAX_BYTES = int(os.environ.get("DLT_BATCH_MODESORT_MAX_BYTES",
                                                str(8 << 20)))
+# RGB batching is a pure host path; the cap bounds how much candidate data one
+# batch holds in RAM at once (max_batch files x 4 candidate streams).
+_BATCH_RGB_MAX_BYTES = int(os.environ.get("DLT_BATCH_RGB_MAX_BYTES",
+                                          str(8 << 20)))
 
 
 def _batchable(fmt: str, data_length: int, preset: str) -> bool:
-    """Does this (format, size) ride the batch pipeline under this preset?"""
+    """Does this (format, size) ride the batch pipeline under this preset?
+    THE single policy site -- the preset processor factories assume any group
+    they receive passed this predicate."""
     if fmt not in _BATCH_FORMATS:
         return False
     if fmt in _RGB_FORMATS:
-        return data_length <= _BATCH_MODESORT_MAX_BYTES  # host-batched
+        return data_length <= _BATCH_RGB_MAX_BYTES  # host-batched
     if preset in ("optimal", "max"):  # host-scored zstd mode
         return fmt not in ("bc7", "bc6h") and data_length <= _BATCH_ZSTD_MAX_BYTES
     if fmt in ("bc7", "bc6h"):
@@ -187,11 +193,11 @@ def _batch_processors_for_preset(preset: str, max_batch: int):
                 "bc3": BC3_COMPREHENSIVE_CANDIDATES}
 
         def make(fmt):
+            # _batchable keeps bc7/bc6h off the zstd presets, so fmt here is
+            # BC1-BC5 or an RGB layout
             if fmt in _RGB_FORMATS:
                 return RgbBatchProcessor(fmt, ZstdEstimation(1),
                                          max_batch=max_batch)
-            if fmt in ("bc7", "bc6h"):
-                return None  # mode-sort formats keep the per-file zstd path
             return BatchProcessor(
                 fmt, max_batch=max_batch, estimator=ZstdEstimation(1),
                 candidates=comp[fmt] if ultra and fmt in comp else None)

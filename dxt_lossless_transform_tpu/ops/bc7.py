@@ -490,6 +490,14 @@ def auto_step_batched_modesort(flats, n_valids, candidates, offsets,
     return winner, valid, best
 
 
+def stream_row_len(n_pad: int) -> int:
+    """SPAN-padded device-row length of a full transformed stream: mode-stream
+    bytes + 16 B/block (shared by the per-file and batched auto searches)."""
+    from ..estimate.pallas_ltu import SPAN
+
+    return -(-(n_pad // 2 + 16 * n_pad) // SPAN) * SPAN
+
+
 def _auto_device_ok(estimator, n: int) -> bool:
     from ..estimate.ltu import DEFAULT_OFFSETS, LtuEstimation
 
@@ -511,7 +519,7 @@ def _transform_auto(data, estimator, candidates, fmt: str, transform_fn):
 
         n_pad = lanes.bucket_size(n)
         flat = lanes.pad_rows(np.frombuffer(data, "<u4"), 4 * n_pad)
-        row_len = -(-(n_pad // 2 + 16 * n_pad) // SPAN) * SPAN
+        row_len = stream_row_len(n_pad)
         key = tuple((s.sort_by_mode, s.split_byte_planes) for s in cand)
         row, valid, best = _auto_device(flat, jnp.uint32(n), key,
                                         DEFAULT_OFFSETS, row_len, fmt, True)

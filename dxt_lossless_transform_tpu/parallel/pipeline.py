@@ -189,10 +189,8 @@ class BatchProcessor:
             return self._step
         if full not in self._steps:
             if self.mesh is not None:
-                self._steps[full] = sharded._batched(
-                    self.mesh, self.fmt,
-                    {"bc1": 4, "bc2": 6, "bc3": 8, "bc4": 5, "bc5": 9}[self.fmt],
-                    self._cand_key, sharded.DEFAULT_OFFSETS, full=full)
+                self._steps[full] = self.cfg["step"](self.mesh, self._cand_key,
+                                                     full=full)
             else:
                 self._steps[full] = sharded.auto_step_batched(
                     self.fmt, self._cand_key, full=full)
@@ -472,13 +470,12 @@ class ModeSortBatchProcessor:
             from functools import partial as _partial
 
             from ..estimate.ltu import DEFAULT_OFFSETS
-            from ..estimate.pallas_ltu import SPAN
-            from ..ops.bc7 import auto_step_batched_modesort
+            from ..ops.bc7 import auto_step_batched_modesort, stream_row_len
 
-            row_len = -(-(bucket // 2 + 16 * bucket) // SPAN) * SPAN
             self._steps[bucket] = _partial(
                 auto_step_batched_modesort, candidates=self._cand_key,
-                offsets=DEFAULT_OFFSETS, row_len=row_len, fmt=self.fmt)
+                offsets=DEFAULT_OFFSETS, row_len=stream_row_len(bucket),
+                fmt=self.fmt)
         return self._steps[bucket]
 
     def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:

@@ -194,7 +194,9 @@ def make_uncompressed_dds(layout: str, width: int, height: int,
         px[..., 3] = 255
     header = bytearray(0x80)
     header[0:4] = b"DDS "
-    struct.pack_into("<7I", header, 4, 124, 0x100F, height, width, 0, 0, 1)
+    # 0x100F = CAPS|HEIGHT|WIDTH|PITCH|PIXELFORMAT: pitch claimed, so write it
+    struct.pack_into("<7I", header, 4, 124, 0x100F, height, width,
+                     width * (bit_count // 8), 0, 1)
     flags = 0x40 | (0x1 if m[3] else 0)  # DDPF_RGB (+ALPHAPIXELS)
     struct.pack_into("<3I", header, 0x4C, 32, flags, 0)
     struct.pack_into("<I", header, 0x58, bit_count)

@@ -240,6 +240,21 @@ def load_path_benchmark(entries, level: int, iters: int = 5):
     # hundred MB/s and poison the measurement). Restored on exit.
     saved_thresh = os.environ.get("DLT_DEVICE_MIN_BYTES")
     os.environ["DLT_DEVICE_MIN_BYTES"] = str(1 << 62)
+    try:
+        return _load_path_benchmark_impl(entries, level, iters)
+    finally:
+        if saved_thresh is None:
+            os.environ.pop("DLT_DEVICE_MIN_BYTES", None)
+        else:
+            os.environ["DLT_DEVICE_MIN_BYTES"] = saved_thresh
+
+
+def _load_path_benchmark_impl(entries, level: int, iters: int = 5):
+    import zstandard as z
+
+    from dxt_lossless_transform_tpu.estimate import ZstdEstimation
+    from dxt_lossless_transform_tpu.ops import auto as ops_auto, bc1 as ops_bc1
+
     est = ZstdEstimation(1)
     comp = z.ZstdCompressor(level=level)
     items = []
@@ -277,10 +292,6 @@ def load_path_benchmark(entries, level: int, iters: int = 5):
     # decompress split + a 30 GiB/s untransform.
     t_unsplit_ref = orig_bytes / (30 * 2**30)
     projected = 100.0 * (t_plain / (t_dec_t + t_unsplit_ref) - 1)
-    if saved_thresh is None:
-        del os.environ["DLT_DEVICE_MIN_BYTES"]
-    else:
-        os.environ["DLT_DEVICE_MIN_BYTES"] = saved_thresh
     return {
         "original_bytes": orig_bytes,
         "plain_blob_bytes": plain_blob,
