@@ -206,6 +206,52 @@ def _batch_processors_for_preset(preset: str, max_batch: int):
     return None
 
 
+# Batch windows stream this many payload bytes per flush: classification reads
+# only each file's header; full file bytes live in RAM for one window at a time
+# (plus the device batch in flight), the streaming analog of the reference's
+# per-file mmap I/O (``file_io/lightweight_mmap/file.rs:28-212``). Peak RSS is
+# therefore ~DLT_STREAM_BYTES + max_batch x bucket, not the corpus size.
+_STREAM_WINDOW_BYTES = int(os.environ.get("DLT_STREAM_BYTES", str(256 << 20)))
+
+_HEADER_BYTES = 256  # covers transform header + DDS header (+ DX10 extension)
+
+
+def _classify_head(f: Path):
+    """Read only the first ``_HEADER_BYTES`` of ``f`` (header-only pass)."""
+    with open(f, "rb") as fh:
+        return fh.read(_HEADER_BYTES)
+
+
+def _out_path_fn(src: Path, dst: Path):
+    def out_path(f: Path) -> Path:
+        rel = f.relative_to(src) if src.is_dir() else f.name
+        out = dst / rel if src.is_dir() else dst
+        out.parent.mkdir(parents=True, exist_ok=True)
+        return out
+
+    return out_path
+
+
+def _run_per_file(files, work_fn, out_path, failures, threads: int) -> int:
+    """Per-file path with error isolation (``util/core.rs:44``), optionally
+    host-thread parallel (the rayon analog); returns bytes written."""
+
+    def one(f: Path) -> int:
+        try:
+            return work_fn(f, out_path(f))
+        except Exception as e:
+            failures.append(f)
+            print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+            return 0
+
+    if threads > 1 and len(files) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            return sum(pool.map(one, files))
+    return sum(one(f) for f in files)
+
+
 def _transform_batched(args, bundle, handlers):
     """Batch path: group same-format BC1-BC5 DDS payloads across files into
     fixed-shape device batches (``parallel.pipeline.BatchProcessor`` -- the
@@ -213,7 +259,11 @@ def _transform_batched(args, bundle, handlers):
     per-file error isolation and ordered output. Every auto preset batches
     (medium via the on-device LTU search; optimal/max via device-built regions +
     the native pthread zstd estimator). Other formats and non-DDS files take the
-    per-file path."""
+    per-file path.
+
+    Streaming: the classification pass reads only file headers; payload bytes
+    are read per window (``_STREAM_WINDOW_BYTES``) and dropped after their
+    outputs are written, bounding peak RSS independent of corpus size."""
     from ..formats.dds import parse_dds
     from ..formats.embed import TRANSFORM_HEADER_SIZE, TransformHeader
     from ..formats.handlers import _DDS_TO_TRANSFORM
@@ -237,53 +287,50 @@ def _transform_batched(args, bundle, handlers):
         return 1
     failures, total = [], 0
     t0 = time.perf_counter()
-
-    def out_path(f: Path) -> Path:
-        rel = f.relative_to(src) if src.is_dir() else f.name
-        out = dst / rel if src.is_dir() else dst
-        out.parent.mkdir(parents=True, exist_ok=True)
-        return out
+    out_path = _out_path_fn(src, dst)
 
     make_proc = _batch_processors_for_preset(args.preset,
                                              getattr(args, "max_batch", 64))
 
-    # Partition: batchable BC1-BC5 DDS payloads vs per-file fallback.
+    # Pass 1 (header-only): partition batchable DDS files vs per-file fallback.
     groups: dict = {fmt: [] for fmt in _BATCH_FORMATS}
     fallback = []
     for f in files:
         try:
-            data = f.read_bytes()
-            info = parse_dds(data)
+            head = _classify_head(f)
+            info = parse_dds(head)
             fmt = (_DDS_TO_TRANSFORM.get(info.format).name.lower()
                    if info is not None and _DDS_TO_TRANSFORM.get(info.format)
                    else None)
             if (fmt is not None
-                    and len(data) >= info.data_offset + info.data_length
+                    and f.stat().st_size >= info.data_offset + info.data_length
                     and _batchable(fmt, info.data_length, args.preset)):
-                groups[fmt].append((f, data, info))
+                groups[fmt].append((f, info))
             else:
                 fallback.append(f)
         except Exception as e:
             failures.append(f)
             print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
 
-    for fmt, entries in groups.items():
-        if not entries:
-            continue
-        proc = make_proc(fmt) if make_proc is not None else None
-        if proc is None:
-            fallback.extend(f for f, _, _ in entries)
-            continue
+    def flush(fmt, proc, window):
+        nonlocal total
+        datas = []
+        for f, info in window:
+            datas.append(f.read_bytes())
         payloads = [data[info.data_offset:info.data_offset + info.data_length]
-                    for _, data, info in entries]
+                    for (_, info), data in zip(window, datas)]
         try:
             results = proc.process(payloads)
+            if len(results) != len(window):  # a partial result set must fail
+                raise RuntimeError(          # loudly, not misalign files
+                    f"processor returned {len(results)} results for "
+                    f"{len(window)} payloads")
         except Exception as e:
             print(f"batch {fmt} failed ({type(e).__name__}: {e}); "
                   "falling back to per-file", file=sys.stderr)
-            fallback.extend(f for f, _, _ in entries)
-            continue
-        for (f, data, info), res in zip(entries, results):
+            fallback.extend(f for f, _ in window)
+            return
+        for (f, info), data, res in zip(window, datas, results):
             try:
                 header = for_header[fmt](res.settings)
                 start = info.data_offset
@@ -296,16 +343,139 @@ def _transform_batched(args, bundle, handlers):
                 failures.append(f)
                 print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
 
-    for f in fallback:
-        try:
-            total += file_io.transform_file_with_multiple_handlers(
-                handlers, bundle, f, out_path(f), f.suffix)
-        except Exception as e:
-            failures.append(f)
-            print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+    for fmt, entries in groups.items():
+        if not entries:
+            continue
+        proc = make_proc(fmt) if make_proc is not None else None
+        if proc is None:
+            fallback.extend(f for f, _ in entries)
+            continue
+        window, acc = [], 0
+        for f, info in entries:
+            window.append((f, info))
+            acc += info.data_length
+            if acc >= _STREAM_WINDOW_BYTES:
+                flush(fmt, proc, window)
+                window, acc = [], 0
+        if window:
+            flush(fmt, proc, window)
+
+    def work(f, out):
+        return file_io.transform_file_with_multiple_handlers(
+            handlers, bundle, f, out, f.suffix)
+
+    total += _run_per_file(fallback, work, out_path, failures,
+                           getattr(args, "threads", 1))
 
     dt = time.perf_counter() - t0
     print(f"transformed {len(files) - len(failures)}/{len(files)} files "
+          f"(batched), {format_bytes(total)} in {dt:.2f}s "
+          f"({format_throughput(total, dt)})")
+    return 1 if failures else 0
+
+
+def _untransform_batched(args, handlers):
+    """Batched load path (the reference's headline direction,
+    ``bc1-api/README.MD:286-313``): classify transformed DDS files by their
+    embedded 4-byte header (header-only reads), group payloads by format, and
+    restore them through ``parallel.pipeline.UntransformBatchProcessor`` --
+    settings decoded per file, grouped as static kernel arguments. Files the
+    classifier rejects take the per-file handler path. Streaming windows bound
+    peak RSS exactly like :func:`_transform_batched`."""
+    from ..formats.dds import DDS_MAGIC, parse_dds_ignore_magic
+    from ..formats.embed import TransformHeader
+    from ..formats.handlers import transformed_payload_len
+    from ..parallel.pipeline import UntransformBatchProcessor
+
+    settings_of = {
+        "bc1": TransformHeader.bc1_settings, "bc2": TransformHeader.bc2_settings,
+        "bc3": TransformHeader.bc3_settings, "bc4": TransformHeader.bc4_settings,
+        "bc5": TransformHeader.bc5_settings, "bc7": TransformHeader.bc7_settings,
+        "bc6h": TransformHeader.bc6h_settings,
+        "rgba8888": TransformHeader.rgb_settings,
+        "bgra8888": TransformHeader.rgb_settings,
+        "bgr888": TransformHeader.rgb_settings,
+    }
+
+    src, dst = Path(args.input), Path(args.output)
+    files = find_all_files(src)
+    if not files:
+        print(f"no files found under {src}", file=sys.stderr)
+        return 1
+    failures, total = [], 0
+    t0 = time.perf_counter()
+    out_path = _out_path_fn(src, dst)
+    magic = DDS_MAGIC.to_bytes(4, "little")
+
+    # Pass 1 (header-only): decode each file's embedded transform header.
+    groups: dict = {}
+    fallback = []
+    for f in files:
+        try:
+            head = _classify_head(f)
+            header = TransformHeader.from_bytes(head)
+            info = parse_dds_ignore_magic(head)
+            fmt = header.format.name.lower()
+            if info is None or fmt not in settings_of:
+                fallback.append(f)
+                continue
+            start = info.data_offset
+            end = start + transformed_payload_len(header, info.data_length)
+            if f.stat().st_size < end:
+                fallback.append(f)
+                continue
+            groups.setdefault(fmt, []).append(
+                (f, start, end, settings_of[fmt](header)))
+        except Exception:
+            fallback.append(f)  # per-file path reports the real error
+
+    def flush(fmt, proc, window):
+        nonlocal total
+        datas = [f.read_bytes() for f, _, _, _ in window]
+        payloads = [(data[start:end], settings)
+                    for (_, start, end, settings), data in zip(window, datas)]
+        try:
+            results = proc.process(payloads)
+            if len(results) != len(window):
+                raise RuntimeError(
+                    f"processor returned {len(results)} results for "
+                    f"{len(window)} payloads")
+        except Exception as e:
+            print(f"untransform batch {fmt} failed ({type(e).__name__}: {e}); "
+                  "falling back to per-file", file=sys.stderr)
+            fallback.extend(f for f, _, _, _ in window)
+            return
+        for (f, start, end, _), data, payload in zip(window, datas, results):
+            try:
+                out = magic + data[4:start] + payload + data[end:]
+                out_path(f).write_bytes(out)
+                total += len(out)
+            except Exception as e:
+                failures.append(f)
+                print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+
+    for fmt, entries in groups.items():
+        proc = UntransformBatchProcessor(fmt,
+                                         max_batch=getattr(args, "max_batch", 64))
+        window, acc = [], 0
+        for entry in entries:
+            window.append(entry)
+            acc += entry[2] - entry[1]
+            if acc >= _STREAM_WINDOW_BYTES:
+                flush(fmt, proc, window)
+                window, acc = [], 0
+        if window:
+            flush(fmt, proc, window)
+
+    def work(f, out):
+        return file_io.untransform_file_with_multiple_handlers(
+            handlers, f, out, f.suffix)
+
+    total += _run_per_file(fallback, work, out_path, failures,
+                           getattr(args, "threads", 1))
+
+    dt = time.perf_counter() - t0
+    print(f"untransformed {len(files) - len(failures)}/{len(files)} files "
           f"(batched), {format_bytes(total)} in {dt:.2f}s "
           f"({format_throughput(total, dt)})")
     return 1 if failures else 0
@@ -335,6 +505,12 @@ def cmd_transform(args):
 
 def cmd_untransform(args):
     handlers = all_handlers()
+
+    batch = getattr(args, "batch", None)
+    if batch is None:
+        batch = True  # the load path always benefits from batching
+    if batch:
+        return _untransform_batched(args, handlers)
 
     def work(f, out):
         return file_io.untransform_file_with_multiple_handlers(handlers, f, out, f.suffix)
@@ -366,6 +542,11 @@ def main(argv=None):
     p_u.add_argument("input")
     p_u.add_argument("output")
     p_u.add_argument("--threads", type=int, default=os.cpu_count() or 1)
+    p_u.add_argument("--batch", action=argparse.BooleanOptionalAction, default=None,
+                     help="pack same-recipe textures into batched device restores "
+                          "(default: on)")
+    p_u.add_argument("--max-batch", type=int, default=64, dest="max_batch",
+                     help="files per packed device batch")
     p_u.set_defaults(fn=cmd_untransform)
 
     from . import debug as _debug

@@ -106,8 +106,12 @@ HOST_THRESHOLD = 4 << 20
 class LtuEstimation(SizeEstimation):
     """Fast estimator: length minus sampled-offset gram-match coverage.
 
-    Batched device scoring for the on-device auto-search; bit-identical numpy
-    scoring for small host-side buffers.
+    Batched device scoring for the on-device auto-search; exact-integer numpy
+    scoring for small host-side buffers. Device and host scores are bit-identical
+    while the weighted total stays below 2**24 (regions up to ~700 KiB -- every
+    host-threshold buffer qualifies); above that the device's f32 accumulation
+    may drift a few ULPs from the integer twins (ranking-benign; see
+    ``_coverage_scores``).
     """
 
     on_device = True

@@ -50,6 +50,17 @@ class NoBuilderForFormat(FormatHandlerError):
         self.format = fmt
 
 
+class OutputSizeMismatch(FormatHandlerError):
+    """Internal contract violation: the assembled output length does not match the
+    transformed-payload size contract (indicates a builder/serialization bug, not
+    bad user input). Typed so production runs (including ``python -O``) fail loudly
+    through the taxonomy instead of via a strippable ``assert``."""
+
+    def __init__(self, expected: int, actual: int):
+        super().__init__(f"assembled output is {actual} bytes, contract says {expected}")
+        self.expected, self.actual = expected, actual
+
+
 class UnknownTransformFormat(TransformError):
     def __init__(self, raw=None):
         super().__init__(f"unknown transform format in header: {raw!r}")

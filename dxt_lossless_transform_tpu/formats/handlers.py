@@ -22,6 +22,7 @@ from .errors import (
     InvalidDataAlignment,
     InvalidInputFileHeader,
     InvalidRestoredFileHeader,
+    OutputSizeMismatch,
     UnsupportedTransformFormat,
 )
 
@@ -141,8 +142,10 @@ class DdsHandler:
         payload, header = dispatch_transform(fmt, data[start:end], bundle)
         out = header.to_bytes() + data[TRANSFORM_HEADER_SIZE:start] + payload + data[end:]
         # Size-preserving except BC7's mode stream (transformed_payload_len).
-        assert len(out) == len(data) + transformed_payload_len(header, end - start) \
-            - (end - start)
+        expected = (len(data) + transformed_payload_len(header, end - start)
+                    - (end - start))
+        if len(out) != expected:
+            raise OutputSizeMismatch(expected, len(out))
         return out
 
     def untransform(self, data: bytes) -> bytes:

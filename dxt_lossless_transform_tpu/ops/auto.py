@@ -145,8 +145,12 @@ def _native_zstd_auto(fmt: str, data, estimator, use_all: bool):
     """Full C++ auto-search for the built-in estimators (region-only builders +
     the task-parallel pthread loop); returns (transformed, settings) or None if
     the native runtime is unavailable. zstd estimates use the same libzstd
-    engine as ``ZstdEstimation`` and the LTU scorer is the bit-identical C++
-    twin, so scores -- and argmin ties -- agree exactly with the host paths."""
+    engine as ``ZstdEstimation`` and the LTU scorer is the exact-integer C++
+    twin of the host scorer, so scores -- and argmin ties -- agree exactly with
+    the host paths. (Device LTU scores agree bit-for-bit only while the weighted
+    total stays below 2**24, i.e. regions up to ~700 KiB; above that the f32
+    device accumulation can drift a few ULPs from the integer twins, so device
+    picks may differ from host picks on near-ties -- see estimate/ltu.py.)"""
     from ..estimate.ltu import DEFAULT_OFFSETS, LtuEstimation
     from ..estimate.zstd import ZstdEstimation
     from .. import runtime

@@ -63,7 +63,10 @@ def transform_chunked(data: bytes, block_size: int, words_per_block: int,
 
     def _drain(start, count, streams):
         streams = jax.device_get(streams)
-        assert len(streams) == len(stream_spec), (len(streams), stream_spec)
+        if len(streams) != len(stream_spec):  # not an assert: survives python -O
+            raise RuntimeError(
+                f"device_fn returned {len(streams)} streams, spec has "
+                f"{len(stream_spec)} ({stream_spec})")
         for s, (bpb, arr) in enumerate(zip(stream_spec, streams)):
             piece = arr.astype("<u4").tobytes()[: bpb * count]
             pos = int(offsets[s]) + start * bpb

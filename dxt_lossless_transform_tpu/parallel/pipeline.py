@@ -10,6 +10,7 @@ emitted in submission order (the ordered-gather contract from BASELINE.json).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
@@ -134,22 +135,30 @@ _FORMATS = {
 
 
 def _pad_batch_for_tiles(padded_batch: int, words_per_file: int,
-                         files_axis: int) -> int:
+                         files_axis: int, blocks_axis: int = 1) -> int:
     """Round the batch up so the flattened word stream fits the Mosaic kernels'
     128-row tile grid (``shuffle.grid_rows_ok``): a total tile-row count above
     128 must divide evenly. Padding rows duplicate the last file -- cheaper than
-    falling back to the ~3x-slower XLA byte path on fragment batches."""
+    falling back to the ~3x-slower XLA byte path on fragment batches.
+
+    Under a mesh the words fast path is gated per-shard
+    (``sharded._mesh_words_gate`` checks ``(B//nf) * (W//nb)``), so the padding
+    target is the LOCAL shard's row count, scaled back by the files axis."""
     import math
 
     from ..ops.pallas.shuffle import MAX_ROWS, WIDTH
 
-    rpf = words_per_file // WIDTH
-    if rpf == 0 or words_per_file % WIDTH or rpf >= MAX_ROWS:
-        return padded_batch  # per-file rows already divide (or gate falls back)
-    if padded_batch * rpf <= MAX_ROWS:
-        return padded_batch
-    step = math.lcm(MAX_ROWS // math.gcd(rpf, MAX_ROWS), files_axis)
-    return -(-padded_batch // step) * step
+    if words_per_file % blocks_axis:
+        return padded_batch  # mesh gate falls back regardless
+    w_local = words_per_file // blocks_axis
+    rpf = w_local // WIDTH
+    if rpf == 0 or w_local % WIDTH or rpf >= MAX_ROWS:
+        return padded_batch  # per-shard rows already divide (or gate falls back)
+    local_b = padded_batch // files_axis  # padded_batch is a files_axis multiple
+    if local_b * rpf > MAX_ROWS:
+        step = MAX_ROWS // math.gcd(rpf, MAX_ROWS)
+        local_b = -(-local_b // step) * step
+    return local_b * files_axis
 
 
 class BatchProcessor:
@@ -217,13 +226,14 @@ class BatchProcessor:
             by_bucket.setdefault(lanes.bucket_size(n), []).append(i)
 
         files_axis = self.mesh.shape["files"] if self.mesh is not None else 1
+        blocks_axis = self.mesh.shape["blocks"] if self.mesh is not None else 1
         for bucket, indices in sorted(by_bucket.items()):
             for start in range(0, len(indices), self.max_batch):
                 chunk = indices[start:start + self.max_batch]
                 batch = len(chunk)
                 padded_batch = -(-batch // files_axis) * files_axis
                 padded_batch = _pad_batch_for_tiles(padded_batch, wpb * bucket,
-                                                    files_axis)
+                                                    files_axis, blocks_axis)
                 flats = np.zeros((padded_batch, wpb * bucket), np.uint32)
                 valid = np.zeros(padded_batch, np.int32)
                 for row, idx in enumerate(chunk):
@@ -442,6 +452,179 @@ def transform_corpus_bc1(payloads: Sequence[bytes], mesh=None,
     return Bc1BatchProcessor(mesh, candidates).process(payloads)
 
 
+def _pad_batch_for_family(batch: int, words_per_file: int, fmt: str) -> int:
+    """Round a stacked untransform batch up so the concatenated flat stream fits
+    the fused kernels' per-family tile grid (``shuffle._grid_rows`` with
+    ``FAMILY_ROWS[fmt]``). All quantities are powers of two (bucket, words per
+    block, WIDTH), so the padded count is exact, never a fallback."""
+    import math
+
+    from ..ops.pallas.shuffle import FAMILY_ROWS, WIDTH
+
+    cap = FAMILY_ROWS[fmt]
+    if words_per_file % WIDTH:
+        return batch
+    rpf = words_per_file // WIDTH
+    if rpf == 0 or batch * rpf <= cap:
+        return batch
+    step = cap // math.gcd(rpf, cap)
+    return -(-batch // step) * step
+
+
+def _untransform_cfgs():
+    from ..ops import bc1, bc2, bc3, bc45, bc6h, bc7, hostwrap, rgb
+
+    cfgs = {
+        "bc1": dict(block_size=8, wpb=2, spec=hostwrap.bc1_stream_spec,
+                    device=lambda st, s: bc1.untransform_device(
+                        st, int(s.decorrelation_mode), s.split_colour_endpoints),
+                    host=bc1.untransform),
+        "bc2": dict(block_size=16, wpb=4, spec=hostwrap.bc2_stream_spec,
+                    device=lambda st, s: bc2.untransform_device(
+                        st, int(s.decorrelation_mode), s.split_colour_endpoints),
+                    host=bc2.untransform),
+        "bc3": dict(block_size=16, wpb=4, spec=hostwrap.bc3_stream_spec,
+                    device=lambda st, s: bc3.untransform_device(
+                        st, int(s.decorrelation_mode), s.split_alpha_endpoints,
+                        s.split_colour_endpoints),
+                    host=bc3.untransform),
+        "bc4": dict(block_size=8, wpb=2,
+                    spec=lambda s: bc45._bc4_spec(s.split_endpoints),
+                    device=lambda st, s: bc45.bc4_untransform_device(
+                        st, s.split_endpoints),
+                    host=bc45.untransform_bc4),
+        "bc5": dict(block_size=16, wpb=4,
+                    spec=lambda s: bc45._bc5_spec(s.split_endpoints),
+                    device=lambda st, s: bc45.bc5_untransform_device(
+                        st, s.split_endpoints),
+                    host=bc45.untransform_bc5),
+        # Host-pool-only formats: BC7/BC6H untransform needs the per-file mode
+        # stream (its own device path above the threshold); RGB untransform is a
+        # flat byte shuffle that never beats memcpy speed on device.
+        "bc7": dict(device=None, host=bc7.untransform),
+        "bc6h": dict(device=None, host=bc6h.untransform),
+    }
+    for layout in ("rgba8888", "bgra8888", "bgr888"):
+        cfgs[layout] = dict(device=None,
+                            host=(lambda p, s, _l=layout:
+                                  rgb.untransform(p, _l, s)))
+    return cfgs
+
+
+class UntransformBatchProcessor:
+    """Batch untransform twin of :class:`BatchProcessor` -- the LOAD path.
+
+    The reference's headline load-path number is untransform at tens of GiB/s
+    (``bc1-api/README.MD:286-313``); per-file dispatch overhead buries that on
+    small textures. Transformed payloads are therefore grouped by (settings,
+    size bucket) -- settings come out of each file's embedded header and are
+    STATIC kernel arguments, so grouping keeps every device call shape- and
+    specialization-stable -- each file's stream sections are scattered into
+    bucket-padded per-stream buffers, stacked across files, and inverted in ONE
+    fused device call per batch. The fused untransform kernels are linear in
+    the block index (output block ``i`` reads only element ``i`` of each
+    stream), so ``B`` bucket-padded files concatenate into one valid flat
+    batch; pad rows invert zeros and are sliced off on download.
+
+    Sub-threshold payloads run the per-file native C++ / numpy-oracle
+    untransform on a host thread pool instead (the GIL-releasing rayon analog,
+    ``commands/untransform/mod.rs:71-76``), as do the formats with no stacked
+    device path (BC7/BC6H mode streams, flat RGB shuffles).
+    """
+
+    def __init__(self, fmt: str, max_batch: int = 64):
+        self.fmt = fmt
+        self.cfg = _untransform_cfgs()[fmt]
+        self.max_batch = max_batch
+
+    def process(self, entries: Sequence[tuple]) -> List[bytes]:
+        """``entries`` = [(transformed payload bytes, settings), ...];
+        returns the restored payloads in submission order."""
+        out: List[Optional[bytes]] = [None] * len(entries)
+        thresh = lanes.device_threshold_bytes()
+        host_idx, by_group = [], {}
+        bs = self.cfg.get("block_size")
+        for i, (payload, settings) in enumerate(entries):
+            if len(payload) == 0:
+                out[i] = b""
+            elif self.cfg["device"] is None or len(payload) < thresh:
+                host_idx.append(i)
+            elif len(payload) % bs:
+                raise ValueError(
+                    f"payload {i}: length {len(payload)} not divisible by {bs}")
+            else:
+                n = len(payload) // bs
+                by_group.setdefault((settings, lanes.bucket_size(n)),
+                                    []).append(i)
+
+        if host_idx:
+            self._process_host(entries, out, host_idx)
+
+        from collections import deque
+
+        pending = deque()
+        for (settings, bucket), indices in sorted(
+                by_group.items(), key=lambda kv: (repr(kv[0][0]), kv[0][1])):
+            for start in range(0, len(indices), self.max_batch):
+                chunk = indices[start:start + self.max_batch]
+                pending.append((chunk,
+                                self._run_batch(entries, chunk, settings,
+                                                bucket)))
+                if len(pending) >= 2:  # overlap assembly with device compute
+                    self._drain(entries, out, *pending.popleft())
+        while pending:
+            self._drain(entries, out, *pending.popleft())
+        return [r for r in out if r is not None]
+
+    def _process_host(self, entries, out, host_idx):
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        host = self.cfg["host"]
+
+        def run(i):
+            payload, settings = entries[i]
+            out[i] = host(payload, settings)
+
+        workers = min(len(host_idx), _os.cpu_count() or 2)
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(run, host_idx))
+        else:
+            for i in host_idx:
+                run(i)
+
+    def _run_batch(self, entries, chunk, settings, bucket):
+        """Scatter each file's stream sections into bucket-padded stream buffers
+        and dispatch the fused untransform (async)."""
+        import jax.numpy as jnp
+
+        bs, wpb = self.cfg["block_size"], self.cfg["wpb"]
+        spec = self.cfg["spec"](settings)
+        b_pad = _pad_batch_for_family(len(chunk), wpb * bucket, self.fmt)
+        bufs = [np.zeros((b_pad, bpb * bucket), np.uint8) for bpb in spec]
+        for row, idx in enumerate(chunk):
+            payload = entries[idx][0]
+            arr = np.frombuffer(payload, np.uint8)
+            n, pos = len(payload) // bs, 0
+            for buf, bpb in zip(bufs, spec):
+                buf[row, :bpb * n] = arr[pos:pos + bpb * n]
+                pos += bpb * n
+        streams = tuple(jnp.asarray(b.reshape(-1).view("<u4")) for b in bufs)
+        return self.cfg["device"](streams, settings)
+
+    def _drain(self, entries, out, chunk, flat):
+        import jax
+
+        bs, wpb = self.cfg["block_size"], self.cfg["wpb"]
+        flat = np.asarray(jax.device_get(flat))
+        n0 = len(entries[chunk[0]][0]) // bs  # all chunk files share the bucket
+        rows = flat.reshape(-1, wpb * lanes.bucket_size(n0))
+        for row, idx in enumerate(chunk):
+            n = len(entries[idx][0]) // bs
+            out[idx] = rows[row, :wpb * n].astype("<u4").tobytes()
+
+
 class ModeSortBatchProcessor:
     """BC7/BC6H corpus batching: every candidate's full stream assembled + scored
     on device per fixed-shape batch (``ops/bc7.py:auto_step_batched_modesort``),
@@ -492,8 +675,18 @@ class ModeSortBatchProcessor:
             by_bucket.setdefault(lanes.bucket_size(n), []).append(i)
 
         for bucket, indices in sorted(by_bucket.items()):
-            for start in range(0, len(indices), self.max_batch):
-                chunk = indices[start:start + self.max_batch]
+            # HBM-budget-aware batch scaling: each file holds C candidates' full
+            # SPAN-padded stream rows on device at once (plus sort temporaries),
+            # so large buckets shrink the effective batch instead of OOMing a
+            # 16 GB part on a directory of uniformly large files.
+            from ..ops.bc7 import stream_row_len
+
+            per_file = len(self._cand_key) * stream_row_len(bucket)
+            budget = int(os.environ.get("DLT_MODESORT_HBM_BUDGET",
+                                        str(1 << 30)))
+            eff_batch = max(1, min(self.max_batch, budget // per_file))
+            for start in range(0, len(indices), eff_batch):
+                chunk = indices[start:start + eff_batch]
                 flats = np.zeros((len(chunk), 4 * bucket), np.uint32)
                 n_valids = np.zeros(len(chunk), np.uint32)
                 for row, idx in enumerate(chunk):

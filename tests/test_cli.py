@@ -101,6 +101,45 @@ def test_cli_batched_bc7_dx10_tree(tmp_path):
         assert (back / f.name).read_bytes() == f.read_bytes(), f.name
 
 
+def test_cli_batched_untransform_matches_per_file(tree, monkeypatch):
+    """The load path: batched untransform (default) agrees byte-for-byte with
+    --no-batch and restores the originals, with the device path forced on and
+    streaming windows forced small (multiple flushes)."""
+    monkeypatch.setenv("DLT_DEVICE_MIN_BYTES", "4096")
+    src = tree / "in"
+    (src / "big.dds").write_bytes(testgen.make_dds("BC1", 128, 128, seed=5))
+    (src / "big2.dds").write_bytes(testgen.make_dds("BC2", 128, 128, seed=6))
+    out = tree / "outu"
+    assert main(["transform", str(src), str(out), "--preset", "low"]) == 1
+    (out / "junk.txt").unlink(missing_ok=True)
+
+    import dxt_lossless_transform_tpu.cli.main as cli_main
+
+    monkeypatch.setattr(cli_main, "_STREAM_WINDOW_BYTES", 1 << 12)
+    back_b, back_f = tree / "backub", tree / "backuf"
+    assert main(["untransform", str(out), str(back_b), "--batch",
+                 "--max-batch", "2"]) == 0
+    assert main(["untransform", str(out), str(back_f), "--no-batch"]) == 0
+    for rel in ("a.dds", "sub/b.dds", "big.dds", "big2.dds"):
+        assert (back_b / rel).read_bytes() == (back_f / rel).read_bytes(), rel
+        assert (back_b / rel).read_bytes() == (src / rel).read_bytes(), rel
+
+
+def test_cli_transform_stream_windows(tree, monkeypatch):
+    """Transform batch path with tiny streaming windows: multiple flushes per
+    format group still produce per-file-identical outputs."""
+    import dxt_lossless_transform_tpu.cli.main as cli_main
+
+    monkeypatch.setattr(cli_main, "_STREAM_WINDOW_BYTES", 1)  # flush every file
+    src = tree / "in"
+    out_w, out_f = tree / "outw", tree / "outwf"
+    assert main(["transform", str(src), str(out_w), "--preset", "medium"]) == 1
+    monkeypatch.setattr(cli_main, "_STREAM_WINDOW_BYTES", 256 << 20)
+    assert main(["transform", str(src), str(out_f), "--preset", "medium"]) == 1
+    for rel in ("a.dds", "sub/b.dds"):
+        assert (out_w / rel).read_bytes() == (out_f / rel).read_bytes(), rel
+
+
 @pytest.mark.parametrize("preset", ["medium", "optimal"])
 def test_cli_batched_rgb_tree(tmp_path, preset):
     """Uncompressed RGB(A) DDS files ride the batch pipeline under both auto
