@@ -223,10 +223,44 @@ def cmd_format_analysis(args):
     return 0
 
 
+def cmd_endian(args):
+    """Endian-portability execution proof (``debug-endian`` analog,
+    ``commands/debug_endian/endian_test.rs:43-280``): run every format x
+    settings through the byteswap-simulated big-endian host in both transform
+    directions and byte-compare; includes whole-container runs on the
+    reference DDS assets when present."""
+    import os
+
+    from ..utils.endian_harness import run_matrix
+
+    assets = args.assets
+    if assets is None:
+        default = "/root/reference/src/assets/tests"
+        assets = default if os.path.isdir(default) else None
+    try:
+        report = run_matrix(assets_dir=assets, n_blocks=args.blocks, log=print)
+    except AssertionError as e:
+        print(f"ENDIAN MISMATCH: {e}", file=sys.stderr)
+        return 1
+    print(f"endian matrix ok: {report.checks} checks across "
+          f"{len(report.per_format)} formats, {report.containers} "
+          "whole-container round trips (LE<->BE both directions)")
+    return 0
+
+
 def register(sub):
     p_fa = sub.add_parser("debug-format-analysis", help="corpus composition report")
     p_fa.add_argument("input")
     p_fa.set_defaults(fn=cmd_format_analysis)
+
+    p_e = sub.add_parser("debug-endian",
+                         help="prove the on-disk format is endian-portable "
+                              "(byteswap-simulated BE host execution)")
+    p_e.add_argument("--assets", default=None,
+                     help="reference DDS asset dir (default: autodetect)")
+    p_e.add_argument("--blocks", type=int, default=256,
+                     help="synthetic payload size in blocks")
+    p_e.set_defaults(fn=cmd_endian)
 
     for fmt in ("bc1", "bc2", "bc3", "bc7"):
         p = sub.add_parser(f"debug-{fmt}", help=f"debug commands for {fmt.upper()}")

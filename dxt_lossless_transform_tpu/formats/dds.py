@@ -14,6 +14,8 @@ import struct
 from dataclasses import dataclass
 from typing import Optional
 
+from .. import endian
+
 DDS_MAGIC = 0x20534444  # 'DDS ' little-endian
 DDS_HEADER_SIZE = 0x80
 DX10_HEADER_SIZE = 20
@@ -109,11 +111,13 @@ class DdsInfo:
 
 def likely_dds(data: bytes) -> bool:
     """Magic + minimum-length check (``likely_dds.rs:9-13``)."""
-    return len(data) >= DDS_HEADER_SIZE and struct.unpack("<I", data[:4])[0] == DDS_MAGIC
+    return len(data) >= DDS_HEADER_SIZE and endian.unpack_u32(data[:4]) == DDS_MAGIC
 
 
 def _u32(data, off) -> int:
-    return struct.unpack_from("<I", data, off)[0]
+    # LE pin point (every DDS header field is u32 LE, ``parse_dds.rs``); routed
+    # through the endian layer so debug-endian executes the BE-host read form.
+    return endian.unpack_u32(data[off:off + 4])
 
 
 def parse_dds(data: bytes) -> Optional[DdsInfo]:

@@ -45,9 +45,9 @@ Per-format bitfields (within the 28-bit data field):
 from __future__ import annotations
 
 import enum
-import struct
 from dataclasses import dataclass
 
+from .. import endian
 from ..settings import (
     Bc1TransformSettings,
     Bc2TransformSettings,
@@ -112,13 +112,16 @@ class TransformHeader:
     data: int  # 28-bit format-specific field
 
     def to_bytes(self) -> bytes:
-        return struct.pack("<I", (int(self.format) & 0xF) | ((self.data & 0x0FFFFFFF) << 4))
+        # LE pin point (embed/mod.rs:159): routed through the endian layer so the
+        # debug-endian harness executes the BE-host form of this exact write.
+        return endian.pack_u32((int(self.format) & 0xF)
+                               | ((self.data & 0x0FFFFFFF) << 4))
 
     @staticmethod
     def from_bytes(raw: bytes) -> "TransformHeader":
         if len(raw) < TRANSFORM_HEADER_SIZE:
             raise UnknownTransformFormat(raw)
-        (word,) = struct.unpack("<I", raw[:4])
+        word = endian.unpack_u32(raw)  # LE pin point (embed/mod.rs:147)
         tag = word & 0xF
         try:
             fmt = TransformFormat(tag)
@@ -202,8 +205,9 @@ class TransformHeader:
 
     @staticmethod
     def for_rgb(fmt: "TransformFormat", settings: RgbTransformSettings) -> "TransformHeader":
-        assert fmt in (TransformFormat.RGBA8888, TransformFormat.BGRA8888,
-                       TransformFormat.BGR888)
+        if fmt not in (TransformFormat.RGBA8888, TransformFormat.BGRA8888,
+                       TransformFormat.BGR888):
+            raise UnknownTransformFormat(fmt)
         data = (int(settings.decorrelate) << 2) | (int(settings.split_channels) << 3)
         return TransformHeader(fmt, data)
 

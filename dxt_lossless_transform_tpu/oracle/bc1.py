@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import endian
 from ..settings import Bc1TransformSettings, YCoCgVariant
 from . import ycocg
 
@@ -33,16 +34,16 @@ def _require_len(data: bytes) -> int:
 
 def split_blocks(data) -> tuple[np.ndarray, np.ndarray]:
     """De-interleave BC1 bytes into (colors u32[N], indices u32[N]) lanes."""
-    words = np.frombuffer(data, dtype="<u4").reshape(-1, 2)
+    words = endian.from_bytes(data, "u4").reshape(-1, 2)
     return words[:, 0].copy(), words[:, 1].copy()
 
 
 def interleave_blocks(colors: np.ndarray, indices: np.ndarray) -> bytes:
     """Inverse of :func:`split_blocks`: rebuild interleaved BC1 bytes."""
-    words = np.empty((len(colors), 2), dtype="<u4")
+    words = endian.empty((len(colors), 2), "u4")
     words[:, 0] = colors
     words[:, 1] = indices
-    return words.tobytes()
+    return endian.to_bytes(words, "u4")
 
 
 def decorrelate_colors(colors_u32: np.ndarray, variant: int) -> np.ndarray:
@@ -71,10 +72,10 @@ def transform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> 
     colors = decorrelate_colors(colors, settings.decorrelation_mode)
     if settings.split_colour_endpoints:
         c = colors.astype(np.int64)
-        c0 = (c & 0xFFFF).astype("<u2")
-        c1 = ((c >> 16) & 0xFFFF).astype("<u2")
-        return c0.tobytes() + c1.tobytes() + indices.astype("<u4").tobytes()
-    return colors.astype("<u4").tobytes() + indices.astype("<u4").tobytes()
+        return (endian.to_bytes(c & 0xFFFF, "u2")
+                + endian.to_bytes((c >> 16) & 0xFFFF, "u2")
+                + endian.to_bytes(indices, "u4"))
+    return endian.to_bytes(colors, "u4") + endian.to_bytes(indices, "u4")
 
 
 def untransform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -> bytes:
@@ -83,12 +84,12 @@ def untransform(data, settings: Bc1TransformSettings = Bc1TransformSettings()) -
     half = len(data) // 2
     if settings.split_colour_endpoints:
         quarter = len(data) // 4
-        c0 = np.frombuffer(data[:quarter], dtype="<u2").astype(np.int64)
-        c1 = np.frombuffer(data[quarter:half], dtype="<u2").astype(np.int64)
+        c0 = endian.from_bytes(data[:quarter], "u2").astype(np.int64)
+        c1 = endian.from_bytes(data[quarter:half], "u2").astype(np.int64)
         colors = (c0 | (c1 << 16)).astype(np.uint32)
     else:
-        colors = np.frombuffer(data[:half], dtype="<u4").copy()
-    indices = np.frombuffer(data[half:], dtype="<u4")
+        colors = endian.from_bytes(data[:half], "u4").copy()
+    indices = endian.from_bytes(data[half:], "u4")
     colors = recorrelate_colors(colors, settings.decorrelation_mode)
     assert len(colors) == n
     return interleave_blocks(colors, indices)

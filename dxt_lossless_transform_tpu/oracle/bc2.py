@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import endian
 from ..settings import Bc2TransformSettings
 from .bc1 import decorrelate_colors, recorrelate_colors
 
@@ -34,49 +35,49 @@ def _require_len(data: bytes) -> int:
 
 def split_blocks(data) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """De-interleave BC2 bytes into (alpha u64[N], colors u32[N], indices u32[N])."""
-    words = np.frombuffer(data, dtype="<u4").reshape(-1, 4)
+    words = endian.from_bytes(data, "u4").reshape(-1, 4)
     alpha = words[:, 0].astype(np.uint64) | (words[:, 1].astype(np.uint64) << np.uint64(32))
     return alpha, words[:, 2].copy(), words[:, 3].copy()
 
 
 def interleave_blocks(alpha: np.ndarray, colors: np.ndarray, indices: np.ndarray) -> bytes:
-    words = np.empty((len(colors), 4), dtype="<u4")
+    words = endian.empty((len(colors), 4), "u4")
     words[:, 0] = (alpha & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     words[:, 1] = (alpha >> np.uint64(32)).astype(np.uint32)
     words[:, 2] = colors
     words[:, 3] = indices
-    return words.tobytes()
+    return endian.to_bytes(words, "u4")
 
 
 def transform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> bytes:
     _require_len(data)
     alpha, colors, indices = split_blocks(data)
     colors = decorrelate_colors(colors, settings.decorrelation_mode)
-    parts = [alpha.astype("<u8").tobytes()]
+    parts = [endian.to_bytes(alpha, "u8")]
     if settings.split_colour_endpoints:
         c = colors.astype(np.int64)
-        parts.append((c & 0xFFFF).astype("<u2").tobytes())
-        parts.append(((c >> 16) & 0xFFFF).astype("<u2").tobytes())
+        parts.append(endian.to_bytes(c & 0xFFFF, "u2"))
+        parts.append(endian.to_bytes((c >> 16) & 0xFFFF, "u2"))
     else:
-        parts.append(colors.astype("<u4").tobytes())
-    parts.append(indices.astype("<u4").tobytes())
+        parts.append(endian.to_bytes(colors, "u4"))
+    parts.append(endian.to_bytes(indices, "u4"))
     return b"".join(parts)
 
 
 def untransform(data, settings: Bc2TransformSettings = Bc2TransformSettings()) -> bytes:
     n = _require_len(data)
     half = len(data) // 2
-    alpha = np.frombuffer(data[:half], dtype="<u8").copy()
+    alpha = endian.from_bytes(data[:half], "u8").copy()
     if settings.split_colour_endpoints:
         eighth = len(data) // 8
-        c0 = np.frombuffer(data[half:half + eighth], dtype="<u2").astype(np.int64)
-        c1 = np.frombuffer(data[half + eighth:half + 2 * eighth], dtype="<u2").astype(np.int64)
+        c0 = endian.from_bytes(data[half:half + eighth], "u2").astype(np.int64)
+        c1 = endian.from_bytes(data[half + eighth:half + 2 * eighth], "u2").astype(np.int64)
         colors = (c0 | (c1 << 16)).astype(np.uint32)
-        indices = np.frombuffer(data[half + 2 * eighth:], dtype="<u4")
+        indices = endian.from_bytes(data[half + 2 * eighth:], "u4")
     else:
         quarter = len(data) // 4
-        colors = np.frombuffer(data[half:half + quarter], dtype="<u4").copy()
-        indices = np.frombuffer(data[half + quarter:], dtype="<u4")
+        colors = endian.from_bytes(data[half:half + quarter], "u4").copy()
+        indices = endian.from_bytes(data[half + quarter:], "u4")
     colors = recorrelate_colors(colors, settings.decorrelation_mode)
     assert len(colors) == n
     return interleave_blocks(alpha, colors, indices)

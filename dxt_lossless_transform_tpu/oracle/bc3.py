@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import endian
 from ..settings import Bc3TransformSettings
 from .bc1 import decorrelate_colors, recorrelate_colors
 
@@ -44,7 +45,7 @@ def split_blocks(data) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     granularity -- the TPU-friendly representation of the reference's awkward 2B/6B
     fields (``bc3-api/README.MD`` perf notes).
     """
-    halves = np.frombuffer(data, dtype="<u2").reshape(-1, 8)
+    halves = endian.from_bytes(data, "u2").reshape(-1, 8)
     alpha_ep = halves[:, 0].copy()
     alpha_idx = halves[:, 1:4].copy()
     colors = halves[:, 4].astype(np.uint32) | (halves[:, 5].astype(np.uint32) << 16)
@@ -53,7 +54,7 @@ def split_blocks(data) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
 
 
 def interleave_blocks(alpha_ep, alpha_idx, colors, cidx) -> bytes:
-    halves = np.empty((len(alpha_ep), 8), dtype="<u2")
+    halves = endian.empty((len(alpha_ep), 8), "u2")
     halves[:, 0] = alpha_ep
     halves[:, 1:4] = alpha_idx
     colors = np.asarray(colors, np.uint32)
@@ -62,7 +63,7 @@ def interleave_blocks(alpha_ep, alpha_idx, colors, cidx) -> bytes:
     halves[:, 5] = colors >> 16
     halves[:, 6] = cidx & 0xFFFF
     halves[:, 7] = cidx >> 16
-    return halves.tobytes()
+    return endian.to_bytes(halves, "u2")
 
 
 def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> bytes:
@@ -76,15 +77,15 @@ def transform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -> 
         parts.append((a & 0xFF).astype(np.uint8).tobytes())       # alpha0 stream at 0
         parts.append(((a >> 8) & 0xFF).astype(np.uint8).tobytes())  # alpha1 stream at N
     else:
-        parts.append(alpha_ep.astype("<u2").tobytes())            # a0a1 u16 stream at 0
-    parts.append(alpha_idx.astype("<u2").tobytes())               # 6B/blk stream at 2N
+        parts.append(endian.to_bytes(alpha_ep, "u2"))             # a0a1 u16 stream at 0
+    parts.append(endian.to_bytes(alpha_idx, "u2"))                # 6B/blk stream at 2N
     if settings.split_colour_endpoints:
         c = colors.astype(np.int64)
-        parts.append((c & 0xFFFF).astype("<u2").tobytes())        # c0 at 8N
-        parts.append(((c >> 16) & 0xFFFF).astype("<u2").tobytes())  # c1 at 10N
+        parts.append(endian.to_bytes(c & 0xFFFF, "u2"))           # c0 at 8N
+        parts.append(endian.to_bytes((c >> 16) & 0xFFFF, "u2"))     # c1 at 10N
     else:
-        parts.append(colors.astype("<u4").tobytes())              # colors at 8N
-    parts.append(cidx.astype("<u4").tobytes())                    # color indices at 12N
+        parts.append(endian.to_bytes(colors, "u4"))               # colors at 8N
+    parts.append(endian.to_bytes(cidx, "u4"))                     # color indices at 12N
     return b"".join(parts)
 
 
@@ -95,14 +96,14 @@ def untransform(data, settings: Bc3TransformSettings = Bc3TransformSettings()) -
         a1 = np.frombuffer(data[n:2 * n], dtype=np.uint8).astype(np.int64)
         alpha_ep = (a0 | (a1 << 8)).astype(np.uint16)
     else:
-        alpha_ep = np.frombuffer(data[:2 * n], dtype="<u2").copy()
-    alpha_idx = np.frombuffer(data[2 * n:8 * n], dtype="<u2").reshape(n, 3)
+        alpha_ep = endian.from_bytes(data[:2 * n], "u2").copy()
+    alpha_idx = endian.from_bytes(data[2 * n:8 * n], "u2").reshape(n, 3)
     if settings.split_colour_endpoints:
-        c0 = np.frombuffer(data[8 * n:10 * n], dtype="<u2").astype(np.int64)
-        c1 = np.frombuffer(data[10 * n:12 * n], dtype="<u2").astype(np.int64)
+        c0 = endian.from_bytes(data[8 * n:10 * n], "u2").astype(np.int64)
+        c1 = endian.from_bytes(data[10 * n:12 * n], "u2").astype(np.int64)
         colors = (c0 | (c1 << 16)).astype(np.uint32)
     else:
-        colors = np.frombuffer(data[8 * n:12 * n], dtype="<u4").copy()
-    cidx = np.frombuffer(data[12 * n:16 * n], dtype="<u4")
+        colors = endian.from_bytes(data[8 * n:12 * n], "u4").copy()
+    cidx = endian.from_bytes(data[12 * n:16 * n], "u4")
     colors = recorrelate_colors(colors, settings.decorrelation_mode)
     return interleave_blocks(alpha_ep, alpha_idx, colors, cidx)

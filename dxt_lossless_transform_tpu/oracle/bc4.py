@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import endian
 from ..settings import Bc4TransformSettings, Bc5TransformSettings
 
 BC4_BLOCK_SIZE = 8
@@ -38,7 +39,7 @@ def _ep_streams(ep: np.ndarray, split: bool) -> bytes:
     if split:
         e = ep.astype(np.int64)
         return (e & 0xFF).astype(np.uint8).tobytes() + (e >> 8).astype(np.uint8).tobytes()
-    return ep.astype("<u2").tobytes()
+    return endian.to_bytes(ep, "u2")
 
 
 def _ep_from_streams(data: bytes, n: int, split: bool) -> np.ndarray:
@@ -46,15 +47,15 @@ def _ep_from_streams(data: bytes, n: int, split: bool) -> np.ndarray:
         a0 = np.frombuffer(data[:n], np.uint8).astype(np.int64)
         a1 = np.frombuffer(data[n:2 * n], np.uint8).astype(np.int64)
         return (a0 | (a1 << 8)).astype(np.uint16)
-    return np.frombuffer(data[:2 * n], "<u2").copy()
+    return endian.from_bytes(data[:2 * n], "u2").copy()
 
 
 def transform_bc4(data, settings: Bc4TransformSettings = Bc4TransformSettings()) -> bytes:
     if len(data) % BC4_BLOCK_SIZE:
         raise ValueError(f"BC4 data length {len(data)} not divisible by {BC4_BLOCK_SIZE}")
-    halves = np.frombuffer(data, "<u2").reshape(-1, 4)
+    halves = endian.from_bytes(data, "u2").reshape(-1, 4)
     ep, idx = _split_bc4_halves(halves)
-    return _ep_streams(ep, settings.split_endpoints) + idx.astype("<u2").tobytes()
+    return _ep_streams(ep, settings.split_endpoints) + endian.to_bytes(idx, "u2")
 
 
 def untransform_bc4(data, settings: Bc4TransformSettings = Bc4TransformSettings()) -> bytes:
@@ -62,22 +63,22 @@ def untransform_bc4(data, settings: Bc4TransformSettings = Bc4TransformSettings(
         raise ValueError(f"BC4 data length {len(data)} not divisible by {BC4_BLOCK_SIZE}")
     n = len(data) // BC4_BLOCK_SIZE
     ep = _ep_from_streams(data, n, settings.split_endpoints)
-    idx = np.frombuffer(data[2 * n:], "<u2").reshape(n, 3)
-    halves = np.empty((n, 4), "<u2")
+    idx = endian.from_bytes(data[2 * n:], "u2").reshape(n, 3)
+    halves = endian.empty((n, 4), "u2")
     halves[:, 0] = ep
     halves[:, 1:4] = idx
-    return halves.tobytes()
+    return endian.to_bytes(halves, "u2")
 
 
 def transform_bc5(data, settings: Bc5TransformSettings = Bc5TransformSettings()) -> bytes:
     if len(data) % BC5_BLOCK_SIZE:
         raise ValueError(f"BC5 data length {len(data)} not divisible by {BC5_BLOCK_SIZE}")
-    halves = np.frombuffer(data, "<u2").reshape(-1, 8)
+    halves = endian.from_bytes(data, "u2").reshape(-1, 8)
     r_ep, r_idx = _split_bc4_halves(halves[:, :4])
     g_ep, g_idx = _split_bc4_halves(halves[:, 4:])
     return (_ep_streams(r_ep, settings.split_endpoints)
             + _ep_streams(g_ep, settings.split_endpoints)
-            + r_idx.astype("<u2").tobytes() + g_idx.astype("<u2").tobytes())
+            + endian.to_bytes(r_idx, "u2") + endian.to_bytes(g_idx, "u2"))
 
 
 def untransform_bc5(data, settings: Bc5TransformSettings = Bc5TransformSettings()) -> bytes:
@@ -86,11 +87,11 @@ def untransform_bc5(data, settings: Bc5TransformSettings = Bc5TransformSettings(
     n = len(data) // BC5_BLOCK_SIZE
     r_ep = _ep_from_streams(data, n, settings.split_endpoints)
     g_ep = _ep_from_streams(data[2 * n:], n, settings.split_endpoints)
-    r_idx = np.frombuffer(data[4 * n:10 * n], "<u2").reshape(n, 3)
-    g_idx = np.frombuffer(data[10 * n:16 * n], "<u2").reshape(n, 3)
-    halves = np.empty((n, 8), "<u2")
+    r_idx = endian.from_bytes(data[4 * n:10 * n], "u2").reshape(n, 3)
+    g_idx = endian.from_bytes(data[10 * n:16 * n], "u2").reshape(n, 3)
+    halves = endian.empty((n, 8), "u2")
     halves[:, 0] = r_ep
     halves[:, 1:4] = r_idx
     halves[:, 4] = g_ep
     halves[:, 5:8] = g_idx
-    return halves.tobytes()
+    return endian.to_bytes(halves, "u2")
