@@ -183,7 +183,8 @@ class BatchProcessor:
         if estimator is not None:
             # Host-scored mode (the CLI's zstd presets): the device builds every
             # candidate's estimation region; the host estimator ranks them.
-            self._step = sharded.auto_step_batched_regions(fmt, self._cand_key)
+            self._step = sharded.auto_step_batched_regions(fmt, self._cand_key,
+                                                           mesh=mesh)
         else:
             # With a mesh: sharded step (per-shard Mosaic kernels when local
             # shapes allow, GSPMD-partitioned XLA otherwise). Without: the
@@ -251,6 +252,7 @@ class BatchProcessor:
         if self.estimator is not None:
             self._process_host_scored(payloads, order)
             return [r for r in order if r is not None]
+        self._route_small_native(payloads, order)
         bs = self.cfg["block_size"]
         for chunk, flats, valid in self._prepare_batches(payloads, order):
             out = jax.device_get(self._run_batch(flats, valid))
@@ -263,6 +265,50 @@ class BatchProcessor:
                     file_idx, self.cfg["serialize"](row_streams, n, settings),
                     settings)
         return [r for r in order if r is not None]
+
+    def _route_small_native(self, payloads, order):
+        """Device-scored (medium/LTU) mode with ``DLT_MEDIUM_BATCH_NATIVE=1``:
+        run sub-threshold payloads through the per-file native/host LTU auto on
+        a thread pool instead of the device batch. OPT-IN, not the default --
+        on real TPU hardware the batched device search beats the native path
+        even for small files (round-4 bench: +21%); the knob exists for
+        device-free environments (e.g. the corpus-scale bench child, which must
+        not touch the single-process relay chip). The native LTU scorer is the
+        exact-integer twin of the device scorer, so picks agree in this size
+        regime (see estimate/ltu.py) and outputs stay byte-identical."""
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..estimate.ltu import LtuEstimation
+        from ..ops import auto as ops_auto, bc45 as ops_bc45
+
+        if _os.environ.get("DLT_MEDIUM_BATCH_NATIVE", "0") != "1":
+            return
+        if self.mesh is not None or self.candidates != tuple(self.cfg["candidates"]):
+            return  # explicit mesh / custom candidates keep the device path
+        thresh = lanes.device_threshold_bytes()
+        small = [i for i, p in enumerate(payloads)
+                 if order[i] is None and 0 < len(p) < thresh]
+        if not small:
+            return
+        auto_fn = {"bc1": ops_auto.transform_bc1_auto,
+                   "bc2": ops_auto.transform_bc2_auto,
+                   "bc3": ops_auto.transform_bc3_auto,
+                   "bc4": ops_bc45.transform_bc4_auto,
+                   "bc5": ops_bc45.transform_bc5_auto}[self.fmt]
+        est = LtuEstimation()
+
+        def run(i):
+            out, settings = auto_fn(payloads[i], est)
+            order[i] = BatchResult(i, out, settings)
+
+        workers = min(len(small), _os.cpu_count() or 2)
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(run, small))
+        else:
+            for i in small:
+                run(i)
 
     # --- host-scored (zstd-preset) mode -------------------------------------------
 

@@ -820,16 +820,21 @@ _BATCHED_REGIONS_IMPLS = {"bc1": _bc1_batched_regions_impl,
                           "bc5": _bc5_batched_regions_impl}
 
 
-def auto_step_batched_regions(fmt: str, candidates):
-    """Single-device batched step for host-scored (zstd) searches: returns aux
-    lane streams + per-candidate region rows, no device argmin."""
+def auto_step_batched_regions(fmt: str, candidates, mesh: Mesh = None):
+    """Batched step for host-scored (zstd) searches: returns aux lane streams +
+    per-candidate region rows, no device argmin. With a mesh the batch is
+    GSPMD-partitioned ``P("files", "blocks")`` (region building is per-block
+    lane math, so XLA shards it without collectives; only the host download
+    gathers)."""
     impl = _BATCHED_REGIONS_IMPLS[fmt]
 
-    @jax.jit
     def step(flats, valid_lens):
         return impl(flats, valid_lens, candidates, allow_pallas=True)
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(NamedSharding(mesh, P("files", "blocks")),
+                                       NamedSharding(mesh, P("files"))))
 
 
 _BATCHED_IMPLS = {"bc1": _bc1_batched_impl, "bc2": _bc2_batched_impl,

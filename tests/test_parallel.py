@@ -75,6 +75,19 @@ def test_batch_pipeline_roundtrip(use_mesh):
         assert obc1.untransform(r.transformed, r.settings) == data
 
 
+def test_batch_pipeline_small_native_matches_device(monkeypatch):
+    """DLT_MEDIUM_BATCH_NATIVE=1 routes sub-threshold payloads through the
+    native LTU auto; it must pick the same settings and bytes as the default
+    device-scored step (exact-integer twin scorers in this size regime)."""
+    payloads = [testgen.bc1_realistic(n, seed=100 + n) for n in (512, 2048, 3000)]
+    device = Bc1BatchProcessor(max_batch=8).process(payloads)
+    monkeypatch.setenv("DLT_MEDIUM_BATCH_NATIVE", "1")
+    native = Bc1BatchProcessor(max_batch=8).process(payloads)
+    for a, b in zip(native, device):
+        assert a.settings == b.settings
+        assert a.transformed == b.transformed
+
+
 def test_distributed_helpers_single_process():
     assert initialize(num_processes=1) is False
     assert is_primary() is True
