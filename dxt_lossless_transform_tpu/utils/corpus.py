@@ -262,3 +262,66 @@ def build_realistic_corpus(n_files: int, sizes=(256, 512, 1024),
 def encode_mips(mips, encode_fn) -> bytes:
     """Concatenated per-mip payload, the way a DDS data section stores a chain."""
     return b"".join(encode_fn(m) for m in mips)
+
+
+def _with_alpha(img: np.ndarray, rng, translucent: bool) -> np.ndarray:
+    if not translucent:
+        out = img.copy()
+        out[..., 3] = 255
+        return out
+    # foliage/decal-style alpha cut from the luma field
+    luma = img[..., :3].astype(np.int64) @ [299, 587, 114] // 1000
+    out = img.copy()
+    out[..., 3] = np.clip((luma - int(rng.integers(40, 120))) * 3,
+                          0, 255).astype(np.uint8)
+    return out
+
+
+def build_bc7_dds_corpus(n_files: int, sizes=(128, 256), seed0: int = 52000,
+                         translucent_every: int = 3):
+    """Real-encoder BC7 corpus: (name, DX10 DDS bytes, mode histogram) files.
+
+    Textures come from the realistic families, full mip chains, encoded per
+    block by the least-error multi-mode encoder (``utils.bc7codec``); every
+    ``translucent_every``-th file carries a derived alpha channel so the
+    alpha-mode working set (5/6/7) appears alongside the opaque one (1/3/6)."""
+    from . import testgen
+    from .bc7codec import block_mode_histogram, encode_bc7
+
+    for i in range(n_files):
+        size = sizes[(i // len(_FAMILIES)) % len(sizes)]
+        name, img = realistic_texture(size, seed=seed0 + i)
+        rng = np.random.default_rng(seed0 + 7 * i)
+        rgba = _with_alpha(img, rng, translucent=(i % translucent_every == 0))
+        mips = mip_chain(rgba)
+        payload = encode_mips(mips, encode_bc7)
+        dds = testgen.make_dx10_dds("BC7", size, size, mipmaps=len(mips),
+                                    payload=payload)
+        yield (f"{name}{'_a' if i % translucent_every == 0 else ''}", dds,
+               block_mode_histogram(payload))
+
+
+def build_bc6h_dds_corpus(n_files: int, sizes=(128, 256), seed0: int = 63000):
+    """Real-encoder BC6H corpus: realistic textures HDR-ified (gamma-decode +
+    per-file exposure scale into float16) and encoded with the mode-11 BC6H
+    encoder; yields (name, DX10 DDS bytes)."""
+    from . import testgen
+    from .bc7codec import encode_bc6h
+
+    for i in range(n_files):
+        size = sizes[(i // len(_FAMILIES)) % len(sizes)]
+        name, img = realistic_texture(size, seed=seed0 + i)
+        rng = np.random.default_rng(seed0 + 11 * i)
+        scale = float(rng.uniform(0.5, 8.0))
+        hdr = ((img[..., :3].astype(np.float64) / 255.0) ** 2.2
+               * scale).astype(np.float16)
+        mips, cur = [], hdr
+        while True:
+            mips.append(cur)
+            if min(cur.shape[:2]) <= 4:
+                break
+            cur = cur[::2, ::2]
+        payload = encode_mips(mips, encode_bc6h)
+        dds = testgen.make_dx10_dds("BC6H", size, size, mipmaps=len(mips),
+                                    payload=payload)
+        yield name, dds

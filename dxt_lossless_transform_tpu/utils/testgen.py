@@ -142,10 +142,12 @@ _BLOCK_SIZE_DX10 = {"BC1": 8, "BC2": 16, "BC3": 16, "BC4": 8, "BC5": 16,
 
 
 def make_dx10_dds(fmt: str, width: int, height: int, mipmaps: int = 1,
-                  seed: int = 0, trailing: bytes = b"") -> bytes:
+                  seed: int = 0, trailing: bytes = b"",
+                  payload: bytes = None) -> bytes:
     """DX10-header DDS (magic + 124 B header + 20 B DX10 extension, payload at
-    0x94; ``dds/constants.rs:5-73``) with realistic synthetic payload -- the only
-    legal container form for BC6H/BC7."""
+    0x94; ``dds/constants.rs:5-73``) -- the only legal container form for
+    BC6H/BC7. Default payload is realistic-synthetic; pass ``payload`` to wrap
+    real-encoder data (``utils.bc7codec``, the corpus study's BC7/BC6H legs)."""
     if fmt not in _DXGI:
         raise ValueError(f"unsupported DX10 format {fmt}")
     bs = _BLOCK_SIZE_DX10[fmt]
@@ -154,11 +156,16 @@ def make_dx10_dds(fmt: str, width: int, height: int, mipmaps: int = 1,
     for _ in range(mipmaps):
         total_blocks += ((w + 3) // 4) * ((h + 3) // 4)
         w, h = max(w // 2, 1), max(h // 2, 1)
-    gen = {"BC1": bc1_realistic, "BC2": bc2_realistic, "BC3": bc3_realistic,
-           "BC4": lambda n, s: bc_blocks(n, 8, s),
-           "BC5": lambda n, s: bc_blocks(n, 16, s),
-           "BC6H": bc7_realistic, "BC7": bc7_realistic}[fmt]
-    payload = gen(total_blocks, seed)
+    if payload is None:
+        gen = {"BC1": bc1_realistic, "BC2": bc2_realistic, "BC3": bc3_realistic,
+               "BC4": lambda n, s: bc_blocks(n, 8, s),
+               "BC5": lambda n, s: bc_blocks(n, 16, s),
+               "BC6H": bc7_realistic, "BC7": bc7_realistic}[fmt]
+        payload = gen(total_blocks, seed)
+    elif len(payload) != total_blocks * bs:
+        raise ValueError(f"payload is {len(payload)} bytes; the stated "
+                         f"{width}x{height}x{mipmaps} chain needs "
+                         f"{total_blocks * bs}")
 
     flags = _DDSD_CAPS | _DDSD_HEIGHT | _DDSD_WIDTH | _DDSD_PIXELFORMAT
     if mipmaps > 1:
