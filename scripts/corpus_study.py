@@ -597,6 +597,22 @@ def main():
                 lines += ["Encoder mode distribution (%): "
                           f"{r['encoder_mode_distribution_pct']}."]
             lines += [""]
+    lines += [
+        "## LTU scorer tuning, round 5 (ltu_tune_v6.log; 100 files/format)", "",
+        "Per-format offset ladders (denser / short / u16-lane-biased) and "
+        "weight slopes (0.5/1/2/3x log2 discount) were swept against zstd-16 "
+        "truth: NONE beat the production scorer (4-gram, nearest-offset "
+        "W(k)=24-round(log2 k)) -- the kernel family is at its ceiling "
+        "(BC1 57% exact / 99.70% efficiency; BC3 55% / 99.76%).",
+        "Ceiling analysis: 27% of BC1 files and 87% of BC3 files have >=2 "
+        "candidates within 0.1% of the true best -- coin flips for ANY "
+        "approximate estimator; on clear-margin files the scorer picks the "
+        "best 64.4% (BC1). A coverage+entropy hybrid (cov4g_int + 3.0*H) "
+        "reaches zstd-1 parity offline (BC1 59% / 99.71%, BC3 58% / 99.79%) "
+        "but needs a second full pass over every region (byte histogram) "
+        "plus a cross-twin fixed-point entropy implementation, violating the "
+        "<=5% auto-step throughput budget; recorded here as the measured "
+        "next step rather than adopted.", ""]
     lp = report.get("load_path_bc1")
     if lp:
         lines += ["## Load path (BC1, whole corpus)", "",

@@ -41,6 +41,10 @@ OFF_DENSER = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64, 96,
               128, 192, 256, 384, 512, 768, 1024, 2048, 4096)
 OFF_SHORT = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 48, 64,
              128, 256)
+# u16-lane-biased ladder (colour/endpoint streams are 2-byte lanes; even
+# offsets catch lane-aligned matches, a few odds keep byte-phase coverage)
+OFF_U16 = (1, 2, 3, 4, 6, 8, 10, 12, 16, 20, 24, 32, 48, 64, 96, 128, 192,
+           256, 384, 512, 768, 1024, 2048, 4096)
 
 
 def coverage(data: np.ndarray, offsets) -> int:
@@ -106,15 +110,16 @@ def weighted_coverage4(data: np.ndarray, offsets, alpha: float) -> float:
     return float(np.where(cov, w, 0.0).sum())
 
 
-def int_weight(k: int) -> int:
-    """Integer twin of the 1 - 0.5*log2(k)/12 discount, scaled by 24."""
+def int_weight(k: int, slope: float = 1.0, base: int = 24) -> int:
+    """Integer offset discount: base - slope*log2(k), floored at 1."""
     import math
-    return 24 - int(round(math.log2(k))) if k > 1 else 24
+    return max(1, base - int(round(slope * math.log2(k)))) if k > 1 else base
 
 
-def weighted_coverage4_int(data: np.ndarray, offsets) -> int:
+def weighted_coverage4_int(data: np.ndarray, offsets, slope: float = 1.0,
+                           base: int = 24) -> int:
     """Kernel-ready integer form: 4-grams, per-position weight of the SMALLEST
-    matching offset from a static table; score = 24*len - this."""
+    matching offset from a static table; score = base*len - this."""
     if len(data) < 4:
         return 0
     d = data.astype(np.uint64)
@@ -124,7 +129,7 @@ def weighted_coverage4_int(data: np.ndarray, offsets) -> int:
         if k >= len(g):
             continue
         eq = g[k:] == g[:-k]
-        w[k:][eq] = int_weight(k)
+        w[k:][eq] = int_weight(k, slope, base)
     return int(w.sum())
 
 
@@ -156,6 +161,21 @@ def scorers():
         "cov4g_w0.5": lambda d: len(d) - weighted_coverage4(d, OFF_DENSE, 0.5),
         "cov4g_w0.5_dsr": lambda d: len(d) - weighted_coverage4(d, OFF_DENSER, 0.5),
         "cov4g_int": lambda d: 24 * len(d) - weighted_coverage4_int(d, OFF_DENSE),
+        # round-5 per-format retune candidates: offset ladders x weight slopes
+        "cov4g_int_dsr": lambda d: 24 * len(d)
+        - weighted_coverage4_int(d, OFF_DENSER),
+        "cov4g_int_short": lambda d: 24 * len(d)
+        - weighted_coverage4_int(d, OFF_SHORT),
+        "cov4g_int_s2": lambda d: 24 * len(d)
+        - weighted_coverage4_int(d, OFF_DENSE, slope=2.0),
+        "cov4g_int_s0.5": lambda d: 24 * len(d)
+        - weighted_coverage4_int(d, OFF_DENSE, slope=0.5),
+        "cov4g_int_s3b36": lambda d: 36 * len(d)
+        - weighted_coverage4_int(d, OFF_DENSE, slope=3.0, base=36),
+        "cov4g_int_u16": lambda d: 24 * len(d)
+        - weighted_coverage4_int(d, OFF_U16),
+        "cov4g_int+ent": lambda d: 24 * len(d)
+        - weighted_coverage4_int(d, OFF_DENSE) + 3.0 * entropy_bits(d) / 8.0,
     }
 
 
