@@ -232,6 +232,16 @@ def _out_path_fn(src: Path, dst: Path):
     return out_path
 
 
+def _pmap(fn, items, threads: int):
+    """Host-thread map preserving order (reads/writes release the GIL)."""
+    if threads > 1 and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            return list(pool.map(fn, items))
+    return [fn(x) for x in items]
+
+
 def _run_per_file(files, work_fn, out_path, failures, threads: int) -> int:
     """Per-file path with error isolation (``util/core.rs:44``), optionally
     host-thread parallel (the rayon analog); returns bytes written."""
@@ -312,11 +322,11 @@ def _transform_batched(args, bundle, handlers):
             failures.append(f)
             print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
 
+    threads = getattr(args, "threads", 1)
+
     def flush(fmt, proc, window):
         nonlocal total
-        datas = []
-        for f, info in window:
-            datas.append(f.read_bytes())
+        datas = _pmap(lambda e: e[0].read_bytes(), window, threads)
         payloads = [data[info.data_offset:info.data_offset + info.data_length]
                     for (_, info), data in zip(window, datas)]
         try:
@@ -330,7 +340,9 @@ def _transform_batched(args, bundle, handlers):
                   "falling back to per-file", file=sys.stderr)
             fallback.extend(f for f, _ in window)
             return
-        for (f, info), data, res in zip(window, datas, results):
+
+        def write_one(job):
+            (f, info), data, res = job
             try:
                 header = for_header[fmt](res.settings)
                 start = info.data_offset
@@ -338,10 +350,14 @@ def _transform_batched(args, bundle, handlers):
                 out = (header.to_bytes() + data[TRANSFORM_HEADER_SIZE:start]
                        + res.transformed + data[end:])
                 out_path(f).write_bytes(out)
-                total += len(out)
+                return len(out)
             except Exception as e:
                 failures.append(f)
                 print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+                return 0
+
+        total += sum(_pmap(write_one, list(zip(window, datas, results)),
+                           threads))
 
     for fmt, entries in groups.items():
         if not entries:
@@ -429,9 +445,11 @@ def _untransform_batched(args, handlers):
         except Exception:
             fallback.append(f)  # per-file path reports the real error
 
+    threads = getattr(args, "threads", 1)
+
     def flush(fmt, proc, window):
         nonlocal total
-        datas = [f.read_bytes() for f, _, _, _ in window]
+        datas = _pmap(lambda e: e[0].read_bytes(), window, threads)
         payloads = [(data[start:end], settings)
                     for (_, start, end, settings), data in zip(window, datas)]
         try:
@@ -445,14 +463,20 @@ def _untransform_batched(args, handlers):
                   "falling back to per-file", file=sys.stderr)
             fallback.extend(f for f, _, _, _ in window)
             return
-        for (f, start, end, _), data, payload in zip(window, datas, results):
+
+        def write_one(job):
+            (f, start, end, _), data, payload = job
             try:
                 out = magic + data[4:start] + payload + data[end:]
                 out_path(f).write_bytes(out)
-                total += len(out)
+                return len(out)
             except Exception as e:
                 failures.append(f)
                 print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
+                return 0
+
+        total += sum(_pmap(write_one, list(zip(window, datas, results)),
+                           threads))
 
     for fmt, entries in groups.items():
         proc = UntransformBatchProcessor(fmt,
