@@ -248,10 +248,90 @@ def cmd_endian(args):
     return 0
 
 
+def cmd_endian_transform(args):
+    """One half of the two-phase exchange (``debug-endian-transform`` analog):
+    transform the asset tree ON THE SIMULATED BIG-ENDIAN HOST and write the
+    results for the other phase to untransform natively."""
+    return _endian_phase(args, transform=True)
+
+
+def cmd_endian_untransform(args):
+    """Other half (``debug-endian-untransform`` analog): untransform the
+    exchange directory's files ON THE NATIVE (LE) HOST -- the files were
+    produced by the simulated-BE transform phase, so a byte-exact restore
+    proves the BE->LE leg of the cross-host exchange (the LE->BE leg and the
+    full matrix live in ``debug-endian``)."""
+    return _endian_phase(args, transform=False)
+
+
+def _endian_phase(args, transform: bool):
+    import os
+
+    from .. import endian
+    from ..utils.endian_harness import _ASSET_FMT, _formats
+
+    fmts = {f.name: f for f in _formats()}
+    os.makedirs(args.exchange, exist_ok=True)
+    ok = 0
+    for fname, fmt in _ASSET_FMT.items():
+        src = os.path.join(args.assets, fname)
+        if not os.path.isfile(src):
+            continue
+        f = fmts[fmt]
+        s = f.settings[0]
+        with open(src, "rb") as fh:
+            data = fh.read()
+        if transform:
+            from ..formats.dds import parse_dds
+
+            with endian.simulate_big_endian():
+                info = parse_dds(data)
+                start, end = info.data_offset, info.data_offset + info.data_length
+                t = f.transform(data[start:end], s)
+                out = f.header(s).to_bytes() + data[4:start] + t + data[end:]
+            with open(os.path.join(args.exchange, fname), "wb") as fh:
+                fh.write(out)
+            print(f"{fname}: transformed on BE host -> {args.exchange}")
+        else:
+            from ..formats.dds import DDS_MAGIC, parse_dds_ignore_magic
+            from ..formats.embed import TransformHeader
+            from ..formats.handlers import transformed_payload_len
+
+            with open(os.path.join(args.exchange, fname), "rb") as fh:
+                tdata = fh.read()
+            header = TransformHeader.from_bytes(tdata)
+            info = parse_dds_ignore_magic(tdata)
+            start = info.data_offset
+            tlen = transformed_payload_len(header, info.data_length)
+            payload = f.untransform(tdata[start:start + tlen],
+                                    f.settings_of(header))
+            back = (endian.pack_u32(DDS_MAGIC) + tdata[4:start] + payload
+                    + tdata[start + tlen:])
+            if back != data:
+                print(f"ENDIAN MISMATCH: {fname}", file=sys.stderr)
+                return 1
+            print(f"{fname}: untransformed natively == original "
+                  "(BE->LE leg byte-exact)")
+        ok += 1
+    if not ok:
+        print("no reference assets found", file=sys.stderr)
+        return 1
+    return 0
+
+
 def register(sub):
     p_fa = sub.add_parser("debug-format-analysis", help="corpus composition report")
     p_fa.add_argument("input")
     p_fa.set_defaults(fn=cmd_format_analysis)
+
+    for name, fn in (("debug-endian-transform", cmd_endian_transform),
+                     ("debug-endian-untransform", cmd_endian_untransform)):
+        p = sub.add_parser(name, help="one half of the two-phase endian "
+                                      "exchange (endian_test.rs analog)")
+        p.add_argument("--assets", default="/root/reference/src/assets/tests")
+        p.add_argument("--exchange", required=True,
+                       help="directory exchanged between the two phases")
+        p.set_defaults(fn=fn)
 
     p_e = sub.add_parser("debug-endian",
                          help="prove the on-disk format is endian-portable "

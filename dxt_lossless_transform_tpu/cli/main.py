@@ -135,6 +135,11 @@ _RGB_FORMATS = {"rgba8888", "bgra8888", "bgr888"}
 # the C++ runtime) wins, so big files take the per-file path.
 _BATCH_ZSTD_MAX_BYTES = int(os.environ.get("DLT_BATCH_ZSTD_MAX_BYTES",
                                            str(8 << 20)))
+# Above this size the per-file untransform (hostwrap's chunked, depth-2
+# pipelined device path) beats stacking the whole payload into one batch row;
+# the batch win exists for the many-small/medium-files regime.
+_BATCH_UNTRANSFORM_MAX_BYTES = int(os.environ.get(
+    "DLT_BATCH_UNTRANSFORM_MAX_BYTES", str(64 << 20)))
 # Mode-sort (BC7/BC6H) batching downloads the winner's whole stream per file and
 # assembles candidates on the vmappable XLA path; large files are faster through
 # the per-file Mosaic device auto.
@@ -437,8 +442,9 @@ def _untransform_batched(args, handlers):
                 continue
             start = info.data_offset
             end = start + transformed_payload_len(header, info.data_length)
-            if f.stat().st_size < end:
-                fallback.append(f)
+            if (f.stat().st_size < end
+                    or end - start > _BATCH_UNTRANSFORM_MAX_BYTES):
+                fallback.append(f)  # huge payloads: per-file chunked pipeline
                 continue
             groups.setdefault(fmt, []).append(
                 (f, start, end, settings_of[fmt](header)))

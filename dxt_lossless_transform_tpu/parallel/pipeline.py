@@ -611,8 +611,15 @@ class UntransformBatchProcessor:
         pending = deque()
         for (settings, bucket), indices in sorted(
                 by_group.items(), key=lambda kv: (repr(kv[0][0]), kv[0][1])):
-            for start in range(0, len(indices), self.max_batch):
-                chunk = indices[start:start + self.max_batch]
+            # HBM-budget-aware batch scaling (same discipline as the mode-sort
+            # processor): a batch holds input streams + the flat output
+            # (~2x payload) on device, so large buckets shrink the batch.
+            per_file = self.cfg["block_size"] * bucket
+            budget = int(os.environ.get("DLT_UNTRANSFORM_HBM_BUDGET",
+                                        str(2 << 30)))
+            eff_batch = max(1, min(self.max_batch, budget // (2 * per_file)))
+            for start in range(0, len(indices), eff_batch):
+                chunk = indices[start:start + eff_batch]
                 pending.append((chunk,
                                 self._run_batch(entries, chunk, settings,
                                                 bucket)))

@@ -232,3 +232,40 @@ def test_fuzz_bc1_header_roundtrip(variant, split):
     s = Bc1TransformSettings(variant, split)
     h2 = TransformHeader.from_bytes(TransformHeader.for_bc1(s).to_bytes())
     assert h2.bc1_settings() == s
+
+
+# --- round 5: batched untransform + endian simulation properties --------------------
+
+
+@given(st.lists(st.tuples(st.binary(min_size=0, max_size=8 * 40),
+                          st.sampled_from(tuple(Bc1TransformSettings
+                                                .all_combinations()))),
+                min_size=1, max_size=6))
+@FAST
+def test_fuzz_untransform_batch_matches_per_file(entries):
+    """UntransformBatchProcessor restores exactly what per-file untransform
+    restores, for arbitrary (payload, settings) mixes (ordered, isolated)."""
+    from dxt_lossless_transform_tpu.parallel.pipeline import (
+        UntransformBatchProcessor,
+    )
+
+    entries = [(b[: len(b) // 8 * 8], s) for b, s in entries]
+    transformed = [(obc1.transform(p, s), s) for p, s in entries]
+    got = UntransformBatchProcessor("bc1", max_batch=3).process(transformed)
+    assert got == [p for p, _ in entries]
+
+
+@given(bc1_payload, st.integers(0, 3), st.booleans())
+@FAST
+def test_fuzz_endian_sim_transform_invariant(data, variant, split):
+    """Arbitrary payloads serialize identically on the simulated BE host --
+    the randomized extension of tests/test_endian.py's fixed matrix."""
+    from dxt_lossless_transform_tpu import endian
+
+    s = Bc1TransformSettings(variant, split)
+    t_le = obc1.transform(data, s)
+    with endian.simulate_big_endian():
+        t_be = obc1.transform(data, s)
+        back_be = obc1.untransform(t_le, s)
+    assert t_be == t_le
+    assert back_be == data
