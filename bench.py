@@ -406,6 +406,51 @@ def main():
 
     run_stage("ratio check (reference asset)", stage_ratio_ref, cost_s=8)
 
+    # ---- real-encoder BC7 evidence (driver-captured): candidate win counts +
+    # identity rate on multi-mode-encoded DX10 containers (utils/bc7codec;
+    # the full >=100-file study lives in CORPUS_REPORT.md) ----
+    def stage_bc7_real():
+        import zstandard as _z
+
+        from dxt_lossless_transform_tpu.oracle import bc7 as obc7
+        from dxt_lossless_transform_tpu.settings import Bc7TransformSettings
+        from dxt_lossless_transform_tpu.utils.corpus import build_bc7_dds_corpus
+
+        cctx = _z.ZstdCompressor(level=16)
+        cand = tuple(Bc7TransformSettings.all_combinations())
+        wins = {}
+        plain_total = best_total = 0
+        mode_hist = {}
+        for _name, dds, hist in build_bc7_dds_corpus(8, sizes=(128,),
+                                                     seed0=71000):
+            for m, c in hist.items():
+                mode_hist[m] = mode_hist.get(m, 0) + c
+            payload = dds[0x94:]
+            p = len(cctx.compress(payload))
+            sizes = [len(cctx.compress(obc7.transform(payload, s)))
+                     for s in cand]
+            besti = int(np.argmin(sizes))
+            if p <= sizes[besti]:
+                wins["identity"] = wins.get("identity", 0) + 1
+                best = p
+            else:
+                key = f"sort={cand[besti].sort_by_mode}," \
+                      f"planes={cand[besti].split_byte_planes}"
+                wins[key] = wins.get(key, 0) + 1
+                best = sizes[besti]
+            plain_total += p
+            best_total += best
+        _details["bc7_real_encoder"] = {
+            "files": 8, "encoder": "utils/bc7codec multi-mode least-error",
+            "plain_zstd16": plain_total, "best_zstd16": best_total,
+            "best_reduction_pct": round(100.0 * (1 - best_total / plain_total),
+                                        2),
+            "win_distribution": wins,
+            "mode_histogram": {str(k): v for k, v in sorted(mode_hist.items())},
+        }
+
+    run_stage("bc7 real-encoder evidence", stage_bc7_real, cost_s=15)
+
     # ---- CLI batch pipeline vs per-file path on a many-small-files tree
     # (reference analog: the rayon-parallel production path,
     # commands/transform/mod.rs:166-187). Rows cover the medium (device-LTU)

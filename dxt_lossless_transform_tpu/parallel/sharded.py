@@ -932,3 +932,48 @@ def modesort_transform_step(mesh: Mesh, fmt: str = "bc7"):
         in_shardings=(NamedSharding(mesh, P("files", "blocks")), files_sh),
         out_shardings=(NamedSharding(mesh, P("files", None, "blocks")),
                        NamedSharding(mesh, P("files", "blocks"))))
+
+
+# --- sharded untransform step (the load path, dp over files) -------------------------
+
+def untransform_step(mesh: Mesh, fmt: str, settings):
+    """Batched+sharded untransform step: per-stream (B, L_s) word arrays ->
+    (B, W) flat word images, files data-parallel on the mesh.
+
+    The load direction is a pure per-block inverse shuffle -- zero cross-shard
+    traffic -- so the files axis is the scaling axis (the dp form of the
+    reference's rayon-parallel restore loop, ``commands/untransform/mod.rs``).
+    Settings come from each file's embedded header and are STATIC; one step
+    serves every file that shares them (the grouping
+    ``parallel.pipeline.UntransformBatchProcessor`` already performs).
+    Runs the XLA kernel form (vmapped per file); the single-device Mosaic path
+    stays with the batch processor's stacked flat call."""
+    from ..ops import bc1 as ops_bc1, bc2 as ops_bc2, bc3 as ops_bc3, \
+        bc45 as ops_bc45, hostwrap
+
+    v = int(getattr(settings, "decorrelation_mode", 0))
+    impl = {
+        "bc1": lambda st: ops_bc1._untransform_xla.__wrapped__(
+            st, v, settings.split_colour_endpoints),
+        "bc2": lambda st: ops_bc2._untransform_xla.__wrapped__(
+            st, v, settings.split_colour_endpoints),
+        "bc3": lambda st: ops_bc3._untransform_xla.__wrapped__(
+            st, v, settings.split_alpha_endpoints,
+            settings.split_colour_endpoints),
+        "bc4": lambda st: ops_bc45._bc4_untransform_xla.__wrapped__(
+            st, settings.split_endpoints),
+        "bc5": lambda st: ops_bc45._bc5_untransform_xla.__wrapped__(
+            st, settings.split_endpoints),
+    }[fmt]
+    spec = {"bc1": hostwrap.bc1_stream_spec, "bc2": hostwrap.bc2_stream_spec,
+            "bc3": hostwrap.bc3_stream_spec,
+            "bc4": lambda s: ops_bc45._bc4_spec(s.split_endpoints),
+            "bc5": lambda s: ops_bc45._bc5_spec(s.split_endpoints)}[fmt](
+        settings)
+    files = NamedSharding(mesh, P("files", None))
+
+    def step(*streams):
+        return jax.vmap(lambda *st: impl(tuple(st)))(*streams)
+
+    return jax.jit(step, in_shardings=(files,) * len(spec),
+                   out_shardings=files)

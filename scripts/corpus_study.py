@@ -279,7 +279,7 @@ def bc7_real_encoder_study(n_files: int, level: int):
             auto_exact += int(a_size <= best)
             plain += p
             best_total += best
-            auto_total += min(a_size, p)  # CLI keeps identity if auto loses
+            auto_total += a_size  # what the medium preset actually ships
             n += 1
         out = {
             "files": n,

@@ -42,6 +42,18 @@ def test_endian_matrix_reference_assets(reference_assets):
     assert report.containers >= 3 + 4 + 4 + 8 + 4
 
 
+def test_two_phase_exchange_cli(reference_assets, tmp_path):
+    """debug-endian-transform (BE host) -> debug-endian-untransform (native):
+    the on-disk exchange form of the cross-host matrix."""
+    from dxt_lossless_transform_tpu.cli.main import main
+
+    ex = tmp_path / "exchange"
+    assert main(["debug-endian-transform", "--assets", reference_assets,
+                 "--exchange", str(ex)]) == 0
+    assert main(["debug-endian-untransform", "--assets", reference_assets,
+                 "--exchange", str(ex)]) == 0
+
+
 def test_simulation_detects_native_order_assumption():
     """The harness must actually detect an endianness bug: a boundary that
     serializes in HOST order (the bug class the simulation exists to catch)

@@ -454,3 +454,37 @@ def test_batch_pipeline_host_scored_bc45(fmt, monkeypatch):
         assert r.settings == host_settings, (fmt, r.index)
         assert r.transformed == tf(data, r.settings)
         assert utf(r.transformed, r.settings) == data
+
+
+def test_sharded_untransform_step_matches_oracle():
+    """The load-path mesh step: per-stream (B, L) arrays sharded P("files"),
+    vmapped fused inverse; bit-exact vs the oracle for bc1 and bc3."""
+    from dxt_lossless_transform_tpu.oracle import bc3 as obc3
+    from dxt_lossless_transform_tpu.ops import hostwrap
+    from dxt_lossless_transform_tpu.parallel.sharded import untransform_step
+    from dxt_lossless_transform_tpu.settings import (
+        Bc1TransformSettings, Bc3TransformSettings, YCoCgVariant,
+    )
+
+    mesh = make_mesh(8)
+    B, n = 2 * mesh.shape["files"], 2048
+    rng = np.random.default_rng(4)
+    for fmt, bs, oracle, s, spec in (
+            ("bc1", 8, obc1, Bc1TransformSettings(YCoCgVariant.VARIANT2, True),
+             hostwrap.bc1_stream_spec),
+            ("bc3", 16, obc3,
+             Bc3TransformSettings(YCoCgVariant.VARIANT1, True, True),
+             hostwrap.bc3_stream_spec)):
+        payloads = [rng.integers(0, 256, bs * n, np.uint8).tobytes()
+                    for _ in range(B)]
+        t = [oracle.transform(p, s) for p in payloads]
+        streams, pos = [], 0
+        for bpb in spec(s):
+            arr = np.stack([np.frombuffer(tp, np.uint8)[pos * n:(pos + bpb) * n]
+                            .copy().view("<u4") for tp in t])
+            streams.append(jnp.asarray(arr))
+            pos += bpb
+        out = np.asarray(jax.block_until_ready(
+            untransform_step(mesh, fmt, s)(*streams)))
+        for b in range(B):
+            assert out[b].astype("<u4").tobytes() == payloads[b], (fmt, b)
