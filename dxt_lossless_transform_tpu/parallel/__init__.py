@@ -14,10 +14,11 @@ from .sharded import (  # noqa: F401
     bc1_auto_step, bc1_auto_step_single, bc2_auto_step, bc2_auto_step_single,
     bc3_auto_step, bc3_auto_step_single, bc4_auto_step, bc4_auto_step_single,
     bc5_auto_step, bc5_auto_step_single, modesort_step_single,
-    modesort_transform_step,
+    modesort_transform_step, untransform_step,
 )
 from .pipeline import (  # noqa: F401
     BatchProcessor, Bc1BatchProcessor, Bc2BatchProcessor, Bc3BatchProcessor,
-    Bc4BatchProcessor, Bc5BatchProcessor, transform_corpus_bc1,
+    Bc4BatchProcessor, Bc5BatchProcessor, UntransformBatchProcessor,
+    transform_corpus_bc1,
 )
 from .distributed import initialize, is_primary  # noqa: F401
