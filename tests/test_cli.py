@@ -140,6 +140,25 @@ def test_cli_transform_stream_windows(tree, monkeypatch):
         assert (out_w / rel).read_bytes() == (out_f / rel).read_bytes(), rel
 
 
+def test_cli_untransform_corrupt_file_isolated(tree):
+    """A corrupt transformed file fails with a typed error via the per-file
+    fallback; healthy files in the same tree still restore byte-exactly."""
+    src, out, back = tree / "in", tree / "outc", tree / "backc"
+    assert main(["transform", str(src), str(out), "--preset", "low"]) == 1
+    (out / "junk.txt").unlink(missing_ok=True)
+    good = (out / "a.dds").read_bytes()
+    # truncate a transformed file mid-payload: classification (st_size < end)
+    # sends it to the per-file path, which raises a typed error
+    (out / "a_trunc.dds").write_bytes(good[: len(good) // 2])
+    rc = main(["untransform", str(out), str(back)])
+    assert rc == 1  # the corrupt file is a recorded failure...
+    assert not (back / "a_trunc.dds").exists()
+    # ...and every healthy file restored regardless
+    assert (back / "a.dds").read_bytes() == (src / "a.dds").read_bytes()
+    assert (back / "sub" / "b.dds").read_bytes() == \
+        (src / "sub" / "b.dds").read_bytes()
+
+
 @pytest.mark.parametrize("preset", ["medium", "optimal"])
 def test_cli_batched_rgb_tree(tmp_path, preset):
     """Uncompressed RGB(A) DDS files ride the batch pipeline under both auto

@@ -469,12 +469,30 @@ def test_sharded_untransform_step_matches_oracle():
     mesh = make_mesh(8)
     B, n = 2 * mesh.shape["files"], 2048
     rng = np.random.default_rng(4)
+    from dxt_lossless_transform_tpu.oracle import bc2 as obc2, bc4 as obc45
+    from dxt_lossless_transform_tpu.ops import bc45 as ops_bc45
+    from dxt_lossless_transform_tpu.settings import (
+        Bc2TransformSettings, Bc4TransformSettings, Bc5TransformSettings,
+    )
+
+    class _Bc45Oracle:
+        def __init__(self, t, u):
+            self.transform, self.untransform = t, u
+
     for fmt, bs, oracle, s, spec in (
             ("bc1", 8, obc1, Bc1TransformSettings(YCoCgVariant.VARIANT2, True),
              hostwrap.bc1_stream_spec),
+            ("bc2", 16, obc2, Bc2TransformSettings(YCoCgVariant.VARIANT3, True),
+             hostwrap.bc2_stream_spec),
             ("bc3", 16, obc3,
              Bc3TransformSettings(YCoCgVariant.VARIANT1, True, True),
-             hostwrap.bc3_stream_spec)):
+             hostwrap.bc3_stream_spec),
+            ("bc4", 8, _Bc45Oracle(obc45.transform_bc4, obc45.untransform_bc4),
+             Bc4TransformSettings(True),
+             lambda st: ops_bc45._bc4_spec(st.split_endpoints)),
+            ("bc5", 16, _Bc45Oracle(obc45.transform_bc5, obc45.untransform_bc5),
+             Bc5TransformSettings(True),
+             lambda st: ops_bc45._bc5_spec(st.split_endpoints))):
         payloads = [rng.integers(0, 256, bs * n, np.uint8).tobytes()
                     for _ in range(B)]
         t = [oracle.transform(p, s) for p in payloads]
