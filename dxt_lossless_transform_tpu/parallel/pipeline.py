@@ -633,6 +633,22 @@ class UntransformBatchProcessor:
         import os as _os
         from concurrent.futures import ThreadPoolExecutor
 
+        from .. import runtime
+
+        # Whole-window native batch: ONE C call (pthread pool, GIL released
+        # once) instead of one ctypes call per file -- the per-file Python
+        # overhead was what bounded small-file restore throughput.
+        if self.fmt in ("bc1", "bc2", "bc3") and runtime.available():
+            try:
+                results = runtime.batch_untransform(
+                    self.fmt, [entries[i][0] for i in host_idx],
+                    [entries[i][1] for i in host_idx])
+                for i, r in zip(host_idx, results):
+                    out[i] = r
+                return
+            except Exception:
+                pass  # invalid payloads etc.: per-file path raises typed errors
+
         host = self.cfg["host"]
 
         def run(i):

@@ -173,6 +173,46 @@ def bc3_untransform(data: bytes, variant: int, split_alpha: bool,
                           split_alpha, split_colour)
 
 
+_BATCH_FMT_IDS = {"bc1": 0, "bc2": 1, "bc3": 2}
+
+
+def batch_untransform(fmt: str, payloads, settings_list) -> list:
+    """Restore a whole window of payloads in ONE native call (pthread pool in
+    C, GIL released once) -- the load-path twin of :func:`zstd_estimate_batch`.
+    Settings vary per file; ``fmt`` is one of bc1/bc2/bc3."""
+    import numpy as np
+
+    lib = _try_load()
+    count = len(payloads)
+    if count == 0:
+        return []
+    fmt_id = _BATCH_FMT_IDS[fmt]
+    outs = [np.empty(len(p), np.uint8) for p in payloads]
+    PtrArr = ctypes.POINTER(ctypes.c_uint8) * count
+    in_bufs = [_buf(p) for p in payloads]  # keep refs alive across the call
+    ins = PtrArr(*in_bufs)
+    outp = PtrArr(*[o.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                    for o in outs])
+    lens = (ctypes.c_size_t * count)(*[len(p) for p in payloads])
+    variants = (ctypes.c_int * count)(
+        *[int(getattr(s, "decorrelation_mode", 0)) for s in settings_list])
+    if fmt == "bc3":
+        fa = (ctypes.c_uint8 * count)(
+            *[int(s.split_alpha_endpoints) for s in settings_list])
+        fb = (ctypes.c_uint8 * count)(
+            *[int(s.split_colour_endpoints) for s in settings_list])
+    else:
+        fa = (ctypes.c_uint8 * count)(
+            *[int(s.split_colour_endpoints) for s in settings_list])
+        fb = (ctypes.c_uint8 * count)(*([0] * count))
+    rc = lib.dlt_batch_untransform(fmt_id, ins, lens, outp, variants, fa, fb,
+                                   ctypes.c_size_t(count), 0)
+    if rc != 0:
+        raise NativeError("batch_untransform", rc,
+                          f"native batch untransform failed (rc={rc})")
+    return [o.tobytes() for o in outs]
+
+
 def zstd_estimate(data: bytes, level: int = 1) -> int:
     return int(_try_load().dlt_zstd_estimate(_buf(data), len(data), level))
 

@@ -325,6 +325,46 @@ extern "C" int dlt_bc3_untransform(const uint8_t* in, uint8_t* out, size_t len,
     return 0;
 }
 
+// ------------------------------------------- batch untransform (load path) ---------
+// One C call restores a whole window of sub-device-threshold files: the CLI's
+// batched load path hands (payload, settings) arrays here instead of making one
+// ctypes call per file -- the pthread twin of dlt_zstd_estimate_batch below
+// (GIL released once for the whole batch; settings vary per file).
+
+extern "C" int dlt_batch_untransform(int fmt, const uint8_t* const* ins,
+                                     const size_t* lens, uint8_t* const* outs,
+                                     const int* variants, const uint8_t* flag_a,
+                                     const uint8_t* flag_b, size_t count,
+                                     int num_threads) {
+    if (num_threads <= 0)
+        num_threads = (int)std::thread::hardware_concurrency();
+    std::atomic<size_t> next(0);
+    std::atomic<int> err(0);
+    auto work = [&]() {
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= count) break;
+            int rc;
+            switch (fmt) {
+                case 0: rc = dlt_bc1_untransform(ins[i], outs[i], lens[i],
+                                                 variants[i], flag_a[i]); break;
+                case 1: rc = dlt_bc2_untransform(ins[i], outs[i], lens[i],
+                                                 variants[i], flag_a[i]); break;
+                case 2: rc = dlt_bc3_untransform(ins[i], outs[i], lens[i],
+                                                 variants[i], flag_a[i],
+                                                 flag_b[i]); break;
+                default: rc = -2;
+            }
+            if (rc != 0) { err.store(rc); break; }
+        }
+    };
+    std::vector<std::thread> pool;
+    int nt = std::max(1, std::min<int>(num_threads, (int)count));
+    for (int t = 0; t < nt; t++) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+    return err.load();
+}
+
 // ----------------------------------------------------------- zstd estimation --------
 // Magicless frames, no content-size/checksum/dictID: pure payload size
 // (reference zstd estimator lib.rs:183-199).

@@ -183,3 +183,38 @@ def test_native_dds_parser_matches_python(reference_assets):
         assert info_c.format == int(info_py.format), name
         assert info_c.data_offset == info_py.data_offset, name
         assert info_c.data_length == info_py.data_length, name
+
+
+def test_batch_untransform_matches_oracle():
+    """One native call restores a whole window (pthread pool in C; settings
+    vary per file) -- must be byte-identical to the oracle inverses."""
+    import numpy as np
+
+    from dxt_lossless_transform_tpu import runtime
+    from dxt_lossless_transform_tpu.oracle import (
+        bc1 as o1, bc2 as o2, bc3 as o3,
+    )
+    from dxt_lossless_transform_tpu.settings import (
+        Bc1TransformSettings, Bc2TransformSettings, Bc3TransformSettings,
+        YCoCgVariant,
+    )
+
+    if not runtime.available():
+        pytest.skip("native runtime not built")
+    rng = np.random.default_rng(9)
+    cases = (
+        ("bc1", 8, o1,
+         lambda i: Bc1TransformSettings(YCoCgVariant(i % 4), bool(i % 2))),
+        ("bc2", 16, o2,
+         lambda i: Bc2TransformSettings(YCoCgVariant(i % 4), bool(i % 2))),
+        ("bc3", 16, o3,
+         lambda i: Bc3TransformSettings(YCoCgVariant(i % 4), bool(i % 2),
+                                        bool(i % 3))),
+    )
+    for fmt, bs, oracle, mk in cases:
+        payloads = [rng.integers(0, 256, bs * n, np.uint8).tobytes()
+                    for n in (1, 7, 100, 1001)]
+        settings = [mk(i) for i in range(len(payloads))]
+        t = [oracle.transform(p, s) for p, s in zip(payloads, settings)]
+        assert runtime.batch_untransform(fmt, t, settings) == payloads, fmt
+    assert runtime.batch_untransform("bc1", [], []) == []
