@@ -18,7 +18,9 @@ kernel, batched over all candidate layouts at once (the whole auto-search estima
 in a single device call, vs the reference's per-candidate sequential loop).
 Round-4 retune (scripts/ltu_tune.py, realistic corpus v2): 3-gram unweighted ->
 4-gram offset-weighted lifts BC1 exact-pick 46 -> 57% and selection efficiency
-99.03 -> 99.70% (BC3: 45 -> 55%, 99.15 -> 99.76%).
+99.03 -> 99.70% (BC3: 45 -> 55%, 99.15 -> 99.76%). Round-5 (scorer v4): a
+sampled-prefix entropy term (see below) lifts exact-pick to zstd-1 parity --
+BC1 59%, BC3 58% (beating zstd-1's 57.3 there) at 99.72/99.79% efficiency.
 """
 
 from __future__ import annotations
@@ -40,6 +42,78 @@ DEFAULT_OFFSETS = (1, 2, 3, 4, 5, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 256,
                    512, 1024, 2048, 4096)
 
 WEIGHT_SCALE = 24
+
+# --- scorer v4 (round 5): sampled-prefix entropy term ---------------------------------
+# Coverage alone under-penalizes high-entropy regions with few matches; adding
+# 3/8 x (bits of a byte-entropy model over the region's FIRST 64 KiB) lifts
+# exact-pick to zstd-1 parity (BC1 57->59%, BC3 55->58%; ltu_tune_v6.log +
+# scripts/ltu_tune.py round-5 sweep) at ~zero cost -- the prefix histogram is
+# one pass over at most 64 KiB per candidate. Kept exact-integer so all four
+# twins (numpy / XLA / Mosaic wrapper / C++) agree bit-for-bit:
+#
+#     N    = min(valid_len, 65536)
+#     G[n] = floor(n * log2(n) + 0.5)           (G[0] = G[1] = 0)
+#     ENT  = 3 * max(0, G[N] - sum_c G[hist_c]) // 8
+#     score_v4 = WEIGHT_SCALE * valid_len - weighted_coverage + ENT
+#
+# (G[N] - sum G[hist_c] ~= 8 * entropy_bytes by the log-sum identity; the
+# per-term rounding must match everywhere, hence the shared table.)
+ENTROPY_CAP = 65536
+
+
+def _make_g_table() -> np.ndarray:
+    g = np.zeros(ENTROPY_CAP + 1, np.int64)
+    n = np.arange(2, ENTROPY_CAP + 1, dtype=np.float64)
+    g[2:] = np.floor(n * np.log2(n) + 0.5).astype(np.int64)
+    return g
+
+
+G_TABLE = _make_g_table()
+
+
+def _entropy_term_np(data: np.ndarray, valid_len: int = None) -> int:
+    """Exact-integer sampled-prefix entropy term (numpy twin)."""
+    n = int(data.size if valid_len is None else valid_len)
+    n = min(n, ENTROPY_CAP)
+    if n <= 1:
+        return 0
+    hist = np.bincount(np.ascontiguousarray(data[:n], np.uint8), minlength=256)
+    raw = int(G_TABLE[n]) - int(G_TABLE[hist].sum())
+    return (3 * max(0, raw)) // 8
+
+
+def _entropy_terms_jax(regions, valid_len):
+    """(C, L) uint8 lanes OR (C, L/4) uint32 word rows -> (C,) int32 terms.
+
+    ``valid_len``: scalar or (C,) byte counts. Padded bytes beyond valid are
+    masked out of the histogram (they would otherwise skew bin 0)."""
+    n_rows = regions.shape[0]
+    if regions.dtype == jnp.uint32:
+        cap_w = min(regions.shape[1], ENTROPY_CAP // 4)
+        w = regions[:, :cap_w].astype(jnp.uint32)
+        b = jnp.stack([(w >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+                       for k in range(4)], axis=-1).reshape(n_rows, 4 * cap_w)
+        b = b.astype(jnp.int32)
+    else:
+        b = regions[:, :min(regions.shape[1], ENTROPY_CAP)].astype(jnp.int32)
+    length = b.shape[1]
+    valid_rows = jnp.broadcast_to(
+        jnp.asarray(valid_len, jnp.int32).reshape(-1), (n_rows,))
+    sample_n = jnp.minimum(valid_rows, min(length, ENTROPY_CAP))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_rows, length), 1)
+    mask = pos < sample_n[:, None]
+    # histogram as 256 fused equality-reductions: scatter-add lowers terribly
+    # on TPU (measured -12% on the whole auto step); the reduction form costs
+    # ~1%. Reshaped so the bin axis broadcasts once per 256-wide block.
+    masked = jnp.where(mask, b, jnp.int32(-1))
+    bins = jnp.arange(256, dtype=jnp.int32)
+    hist = (masked[:, :, None] == bins[None, None, :]).astype(jnp.int32) \
+        .sum(axis=1) if length <= 4096 else jnp.stack(
+        [(masked == c).astype(jnp.int32).sum(axis=1) for c in range(256)],
+        axis=1)
+    g = jnp.asarray(G_TABLE, jnp.int32)
+    raw = jnp.take(g, sample_n) - jnp.take(g, hist).sum(axis=1)
+    return (3 * jnp.maximum(raw, 0)) // 8
 
 
 def offset_weight(k: int) -> int:
@@ -80,14 +154,16 @@ def _coverage_scores(regions, valid_len, offsets: tuple):
     # flips for any approximate estimator; see CORPUS_REPORT.md).
     matches = jnp.sum(jnp.where(valid, w, jnp.uint8(0)).astype(jnp.float32),
                       axis=1)
-    return WEIGHT_SCALE * jnp.asarray(valid_len, jnp.float32) - matches
+    ent = _entropy_terms_jax(regions, valid_len)  # scorer v4 prefix term
+    return (WEIGHT_SCALE * jnp.asarray(valid_len, jnp.float32) - matches
+            + ent.astype(jnp.float32))
 
 
 def _coverage_score_np(data: np.ndarray, offsets) -> int:
     """Numpy twin of :func:`_coverage_scores` for one buffer (host fast path)."""
     b = np.ascontiguousarray(data, np.int64)
     if b.size < 4:
-        return WEIGHT_SCALE * int(b.size)
+        return WEIGHT_SCALE * int(b.size) + _entropy_term_np(data)
     g = b[:-3] | (b[1:-2] << 8) | (b[2:-1] << 16) | (b[3:] << 24)
     w = np.zeros(g.size, np.int32)
     for k in sorted(offsets, reverse=True):
@@ -95,7 +171,7 @@ def _coverage_score_np(data: np.ndarray, offsets) -> int:
             continue
         eq = g[k:] == g[:-k]
         w[k:][eq] = offset_weight(k)
-    return WEIGHT_SCALE * int(b.size) - int(w.sum())
+    return WEIGHT_SCALE * int(b.size) - int(w.sum()) + _entropy_term_np(data)
 
 
 # Buffers below this size are scored on the host (device dispatch latency through the

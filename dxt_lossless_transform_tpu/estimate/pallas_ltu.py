@@ -317,7 +317,11 @@ def coverage_scores_pallas(regions, valid_len, offsets: tuple,
                                   (n_rows,))
     counts = _counts_call(regions, valid_rows, jnp.int32(0), offsets, 0, nbytes,
                           interpret=interpret)
-    return WEIGHT_SCALE * valid_rows.astype(jnp.float32) - counts
+    from .ltu import _entropy_terms_jax
+
+    ent = _entropy_terms_jax(regions, valid_rows)  # scorer v4: outside the kernel
+    return (WEIGHT_SCALE * valid_rows.astype(jnp.float32) - counts
+            + ent.astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))

@@ -460,7 +460,17 @@ def _scores_flat_shardmap(mesh, regions3, valid_lens, offsets, interpret: bool):
                        in_specs=(P("files", None, "blocks"), P("files")),
                        out_specs=P("files", None),
                        check_vma=False)(regions3, valid_lens)
-    return WEIGHT_SCALE * valid_lens.astype(jnp.float32)[:, None] - counts
+    # scorer v4 prefix-entropy term: computed on the GLOBAL rows outside the
+    # shard_map (the 64 KiB prefix lives on the first blocks-shard; GSPMD
+    # inserts the gather), identical to the single-device wrapper's term.
+    from ..estimate.ltu import _entropy_terms_jax
+
+    B, C = regions3.shape[0], regions3.shape[1]
+    ent = _entropy_terms_jax(
+        regions3.reshape(B * C, -1),
+        jnp.repeat(valid_lens.astype(jnp.int32), C)).reshape(B, C)
+    return (WEIGHT_SCALE * valid_lens.astype(jnp.float32)[:, None] - counts
+            + ent.astype(jnp.float32))
 
 
 def _scores_flat(regions3, valid_lens, offsets, allow_pallas: bool, mesh=None):

@@ -450,8 +450,42 @@ static inline uint8_t ltu_weight(int k) {
     return (uint8_t)(kWeightScale - (k > 1 ? (int)lround(log2((double)k)) : 0));
 }
 
+// scorer v4 (round 5): sampled-prefix entropy term. Exact-integer twin of
+// estimate/ltu.py::_entropy_term_np -- the shared table G[n] = floor(n*log2(n)
+// + 0.5) MUST match numpy's (same double math; dlt_ltu_g_table exports it so
+// tests compare every entry).
+static const int kEntropyCap = 65536;
+
+static const int64_t* ltu_g_table() {
+    static std::vector<int64_t> g;
+    if (g.empty()) {
+        g.resize(kEntropyCap + 1, 0);
+        for (int n = 2; n <= kEntropyCap; n++)
+            g[n] = (int64_t)std::floor((double)n * std::log2((double)n) + 0.5);
+    }
+    return g.data();
+}
+
+extern "C" int64_t dlt_ltu_g_table_entry(int n) {
+    return (n >= 0 && n <= kEntropyCap) ? ltu_g_table()[n] : -1;
+}
+
+static int64_t ltu_entropy_term(const uint8_t* data, size_t len) {
+    int n = (int)std::min<size_t>(len, (size_t)kEntropyCap);
+    if (n <= 1) return 0;
+    int64_t hist[256] = {0};
+    for (int i = 0; i < n; i++) hist[data[i]]++;
+    const int64_t* g = ltu_g_table();
+    int64_t sum = 0;
+    for (int c = 0; c < 256; c++) sum += g[hist[c]];
+    int64_t raw = g[n] - sum;
+    if (raw < 0) raw = 0;
+    return (3 * raw) / 8;
+}
+
 extern "C" size_t dlt_ltu_estimate(const uint8_t* data, size_t len) {
-    if (len < 4) return (size_t)kWeightScale * len;
+    if (len < 4)
+        return (size_t)kWeightScale * len + (size_t)ltu_entropy_term(data, len);
     size_t glen = len - 3;
     std::vector<uint32_t> g(glen);
     for (size_t i = 0; i < glen; i++)
@@ -468,7 +502,8 @@ extern "C" size_t dlt_ltu_estimate(const uint8_t* data, size_t len) {
     }
     size_t weighted = 0;
     for (size_t i = 0; i < glen; i++) weighted += w[i];
-    return (size_t)kWeightScale * len - weighted;
+    return (size_t)kWeightScale * len - weighted
+         + (size_t)ltu_entropy_term(data, len);
 }
 
 

@@ -601,18 +601,20 @@ def main():
         "## LTU scorer tuning, round 5 (ltu_tune_v6.log; 100 files/format)", "",
         "Per-format offset ladders (denser / short / u16-lane-biased) and "
         "weight slopes (0.5/1/2/3x log2 discount) were swept against zstd-16 "
-        "truth: NONE beat the production scorer (4-gram, nearest-offset "
-        "W(k)=24-round(log2 k)) -- the kernel family is at its ceiling "
-        "(BC1 57% exact / 99.70% efficiency; BC3 55% / 99.76%).",
-        "Ceiling analysis: 27% of BC1 files and 87% of BC3 files have >=2 "
-        "candidates within 0.1% of the true best -- coin flips for ANY "
-        "approximate estimator; on clear-margin files the scorer picks the "
-        "best 64.4% (BC1). A coverage+entropy hybrid (cov4g_int + 3.0*H) "
-        "reaches zstd-1 parity offline (BC1 59% / 99.71%, BC3 58% / 99.79%) "
-        "but needs a second full pass over every region (byte histogram) "
-        "plus a cross-twin fixed-point entropy implementation, violating the "
-        "<=5% auto-step throughput budget; recorded here as the measured "
-        "next step rather than adopted.", ""]
+        "truth: none beat the round-4 coverage scorer -- that kernel family "
+        "is at its ceiling (BC1 57% exact / 99.70% efficiency; BC3 55% / "
+        "99.76%). 27% of BC1 files and 87% of BC3 files have >=2 candidates "
+        "within 0.1% of the true best: coin flips for ANY approximate "
+        "estimator.",
+        "ADOPTED as scorer v4: a SAMPLED-prefix entropy term (first 64 KiB "
+        "only, so ~zero extra bandwidth) -- score = 24*len - coverage + "
+        "3*max(0, G[N] - sum G[hist_c])//8 with the shared integer table "
+        "G[n] = floor(n*log2 n + 0.5). The 64 KiB sample preserves the full "
+        "offline gain of whole-region entropy (tuner: BC1 59% exact, BC3 "
+        "58% -- zstd-1 parity, beating it on BC3) and all four twins "
+        "(numpy/XLA/Mosaic-wrapper/C++) stay exact-integer-identical "
+        "(table-equality + score-equality tests). The selection rows above "
+        "are measured WITH v4.", ""]
     lp = report.get("load_path_bc1")
     if lp:
         lines += ["## Load path (BC1, whole corpus)", "",

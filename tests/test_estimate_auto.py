@@ -213,3 +213,71 @@ def test_native_ltu_auto_matches_python_path(fmt):
         out_py, s_py = auto(data, est, candidates=cands)        # python regions
         assert s_native == s_py, (fmt, seed)
         assert out_native == out_py
+
+
+def test_scorer_v4_entropy_twins():
+    """Scorer v4's sampled-prefix entropy term: the shared integer table and
+    the combined scores must be identical across numpy, C++, and XLA."""
+    import ctypes
+
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu import runtime
+    from dxt_lossless_transform_tpu.estimate.ltu import (
+        DEFAULT_OFFSETS, ENTROPY_CAP, G_TABLE, _coverage_score_np,
+        _coverage_scores, _entropy_term_np,
+    )
+
+    # exact identities of the term itself
+    assert _entropy_term_np(np.zeros(100, np.uint8)) == 0  # uniform -> 0 bits
+    rnd = np.random.default_rng(1).integers(0, 256, 4096, np.uint8)
+    assert _entropy_term_np(rnd) > 0
+    # cap: bytes beyond 64 KiB never change the term
+    big = np.random.default_rng(2).integers(0, 256, ENTROPY_CAP + 999, np.uint8)
+    assert _entropy_term_np(big) == _entropy_term_np(big[:ENTROPY_CAP])
+
+    if runtime.available():
+        lib = runtime._try_load()
+        lib.dlt_ltu_g_table_entry.restype = ctypes.c_int64
+        lib.dlt_ltu_g_table_entry.argtypes = [ctypes.c_int]
+        for n in (0, 1, 2, 3, 255, 4096, 65535, ENTROPY_CAP):
+            assert lib.dlt_ltu_g_table_entry(n) == int(G_TABLE[n]), n
+        rng = np.random.default_rng(3)
+        for ln in (5, 1000, 70000):
+            data = rng.integers(0, 256, ln, np.uint8)
+            assert (_coverage_score_np(data, DEFAULT_OFFSETS)
+                    == runtime.ltu_estimate(data.tobytes())), ln
+
+    rng = np.random.default_rng(4)
+    for ln in (64, 4096, 70000):
+        data = rng.integers(0, 256, ln, np.uint8)
+        host = _coverage_score_np(data, DEFAULT_OFFSETS)
+        dev = float(_coverage_scores(jnp.asarray(data)[None], jnp.int32(ln),
+                                     DEFAULT_OFFSETS)[0])
+        assert host == dev, (ln, host, dev)
+
+
+def test_scorer_v4_packed_words_entropy():
+    """The u32-packed-rows entry must produce the same entropy-adjusted score
+    as the u8 form (the words fast path feeds packed rows)."""
+    import jax.numpy as jnp
+
+    from dxt_lossless_transform_tpu.estimate.ltu import (
+        DEFAULT_OFFSETS, _coverage_score_np,
+    )
+    from dxt_lossless_transform_tpu.estimate.pallas_ltu import (
+        SPAN, coverage_scores_pallas,
+    )
+
+    rng = np.random.default_rng(5)
+    nbytes = 4 * SPAN
+    data = rng.integers(0, 256, nbytes, np.uint8)
+    want = _coverage_score_np(data, DEFAULT_OFFSETS)
+    words = jnp.asarray(data.view("<u4"))
+    got = float(coverage_scores_pallas(words[None], jnp.int32(nbytes),
+                                       DEFAULT_OFFSETS, interpret=True)[0])
+    assert got == want
+    got8 = float(coverage_scores_pallas(jnp.asarray(data)[None],
+                                        jnp.int32(nbytes), DEFAULT_OFFSETS,
+                                        interpret=True)[0])
+    assert got8 == want
