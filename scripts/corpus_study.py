@@ -610,8 +610,8 @@ def main():
         "only, so ~zero extra bandwidth) -- score = 24*len - coverage + "
         "3*max(0, G[N] - sum G[hist_c])//8 with the shared integer table "
         "G[n] = floor(n*log2 n + 0.5). The 64 KiB sample preserves the full "
-        "offline gain of whole-region entropy (tuner: BC1 59% exact, BC3 "
-        "58% -- zstd-1 parity, beating it on BC3) and all four twins "
+        "offline gain of whole-region entropy (tuner corpus: BC1 59% exact, "
+        "BC3 58% -- zstd-1 parity there) and all four twins "
         "(numpy/XLA/Mosaic-wrapper/C++) stay exact-integer-identical "
         "(table-equality + score-equality tests). The selection rows above "
         "are measured WITH v4.", ""]
