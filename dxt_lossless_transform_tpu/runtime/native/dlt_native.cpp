@@ -457,12 +457,14 @@ static inline uint8_t ltu_weight(int k) {
 static const int kEntropyCap = 65536;
 
 static const int64_t* ltu_g_table() {
-    static std::vector<int64_t> g;
-    if (g.empty()) {
-        g.resize(kEntropyCap + 1, 0);
+    // thread-safe one-time init (magic static): the pthread batch drivers call
+    // the scorer concurrently, so the fill must live INSIDE the initializer
+    static const std::vector<int64_t> g = [] {
+        std::vector<int64_t> t(kEntropyCap + 1, 0);
         for (int n = 2; n <= kEntropyCap; n++)
-            g[n] = (int64_t)std::floor((double)n * std::log2((double)n) + 0.5);
-    }
+            t[n] = (int64_t)std::floor((double)n * std::log2((double)n) + 0.5);
+        return t;
+    }();
     return g.data();
 }
 
