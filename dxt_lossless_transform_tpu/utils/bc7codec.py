@@ -9,9 +9,9 @@ spatially coherent -- not from hand-clustered synthetic bytes
 (``testgen.bc7_realistic`` remains for unit tests; this module feeds the corpus
 study, CORPUS_REPORT.md).
 
-Implemented BC7 modes: 1, 3, 6 (opaque) and 5, 6, 7 (alpha) -- the working set
-of fast production encoders (bc7enc's default is modes 1+6; RDO variants add
-5/7). Per block, every enabled mode is encoded and the least-squared-error one
+Implemented BC7 modes: 1, 3, 6 (opaque) and 4, 5, 6, 7 (alpha) -- the working
+set of fast production encoders (bc7enc's default is modes 1+6; RDO variants
+add 4/5/7). Per block, every enabled mode is encoded and the least-squared-error one
 wins, so mode statistics emerge from content exactly as with a real encoder.
 BC6H: mode 11 (one region, 10.10 endpoints, 4-bit indices), the fast-preset
 choice of production HDR encoders; encoding treats non-negative half-float bit
@@ -155,6 +155,7 @@ def _interp(a, b, w):
 _MODES = {
     1: dict(subsets=2, pb=6, cb=6, ab=0, p="shared", ib=3),
     3: dict(subsets=2, pb=6, cb=7, ab=0, p="per_endpoint", ib=2),
+    4: dict(subsets=1, pb=0, cb=5, ab=6, p=None, ib=2, ib2=3, rot=2),
     5: dict(subsets=1, pb=0, cb=7, ab=8, p=None, ib=2, ib2=2, rot=2),
     6: dict(subsets=1, pb=0, cb=7, ab=7, p="per_endpoint", ib=4),
     7: dict(subsets=2, pb=6, cb=5, ab=5, p="per_endpoint", ib=2),
@@ -215,7 +216,7 @@ def _encode_mode(pixels, mode: int):
     cfg = _MODES[mode]
     n = len(pixels)
     subsets, cb, ab, ib = cfg["subsets"], cfg["cb"], cfg["ab"], cfg["ib"]
-    channels = 4 if (ab and mode != 5) else 3
+    channels = 4 if (ab and mode not in (4, 5)) else 3
     weights = _WEIGHTS[ib]
 
     if subsets == 2:
@@ -294,20 +295,26 @@ def _encode_mode(pixels, mode: int):
             nb = np.where(flip if a.ndim == 1 else flip[:, None], a, b)
             arrs[0][s], arrs[1][s] = na, nb
 
-    # mode 5: alpha channel encoded separately (8-bit endpoints, own indices)
-    if mode == 5:
+    # modes 4/5: alpha channel encoded separately (mode 4: 6.6 quantized
+    # endpoints + 3-bit indices; mode 5: 8-bit direct + 2-bit indices)
+    if mode in (4, 5):
         al = pixels[..., 3].astype(np.int64)
         a_lo, a_hi = al.min(axis=1), al.max(axis=1)
+        if mode == 4:
+            qa_lo, qa_hi = _quant(a_lo, ab), _quant(a_hi, ab)
+            da_lo, da_hi = _dequant(qa_lo, ab), _dequant(qa_hi, ab)
+        else:
+            qa_lo, qa_hi = a_lo, a_hi
+            da_lo, da_hi = a_lo, a_hi
         w2 = _WEIGHTS[cfg["ib2"]]
-        a_pal = (a_lo[:, None] * (64 - w2) + a_hi[:, None] * w2 + 32) >> 6
+        a_pal = (da_lo[:, None] * (64 - w2) + da_hi[:, None] * w2 + 32) >> 6
         a_idx = np.abs(al[:, :, None] - a_pal[:, None, :]).argmin(-1)
         a_recon = a_pal[np.arange(n)[:, None], a_idx]  # pre-flip reconstruction
         flip = ((a_idx[:, 0] >> (cfg["ib2"] - 1)) & 1).astype(bool)
         a_idx = np.where(flip[:, None], (1 << cfg["ib2"]) - 1 - a_idx, a_idx)
-        a_lo2 = np.where(flip, a_hi, a_lo)
-        a_hi2 = np.where(flip, a_lo, a_hi)
-        a_lo, a_hi = a_lo2, a_hi2
-    if mode == 5:
+        a_lo = np.where(flip, qa_hi, qa_lo)  # pack the (quantized) endpoints
+        a_hi = np.where(flip, qa_lo, qa_hi)
+    if mode in (4, 5):
         err = err + ((al - a_recon) ** 2).sum(axis=1)
     elif channels == 3 and ab == 0:
         # opaque modes pay for any non-255 alpha they cannot represent
@@ -318,16 +325,18 @@ def _encode_mode(pixels, mode: int):
     w.put(np.full(n, 1 << mode), mode + 1)
     if cfg["pb"]:
         w.put(pids, cfg["pb"])
-    if mode == 5:
+    if mode in (4, 5):
         w.put(np.zeros(n), 2)  # rotation 0
+    if mode == 4:
+        w.put(np.zeros(n), 1)  # idxMode 0: 2-bit color, 3-bit alpha
     # endpoint channel fields: R all endpoints, G, B, (A)
     for ch in range(3):
         for s in range(subsets):
             w.put(quant_lo[s][:, ch], cb)
             w.put(quant_hi[s][:, ch], cb)
-    if mode == 5:
-        w.put(a_lo, 8)
-        w.put(a_hi, 8)
+    if mode in (4, 5):
+        w.put(a_lo, 8 if mode == 5 else ab)
+        w.put(a_hi, 8 if mode == 5 else ab)
     elif ab:
         for s in range(subsets):
             w.put(quant_lo[s][:, 3], ab)
@@ -364,7 +373,7 @@ def _encode_mode(pixels, mode: int):
                              (bit << off).astype(np.uint8))
             byte_pos += sel.astype(np.int64)
         w.pos_arr = byte_pos
-    if mode == 5:
+    if mode in (4, 5):
         for pix in range(16):
             width_full = np.where(pix == 0, cfg["ib2"] - 1, cfg["ib2"])
             vals = a_idx[:, pix]
@@ -388,7 +397,7 @@ def encode_bc7(rgba: np.ndarray, modes=None) -> bytes:
 
     pixels = _blockify(np.ascontiguousarray(rgba))
     if modes is None:
-        modes = (1, 3, 6) if (pixels[..., 3] == 255).all() else (5, 6, 7)
+        modes = (1, 3, 6) if (pixels[..., 3] == 255).all() else (4, 5, 6, 7)
     packed, errs = [], []
     for m in modes:
         p, e = _encode_mode(pixels, m)
@@ -454,8 +463,10 @@ def _decode_mode(blocks: np.ndarray, mode: int) -> np.ndarray:
     r = _BitReader(blocks)
     r.get(mode + 1)
     pids = r.get(cfg["pb"]) if cfg["pb"] else np.zeros(n, np.int64)
-    if mode == 5:
+    if mode in (4, 5):
         r.get(2)  # rotation (encoder writes 0)
+    if mode == 4:
+        r.get(1)  # idxMode (encoder writes 0: 2-bit color, 3-bit alpha)
     ep = np.zeros((n, subsets, 2, 4), np.int64)
     for ch in range(3):
         for s in range(subsets):
@@ -463,6 +474,9 @@ def _decode_mode(blocks: np.ndarray, mode: int) -> np.ndarray:
             ep[:, s, 1, ch] = r.get(cb)
     if mode == 5:
         a_lo, a_hi = r.get(8), r.get(8)
+    elif mode == 4:
+        a_lo = _dequant(r.get(ab), ab)
+        a_hi = _dequant(r.get(ab), ab)
     elif ab:
         for s in range(subsets):
             ep[:, s, 0, 3] = r.get(ab)
@@ -475,7 +489,7 @@ def _decode_mode(blocks: np.ndarray, mode: int) -> np.ndarray:
         for s in range(subsets):
             p[:, s, 0] = r.get(1)
             p[:, s, 1] = r.get(1)
-    channels = 4 if (ab and mode != 5) else 3
+    channels = 4 if (ab and mode not in (4, 5)) else 3
     dq = np.zeros((n, subsets, 2, channels), np.int64)
     for s in range(subsets):
         for e in range(2):
@@ -495,7 +509,7 @@ def _decode_mode(blocks: np.ndarray, mode: int) -> np.ndarray:
     out[..., :channels] = px
     if channels == 3:
         out[..., 3] = 255
-    if mode == 5:
+    if mode in (4, 5):
         ib2 = cfg["ib2"]
         a_idx = np.zeros((n, 16), np.int64)
         for pix in range(16):

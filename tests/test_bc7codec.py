@@ -33,7 +33,7 @@ def test_opaque_mode_encode_decode_exact(mode):
     assert ((b0 & ((1 << (mode + 1)) - 1)) == (1 << mode)).all()
 
 
-@pytest.mark.parametrize("mode", [5, 6, 7])
+@pytest.mark.parametrize("mode", [4, 5, 6, 7])
 def test_alpha_mode_encode_decode_exact(mode):
     px = _blockify(procedural_texture(32, seed=5, kind="foliage"))
     packed, err = C._encode_mode(px, mode)
@@ -83,7 +83,7 @@ def test_alpha_content_uses_alpha_modes():
     img = procedural_texture(64, seed=7, kind="foliage")
     data = C.encode_bc7(img)
     hist = C.block_mode_histogram(data)
-    assert set(hist) <= {5, 6, 7}, hist
+    assert set(hist) <= {4, 5, 6, 7}, hist
     dec = C.decode_bc7(data)
     src = _blockify(img).astype(np.int64)
     a_mse = ((dec[..., 3].astype(np.int64) - src[..., 3]) ** 2).mean()
