@@ -269,3 +269,20 @@ def test_fuzz_endian_sim_transform_invariant(data, variant, split):
         back_be = obc1.untransform(t_le, s)
     assert t_be == t_le
     assert back_be == data
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from([1, 3, 4, 5, 6, 7]))
+@hyp_settings(max_examples=25, deadline=None)
+def test_fuzz_bc7_codec_mode_exactness(seed, mode):
+    """Random pixel blocks, every implemented BC7 mode: the packed bits must
+    decode to exactly the reconstruction the encoder scored."""
+    import dxt_lossless_transform_tpu.utils.bc7codec as C
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (8, 16, 4), np.uint8)
+    if mode in (1, 3):
+        px[..., 3] = 255
+    packed, err = C._encode_mode(px, mode)
+    dec = C._decode_mode(packed, mode)
+    mse = ((dec.astype(np.int64) - px.astype(np.int64)) ** 2).sum(axis=(1, 2))
+    np.testing.assert_array_equal(mse, err)
