@@ -462,7 +462,12 @@ def main():
         from dxt_lossless_transform_tpu.cli.main import main as cli_main
         from dxt_lossless_transform_tpu.utils import testgen
 
-        root = tempfile.mkdtemp(prefix="dlt_bench_cli_")
+        # tmpfs when available: this stage measures the framework's dispatch
+        # overhead at 8 KiB/file, and on this host's virtio disk the page-cache
+        # flush noise exceeds the whole measured quantity (~2x run-to-run).
+        root = tempfile.mkdtemp(
+            prefix="dlt_bench_cli_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
         try:
             src = os.path.join(root, "in")
             os.makedirs(src)

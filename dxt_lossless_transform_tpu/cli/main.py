@@ -14,6 +14,7 @@ Presets (``commands/transform/mod.rs:113-151``):
 from __future__ import annotations
 
 import argparse
+import contextlib
 import os
 import sys
 import time
@@ -228,26 +229,68 @@ def _classify_head(f: Path):
 
 
 def _out_path_fn(src: Path, dst: Path):
+    src_is_dir = src.is_dir()
+    prefix = str(src).rstrip(os.sep) + os.sep  # string fast path: pathlib's
+    made = set()  # relative_to costs ~100 us/file. mkdir memoized (a benign
+    # race with pool threads -- mkdir is exist_ok)
+
     def out_path(f: Path) -> Path:
-        rel = f.relative_to(src) if src.is_dir() else f.name
-        out = dst / rel if src.is_dir() else dst
-        out.parent.mkdir(parents=True, exist_ok=True)
+        if src_is_dir:
+            sf = str(f)
+            rel = (sf[len(prefix):] if sf.startswith(prefix)
+                   else str(f.relative_to(src)))
+            out = dst / rel
+        else:
+            out = dst
+        parent = out.parent
+        if parent not in made:
+            parent.mkdir(parents=True, exist_ok=True)
+            made.add(parent)
         return out
 
     return out_path
 
 
-def _pmap(fn, items, threads: int):
-    """Host-thread map preserving order (reads/writes release the GIL)."""
-    if threads > 1 and len(items) > 1:
+@contextlib.contextmanager
+def _shared_pool(threads: int):
+    """One thread pool for a whole CLI command. The batch paths flush many
+    streaming windows; a pool per ``_pmap`` call (spawn + join per window)
+    dominated small-file wall time."""
+    if threads > 1:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=threads) as pool:
-            return list(pool.map(fn, items))
+            yield pool
+    else:
+        yield None
+
+
+def _pmap(fn, items, threads: int, pool=None):
+    """Host-thread map preserving order (reads/writes release the GIL).
+
+    Items are dispatched in contiguous slices (2 per worker), not one future
+    per item: queue handoff costs more than an 8 KiB read, and
+    ``ThreadPoolExecutor.map``'s ``chunksize`` only applies to process pools."""
+    n = len(items)
+    if n > 1 and (pool is not None or threads > 1):
+        def run_slice(chunk):
+            return [fn(x) for x in chunk]
+
+        size = max(1, (n + 2 * threads - 1) // (2 * threads))
+        chunks = [items[i:i + size] for i in range(0, n, size)]
+        if pool is not None:
+            parts = pool.map(run_slice, chunks)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=threads) as tmp:
+                parts = list(tmp.map(run_slice, chunks))
+        return [r for part in parts for r in part]
     return [fn(x) for x in items]
 
 
-def _run_per_file(files, work_fn, out_path, failures, threads: int) -> int:
+def _run_per_file(files, work_fn, out_path, failures, threads: int,
+                  pool=None) -> int:
     """Per-file path with error isolation (``util/core.rs:44``), optionally
     host-thread parallel (the rayon analog); returns bytes written."""
 
@@ -259,12 +302,7 @@ def _run_per_file(files, work_fn, out_path, failures, threads: int) -> int:
             print(f"error: {f}: {type(e).__name__}: {e}", file=sys.stderr)
             return 0
 
-    if threads > 1 and len(files) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=threads) as pool:
-            return sum(pool.map(one, files))
-    return sum(one(f) for f in files)
+    return sum(_pmap(one, files, threads, pool))
 
 
 def _transform_batched(args, bundle, handlers):
@@ -329,9 +367,9 @@ def _transform_batched(args, bundle, handlers):
 
     threads = getattr(args, "threads", 1)
 
-    def flush(fmt, proc, window):
+    def flush(fmt, proc, window, pool):
         nonlocal total
-        datas = _pmap(lambda e: e[0].read_bytes(), window, threads)
+        datas = _pmap(lambda e: e[0].read_bytes(), window, threads, pool)
         payloads = [data[info.data_offset:info.data_offset + info.data_length]
                     for (_, info), data in zip(window, datas)]
         try:
@@ -362,31 +400,32 @@ def _transform_batched(args, bundle, handlers):
                 return 0
 
         total += sum(_pmap(write_one, list(zip(window, datas, results)),
-                           threads))
+                           threads, pool))
 
-    for fmt, entries in groups.items():
-        if not entries:
-            continue
-        proc = make_proc(fmt) if make_proc is not None else None
-        if proc is None:
-            fallback.extend(f for f, _ in entries)
-            continue
-        window, acc = [], 0
-        for f, info in entries:
-            window.append((f, info))
-            acc += info.data_length
-            if acc >= _STREAM_WINDOW_BYTES:
-                flush(fmt, proc, window)
-                window, acc = [], 0
-        if window:
-            flush(fmt, proc, window)
+    with _shared_pool(threads) as pool:
+        for fmt, entries in groups.items():
+            if not entries:
+                continue
+            proc = make_proc(fmt) if make_proc is not None else None
+            if proc is None:
+                fallback.extend(f for f, _ in entries)
+                continue
+            window, acc = [], 0
+            for f, info in entries:
+                window.append((f, info))
+                acc += info.data_length
+                if acc >= _STREAM_WINDOW_BYTES:
+                    flush(fmt, proc, window, pool)
+                    window, acc = [], 0
+            if window:
+                flush(fmt, proc, window, pool)
 
-    def work(f, out):
-        return file_io.transform_file_with_multiple_handlers(
-            handlers, bundle, f, out, f.suffix)
+        def work(f, out):
+            return file_io.transform_file_with_multiple_handlers(
+                handlers, bundle, f, out, f.suffix)
 
-    total += _run_per_file(fallback, work, out_path, failures,
-                           getattr(args, "threads", 1))
+        total += _run_per_file(fallback, work, out_path, failures, threads,
+                               pool)
 
     dt = time.perf_counter() - t0
     print(f"transformed {len(files) - len(failures)}/{len(files)} files "
@@ -453,9 +492,9 @@ def _untransform_batched(args, handlers):
 
     threads = getattr(args, "threads", 1)
 
-    def flush(fmt, proc, window):
+    def flush(fmt, proc, window, pool):
         nonlocal total
-        datas = _pmap(lambda e: e[0].read_bytes(), window, threads)
+        datas = _pmap(lambda e: e[0].read_bytes(), window, threads, pool)
         payloads = [(data[start:end], settings)
                     for (_, start, end, settings), data in zip(window, datas)]
         try:
@@ -482,27 +521,28 @@ def _untransform_batched(args, handlers):
                 return 0
 
         total += sum(_pmap(write_one, list(zip(window, datas, results)),
-                           threads))
+                           threads, pool))
 
-    for fmt, entries in groups.items():
-        proc = UntransformBatchProcessor(fmt,
-                                         max_batch=getattr(args, "max_batch", 64))
-        window, acc = [], 0
-        for entry in entries:
-            window.append(entry)
-            acc += entry[2] - entry[1]
-            if acc >= _STREAM_WINDOW_BYTES:
-                flush(fmt, proc, window)
-                window, acc = [], 0
-        if window:
-            flush(fmt, proc, window)
+    with _shared_pool(threads) as pool:
+        for fmt, entries in groups.items():
+            proc = UntransformBatchProcessor(
+                fmt, max_batch=getattr(args, "max_batch", 64))
+            window, acc = [], 0
+            for entry in entries:
+                window.append(entry)
+                acc += entry[2] - entry[1]
+                if acc >= _STREAM_WINDOW_BYTES:
+                    flush(fmt, proc, window, pool)
+                    window, acc = [], 0
+            if window:
+                flush(fmt, proc, window, pool)
 
-    def work(f, out):
-        return file_io.untransform_file_with_multiple_handlers(
-            handlers, f, out, f.suffix)
+        def work(f, out):
+            return file_io.untransform_file_with_multiple_handlers(
+                handlers, f, out, f.suffix)
 
-    total += _run_per_file(fallback, work, out_path, failures,
-                           getattr(args, "threads", 1))
+        total += _run_per_file(fallback, work, out_path, failures, threads,
+                               pool)
 
     dt = time.perf_counter() - t0
     print(f"untransformed {len(files) - len(failures)}/{len(files)} files "
@@ -548,7 +588,10 @@ def cmd_untransform(args):
     return _process_tree(args, work, "untransformed")
 
 
-def main(argv=None):
+_PARSER = None
+
+
+def _build_parser():
     parser = argparse.ArgumentParser(
         prog="dxt-lossless-transform-tpu",
         description="TPU-native lossless transforms for block-compressed DDS textures")
@@ -584,7 +627,14 @@ def main(argv=None):
 
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="capture a jax profiler trace into DIR")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    global _PARSER
+    if _PARSER is None:  # argparse construction (gettext et al.) is ~10 ms;
+        _PARSER = _build_parser()  # in-process callers (bench, tests) loop
+    args = _PARSER.parse_args(argv)
     _enable_persistent_compile_cache()
     from .. import runtime
     runtime.available() or runtime.build()  # host fast path wants the native library
