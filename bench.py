@@ -602,8 +602,8 @@ def main():
             # DLT_STREAM_BYTES is what bounds the peak
             env["DLT_STREAM_BYTES"] = str(1 << 40)
             out_nw = os.path.join(root, "out_nw")
-            _, _, rss_nw = child(["transform", src, out_nw, "--preset",
-                                  "medium"])
+            rc_nw, dt_nw, rss_nw = child(["transform", src, out_nw,
+                                          "--preset", "medium"])
             env["DLT_STREAM_BYTES"] = str(window)
 
             def row(rc, dt, rss):
@@ -623,7 +623,7 @@ def main():
                 "stream_window_MiB": window >> 20,
                 "transform": row(rc_t, dt_t, rss_t),
                 "untransform": row(rc_u, dt_u, rss_u),
-                "unwindowed_transform": row(0, dt_t, rss_nw),
+                "unwindowed_transform": row(rc_nw, dt_nw, rss_nw),
                 "note": "native C++ path (huge device threshold); windowed "
                         "peak RSS = imports + ~one stream window regardless of "
                         "corpus size; the unwindowed contrast holds whole "

@@ -369,7 +369,28 @@ def _transform_batched(args, bundle, handlers):
 
     def flush(fmt, proc, window, pool):
         nonlocal total
-        datas = _pmap(lambda e: e[0].read_bytes(), window, threads, pool)
+        # Per-file read isolation: a file deleted/truncated between the
+        # header-only classify pass and this flush (windows buffer up to
+        # _STREAM_WINDOW_BYTES) must not sink the batch -- reroute it to the
+        # per-file path, which re-reads and reports the real error.
+        def read_one(e):
+            try:
+                data = e[0].read_bytes()
+                info = e[1]
+                if len(data) < info.data_offset + info.data_length:
+                    return None  # shrank since classification
+                return data
+            except OSError:
+                return None
+
+        datas = _pmap(read_one, window, threads, pool)
+        stale = [f for (f, _), d in zip(window, datas) if d is None]
+        if stale:
+            fallback.extend(stale)
+            window = [e for e, d in zip(window, datas) if d is not None]
+            datas = [d for d in datas if d is not None]
+            if not window:
+                return
         payloads = [data[info.data_offset:info.data_offset + info.data_length]
                     for (_, info), data in zip(window, datas)]
         try:
@@ -494,7 +515,25 @@ def _untransform_batched(args, handlers):
 
     def flush(fmt, proc, window, pool):
         nonlocal total
-        datas = _pmap(lambda e: e[0].read_bytes(), window, threads, pool)
+        # Same per-file read isolation as the transform flush: reroute files
+        # that vanished or shrank since classification to the per-file path.
+        def read_one(e):
+            try:
+                data = e[0].read_bytes()
+                if len(data) < e[2]:  # end offset
+                    return None
+                return data
+            except OSError:
+                return None
+
+        datas = _pmap(read_one, window, threads, pool)
+        stale = [f for (f, *_), d in zip(window, datas) if d is None]
+        if stale:
+            fallback.extend(stale)
+            window = [e for e, d in zip(window, datas) if d is not None]
+            datas = [d for d in datas if d is not None]
+            if not window:
+                return
         payloads = [(data[start:end], settings)
                     for (_, start, end, settings), data in zip(window, datas)]
         try:

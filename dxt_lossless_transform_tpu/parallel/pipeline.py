@@ -26,6 +26,21 @@ from ..ops import lanes
 from . import sharded
 
 
+def _host_map(fn, indices) -> None:
+    """Run ``fn(i)`` per index on a host thread pool (the rayon analog,
+    ``commands/transform/mod.rs:166-187``); callees release the GIL in
+    native/numpy code. Shared by every sub-threshold host path."""
+    workers = min(len(indices), os.cpu_count() or 2)
+    if workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(fn, indices))
+    else:
+        for i in indices:
+            fn(i)
+
+
 @dataclass
 class BatchResult:
     """One file's outcome, in submission order."""
@@ -276,13 +291,10 @@ class BatchProcessor:
         not touch the single-process relay chip). The native LTU scorer is the
         exact-integer twin of the device scorer, so picks agree in this size
         regime (see estimate/ltu.py) and outputs stay byte-identical."""
-        import os as _os
-        from concurrent.futures import ThreadPoolExecutor
-
         from ..estimate.ltu import LtuEstimation
         from ..ops import auto as ops_auto, bc45 as ops_bc45
 
-        if _os.environ.get("DLT_MEDIUM_BATCH_NATIVE", "0") != "1":
+        if os.environ.get("DLT_MEDIUM_BATCH_NATIVE", "0") != "1":
             return
         if self.mesh is not None or self.candidates != tuple(self.cfg["candidates"]):
             return  # explicit mesh / custom candidates keep the device path
@@ -302,13 +314,7 @@ class BatchProcessor:
             out, settings = auto_fn(payloads[i], est)
             order[i] = BatchResult(i, out, settings)
 
-        workers = min(len(small), _os.cpu_count() or 2)
-        if workers > 1:
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(run, small))
-        else:
-            for i in small:
-                run(i)
+        _host_map(run, small)
 
     # --- host-scored (zstd-preset) mode -------------------------------------------
 
@@ -355,18 +361,7 @@ class BatchProcessor:
                 out, settings = native_auto(payloads[i], self.estimator, **kw)
                 order[i] = BatchResult(i, out, settings)
 
-            # host-thread parallel across files (the rayon analog,
-            # commands/transform/mod.rs:166-187): the native auto releases the GIL
-            import os as _os
-            from concurrent.futures import ThreadPoolExecutor
-
-            workers = min(len(small), (_os.cpu_count() or 2))
-            if workers > 1:
-                with ThreadPoolExecutor(max_workers=workers) as pool:
-                    list(pool.map(run_native, small))
-            else:
-                for i in small:
-                    run_native(i)
+            _host_map(run_native, small)  # the native auto releases the GIL
 
         pending = deque()
         for chunk, flats, valid in self._prepare_batches(payloads, order):
@@ -630,9 +625,6 @@ class UntransformBatchProcessor:
         return [r for r in out if r is not None]
 
     def _process_host(self, entries, out, host_idx):
-        import os as _os
-        from concurrent.futures import ThreadPoolExecutor
-
         from .. import runtime
 
         # Whole-window native batch: ONE C call (pthread pool, GIL released
@@ -655,13 +647,7 @@ class UntransformBatchProcessor:
             payload, settings = entries[i]
             out[i] = host(payload, settings)
 
-        workers = min(len(host_idx), _os.cpu_count() or 2)
-        if workers > 1:
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(run, host_idx))
-        else:
-            for i in host_idx:
-                run(i)
+        _host_map(run, host_idx)
 
     def _run_batch(self, entries, chunk, settings, bucket):
         """Scatter each file's stream sections into bucket-padded stream buffers
@@ -788,9 +774,6 @@ class RgbBatchProcessor:
         self.max_batch = max_batch
 
     def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:
-        import os
-        from concurrent.futures import ThreadPoolExecutor
-
         from ..ops import rgb as ops_rgb
 
         order: List[Optional[BatchResult]] = [None] * len(payloads)
@@ -808,9 +791,7 @@ class RgbBatchProcessor:
                 rows[job] = ops_rgb.transform(payloads[chunk[row]], self.layout,
                                               self.settings[c])
 
-            workers = min(len(chunk) * C, os.cpu_count() or 2)
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(build, range(len(chunk) * C)))
+            _host_map(build, range(len(chunk) * C))
             sizes = np.asarray(self.estimator.estimate_batch(rows)).reshape(
                 len(chunk), C)
             for row, idx in enumerate(chunk):

@@ -109,6 +109,19 @@ def _try_load() -> Optional[ctypes.CDLL]:
         if fn is not None:
             fn.argtypes = [u8p, u8p, ctypes.c_size_t] + [ctypes.c_int] * 5
             fn.restype = ctypes.c_int
+    fn = getattr(lib, "dlt_ltu_set_g_table", None)
+    if fn is not None:
+        # Install numpy's entropy table as the native scorer's authority so the
+        # host/native twin equality holds on any libm (a 1-ULP log2 difference
+        # could flip a floor(x+0.5) entry). The C side copies the buffer.
+        import numpy as np
+
+        from ..estimate.ltu import G_TABLE
+
+        fn.argtypes = [ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+        fn.restype = ctypes.c_int
+        tbl = np.ascontiguousarray(G_TABLE, dtype=np.int64)
+        fn(tbl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), tbl.size)
     _lib = lib
     return lib
 

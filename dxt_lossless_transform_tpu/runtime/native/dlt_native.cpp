@@ -468,8 +468,35 @@ static const int64_t* ltu_g_table() {
     return g.data();
 }
 
+// Host-authoritative override: the Python loader installs numpy's G table at
+// load time so the host/native twin equality is unconditional -- libm log2 may
+// differ from numpy's by 1 ULP on some platforms, which could flip a
+// floor(x + 0.5) entry. Pure-C consumers without the override fall back to the
+// locally computed table above (equal on every platform tested;
+// dlt_ltu_g_table_entry lets them verify). First writer wins; the copy is
+// intentionally leaked (lives for the process).
+static std::atomic<const int64_t*> g_ltu_g_override{nullptr};
+
+static inline const int64_t* ltu_g_active() {
+    const int64_t* o = g_ltu_g_override.load(std::memory_order_acquire);
+    return o ? o : ltu_g_table();
+}
+
+extern "C" int dlt_ltu_set_g_table(const int64_t* table, int len) {
+    if (table == nullptr || len != kEntropyCap + 1) return -1;
+    int64_t* copy = new (std::nothrow) int64_t[kEntropyCap + 1];
+    if (copy == nullptr) return -1;
+    std::memcpy(copy, table, sizeof(int64_t) * (size_t)(kEntropyCap + 1));
+    const int64_t* expected = nullptr;
+    if (!g_ltu_g_override.compare_exchange_strong(expected, copy,
+                                                  std::memory_order_acq_rel)) {
+        delete[] copy;  // already installed
+    }
+    return 0;
+}
+
 extern "C" int64_t dlt_ltu_g_table_entry(int n) {
-    return (n >= 0 && n <= kEntropyCap) ? ltu_g_table()[n] : -1;
+    return (n >= 0 && n <= kEntropyCap) ? ltu_g_active()[n] : -1;
 }
 
 static int64_t ltu_entropy_term(const uint8_t* data, size_t len) {
@@ -477,7 +504,7 @@ static int64_t ltu_entropy_term(const uint8_t* data, size_t len) {
     if (n <= 1) return 0;
     int64_t hist[256] = {0};
     for (int i = 0; i < n; i++) hist[data[i]]++;
-    const int64_t* g = ltu_g_table();
+    const int64_t* g = ltu_g_active();
     int64_t sum = 0;
     for (int c = 0; c < 256; c++) sum += g[hist[c]];
     int64_t raw = g[n] - sum;

@@ -11,8 +11,9 @@ study, CORPUS_REPORT.md).
 
 Implemented BC7 modes: 1, 3, 6 (opaque) and 4, 5, 6, 7 (alpha) -- the working
 set of fast production encoders (bc7enc's default is modes 1+6; RDO variants
-add 4/5/7). Per block, every enabled mode is encoded and the least-squared-error one
-wins, so mode statistics emerge from content exactly as with a real encoder.
+add 4/5/7). Modes 4/5 search all four rotations and mode 4 both idxModes. Per
+block, every enabled variant is encoded and the least-squared-error one wins,
+so mode statistics emerge from content exactly as with a real encoder.
 BC6H: mode 11 (one region, 10.10 endpoints, 4-bit indices), the fast-preset
 choice of production HDR encoders; encoding treats non-negative half-float bit
 patterns as monotone integers (range fit + nearest-palette), which is the
@@ -209,15 +210,31 @@ def _choose_partition(pixels, channels: int):
     return best_id
 
 
-def _encode_mode(pixels, mode: int):
-    """Encode every block with one mode. pixels (N, 16, 4) uint8.
+def _encode_mode(pixels, mode: int, rot: int = 0, idxm: int = 0):
+    """Encode every block with one mode (modes 4/5: one rotation; mode 4: one
+    idxMode). pixels (N, 16, 4) uint8.
+
+    ``rot`` r in 1..3 swaps channel r-1 with alpha before encoding (the spec's
+    rotation field; squared error is channel-permutation-invariant, so ``err``
+    stays valid in the original space). ``idxm=1`` (mode 4 only) drives color
+    with the stored 3-bit index array and alpha with the 2-bit one; the arrays
+    keep their stored widths (2 then 3 bits) either way.
 
     Returns (packed (N, 16) uint8, err (N,) int64 squared error)."""
     cfg = _MODES[mode]
+    if rot and mode not in (4, 5):
+        raise ValueError("rotation applies to modes 4/5 only")
+    if idxm and mode != 4:
+        raise ValueError("idxMode applies to mode 4 only")
+    if rot:
+        pixels = pixels.copy()
+        pixels[..., [rot - 1, 3]] = pixels[..., [3, rot - 1]]
     n = len(pixels)
     subsets, cb, ab, ib = cfg["subsets"], cfg["cb"], cfg["ab"], cfg["ib"]
+    ib_color = 3 if idxm else ib  # palette sizes under idxMode
+    ib_alpha = (2 if idxm else cfg["ib2"]) if mode in (4, 5) else 0
     channels = 4 if (ab and mode not in (4, 5)) else 3
-    weights = _WEIGHTS[ib]
+    weights = _WEIGHTS[ib_color]
 
     if subsets == 2:
         pids = _choose_partition(pixels, channels)
@@ -227,7 +244,7 @@ def _encode_mode(pixels, mode: int):
 
     # per-subset endpoints, quantized (with p-bit from rounding), palettes
     quant_lo, quant_hi, p_lo, p_hi = [], [], [], []
-    pal = np.zeros((n, subsets, 1 << ib, channels), np.int64)
+    pal = np.zeros((n, subsets, 1 << ib_color, channels), np.int64)
     for s in range(subsets):
         mask = subset_of == s
         lo, hi = _fit_endpoints(pixels[..., :channels], mask)
@@ -255,18 +272,12 @@ def _encode_mode(pixels, mode: int):
             ql, qh = _quant(lo, cb), _quant(hi, cb)
             pl = ph = np.zeros(n, np.int64)
             dq_lo, dq_hi = _dequant(ql, cb), _dequant(qh, cb)
-        if mode == 5:  # alpha endpoints are 8-bit direct, no p-bit
-            pass
-        if channels == 4 and ab != cb and mode != 5:
-            # mode 7 shares cb for alpha (5 bits) -- handled above since
-            # channels==4 went through the same quantization
-            pass
         quant_lo.append(ql)
         quant_hi.append(qh)
         p_lo.append(pl)
         p_hi.append(ph)
         pal[:, s] = _interp(dq_lo[:, None, :], dq_hi[:, None, :],
-                            np.broadcast_to(weights, (n, 1 << ib)))
+                            np.broadcast_to(weights, (n, 1 << ib_color)))
 
     # indices: nearest palette entry per pixel (within its subset's palette)
     px = pixels[..., :channels].astype(np.int64)
@@ -282,11 +293,11 @@ def _encode_mode(pixels, mode: int):
     for s in range(subsets):
         anchor = _anchor_index(pids, s)
         a_idx = idx[np.arange(n), anchor]
-        flip = ((a_idx >> (ib - 1)) & 1).astype(bool) & \
+        flip = ((a_idx >> (ib_color - 1)) & 1).astype(bool) & \
             (subset_of[np.arange(n), anchor] == s)
         if not flip.any():
             continue
-        maxi = (1 << ib) - 1
+        maxi = (1 << ib_color) - 1
         in_subset = subset_of == s
         idx = np.where(flip[:, None] & in_subset, maxi - idx, idx)
         for arrs in (quant_lo, quant_hi), (p_lo, p_hi):
@@ -306,12 +317,12 @@ def _encode_mode(pixels, mode: int):
         else:
             qa_lo, qa_hi = a_lo, a_hi
             da_lo, da_hi = a_lo, a_hi
-        w2 = _WEIGHTS[cfg["ib2"]]
+        w2 = _WEIGHTS[ib_alpha]
         a_pal = (da_lo[:, None] * (64 - w2) + da_hi[:, None] * w2 + 32) >> 6
         a_idx = np.abs(al[:, :, None] - a_pal[:, None, :]).argmin(-1)
         a_recon = a_pal[np.arange(n)[:, None], a_idx]  # pre-flip reconstruction
-        flip = ((a_idx[:, 0] >> (cfg["ib2"] - 1)) & 1).astype(bool)
-        a_idx = np.where(flip[:, None], (1 << cfg["ib2"]) - 1 - a_idx, a_idx)
+        flip = ((a_idx[:, 0] >> (ib_alpha - 1)) & 1).astype(bool)
+        a_idx = np.where(flip[:, None], (1 << ib_alpha) - 1 - a_idx, a_idx)
         a_lo = np.where(flip, qa_hi, qa_lo)  # pack the (quantized) endpoints
         a_hi = np.where(flip, qa_lo, qa_hi)
     if mode in (4, 5):
@@ -326,9 +337,9 @@ def _encode_mode(pixels, mode: int):
     if cfg["pb"]:
         w.put(pids, cfg["pb"])
     if mode in (4, 5):
-        w.put(np.zeros(n), 2)  # rotation 0
+        w.put(np.full(n, rot), 2)  # rotation: channel rot-1 <-> alpha
     if mode == 4:
-        w.put(np.zeros(n), 1)  # idxMode 0: 2-bit color, 3-bit alpha
+        w.put(np.full(n, idxm), 1)  # idxMode: which array drives color
     # endpoint channel fields: R all endpoints, G, B, (A)
     for ch in range(3):
         for s in range(subsets):
@@ -348,7 +359,12 @@ def _encode_mode(pixels, mode: int):
         for s in range(subsets):
             w.put(p_lo[s], 1)
             w.put(p_hi[s], 1)
-    # index bits, anchors compressed by one bit
+    # index bits, anchors compressed by one bit. Arrays are stored at their
+    # fixed widths (first: ib, second: ib2); under mode 4's idxMode=1 the
+    # FIRST (2-bit) array holds the alpha indices and the SECOND (3-bit) the
+    # color indices.
+    first_vals = a_idx if idxm else idx
+    second_vals = (idx if idxm else a_idx) if mode in (4, 5) else None
     anchors = [_anchor_index(pids, s) for s in range(subsets)]
     for pix in range(16):
         is_anchor = np.zeros(n, bool)
@@ -358,7 +374,7 @@ def _encode_mode(pixels, mode: int):
         # vectorized variable-width: write ib-1 bits always, then the MSB only
         # for non-anchors -- but bit positions differ per block, so fall back
         # to per-width masking: write bit-by-bit with per-block positions.
-        vals = idx[:, pix]
+        vals = first_vals[:, pix]
         for b in range(ib):
             sel = b < width_full
             byte_pos = w.pos_arr if hasattr(w, "pos_arr") else None
@@ -376,7 +392,7 @@ def _encode_mode(pixels, mode: int):
     if mode in (4, 5):
         for pix in range(16):
             width_full = np.where(pix == 0, cfg["ib2"] - 1, cfg["ib2"])
-            vals = a_idx[:, pix]
+            vals = second_vals[:, pix]
             byte_pos = w.pos_arr
             for b in range(cfg["ib2"]):
                 sel = b < width_full
@@ -391,16 +407,26 @@ def _encode_mode(pixels, mode: int):
 
 
 def encode_bc7(rgba: np.ndarray, modes=None) -> bytes:
-    """Encode an (H, W, 4) uint8 image to BC7; per block the least-error mode
-    of the enabled set wins (opaque default: 1/3/6; with alpha: 5/6/7)."""
+    """Encode an (H, W, 4) uint8 image to BC7; per block the least-error
+    variant of the enabled mode set wins (opaque default: 1/3/6; with alpha:
+    4/5/6/7). Modes 4/5 search all four rotations and mode 4 both idxModes,
+    like production encoders, so those header fields occur in the output."""
     from .encode import _blockify
 
     pixels = _blockify(np.ascontiguousarray(rgba))
     if modes is None:
         modes = (1, 3, 6) if (pixels[..., 3] == 255).all() else (4, 5, 6, 7)
-    packed, errs = [], []
+    variants = []
     for m in modes:
-        p, e = _encode_mode(pixels, m)
+        if m == 4:
+            variants += [(4, r, i) for r in range(4) for i in (0, 1)]
+        elif m == 5:
+            variants += [(5, r, 0) for r in range(4)]
+        else:
+            variants.append((m, 0, 0))
+    packed, errs = [], []
+    for m, r, i in variants:
+        p, e = _encode_mode(pixels, m, r, i)
         packed.append(p)
         errs.append(e)
     errs = np.stack(errs)          # (M, N)
@@ -410,9 +436,11 @@ def encode_bc7(rgba: np.ndarray, modes=None) -> bytes:
 
 
 def block_mode_histogram(data: bytes) -> dict:
-    """Mode id -> count over a BC7 payload (ctz of the first byte)."""
+    """Mode id -> count over a BC7 payload (ctz of the first byte; 8 = the
+    invalid all-zero mode byte)."""
     b0 = np.frombuffer(data, np.uint8)[::16]
-    modes = np.where(b0 == 0, 8, np.log2(b0 & -b0.astype(np.int64)).astype(int))
+    ctz = np.argmax((b0[:, None] >> np.arange(8)) & 1, axis=1)  # 0 for b0==0
+    modes = np.where(b0 == 0, 8, ctz)
     vals, counts = np.unique(modes, return_counts=True)
     return {int(v): int(c) for v, c in zip(vals, counts)}
 
@@ -422,7 +450,10 @@ def block_mode_histogram(data: bytes) -> dict:
 def decode_bc7(data: bytes) -> np.ndarray:
     """Decode BC7 blocks of the implemented modes -> (N, 16, 4) uint8.
 
-    Blocks are grouped by mode and decoded vectorized per group."""
+    Blocks are grouped by mode and decoded vectorized per group. All mode 4/5
+    header fields are honored per block: rotation (1..3 swaps the decoded
+    alpha with channel R/G/B) and mode 4's idxMode (selects which stored
+    index array drives color vs alpha)."""
     blocks = np.frombuffer(data, np.uint8).reshape(-1, 16)
     out = np.zeros((len(blocks), 16, 4), np.uint8)
     out[..., 3] = 255
@@ -463,10 +494,8 @@ def _decode_mode(blocks: np.ndarray, mode: int) -> np.ndarray:
     r = _BitReader(blocks)
     r.get(mode + 1)
     pids = r.get(cfg["pb"]) if cfg["pb"] else np.zeros(n, np.int64)
-    if mode in (4, 5):
-        r.get(2)  # rotation (encoder writes 0)
-    if mode == 4:
-        r.get(1)  # idxMode (encoder writes 0: 2-bit color, 3-bit alpha)
+    rot = r.get(2) if mode in (4, 5) else None
+    idxm = r.get(1) if mode == 4 else None
     ep = np.zeros((n, subsets, 2, 4), np.int64)
     for ch in range(3):
         for s in range(subsets):
@@ -501,17 +530,11 @@ def _decode_mode(blocks: np.ndarray, mode: int) -> np.ndarray:
     anchors = [_anchor_index(pids, s) for s in range(subsets)]
     idx, pos = _read_indices(r, n, ib, anchors)
     subset_of = _subset_masks(pids, subsets)
-    w = _WEIGHTS[ib][idx]  # (N,16)
-    lo = dq[np.arange(n)[:, None], subset_of, 0]
-    hi = dq[np.arange(n)[:, None], subset_of, 1]
-    px = _interp(lo, hi, w)
-    out = np.zeros((n, 16, 4), np.uint8)
-    out[..., :channels] = px
-    if channels == 3:
-        out[..., 3] = 255
     if mode in (4, 5):
+        # second stored index array (always present: mode 4 = 3-bit,
+        # mode 5 = 2-bit), anchored at pixel 0 like the first
         ib2 = cfg["ib2"]
-        a_idx = np.zeros((n, 16), np.int64)
+        idx2 = np.zeros((n, 16), np.int64)
         for pix in range(16):
             width_full = np.where(pix == 0, ib2 - 1, ib2)
             vals = np.zeros(n, np.int64)
@@ -522,10 +545,30 @@ def _decode_mode(blocks: np.ndarray, mode: int) -> np.ndarray:
                 bit = (blocks[np.arange(n), byte].astype(np.int64) >> off) & 1
                 vals |= (bit & sel) << b
                 pos += np.asarray(sel, np.int64)
-            a_idx[:, pix] = vals
-        w2 = _WEIGHTS[ib2][a_idx]
-        out[..., 3] = ((a_lo[:, None] * (64 - w2) + a_hi[:, None] * w2 + 32)
-                       >> 6).astype(np.uint8)
+            idx2[:, pix] = vals
+        # mode 4 idxMode=1: the 3-bit array drives COLOR, the 2-bit ALPHA
+        swap = (idxm == 1)[:, None] if mode == 4 else np.zeros((n, 1), bool)
+        w = np.where(swap, _WEIGHTS[ib2][idx2], _WEIGHTS[ib][idx])
+        w_alpha = np.where(swap, _WEIGHTS[ib][idx], _WEIGHTS[ib2][idx2])
+    else:
+        w = _WEIGHTS[ib][idx]  # (N,16)
+    lo = dq[np.arange(n)[:, None], subset_of, 0]
+    hi = dq[np.arange(n)[:, None], subset_of, 1]
+    px = _interp(lo, hi, w)
+    out = np.zeros((n, 16, 4), np.uint8)
+    out[..., :channels] = px
+    if channels == 3:
+        out[..., 3] = 255
+    if mode in (4, 5):
+        out[..., 3] = ((a_lo[:, None] * (64 - w_alpha)
+                        + a_hi[:, None] * w_alpha + 32) >> 6).astype(np.uint8)
+        # rotation: swap the decoded alpha back into channel rot-1
+        for rv, ch in ((1, 0), (2, 1), (3, 2)):
+            sel = np.nonzero(rot == rv)[0]
+            if len(sel):
+                tmp = out[sel, :, ch].copy()
+                out[sel, :, ch] = out[sel, :, 3]
+                out[sel, :, 3] = tmp
     return out
 
 

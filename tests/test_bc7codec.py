@@ -42,6 +42,43 @@ def test_alpha_mode_encode_decode_exact(mode):
     np.testing.assert_array_equal(mse, err)
 
 
+@pytest.mark.parametrize("mode,rot,idxm", [(4, r, i) for r in range(4)
+                                           for i in (0, 1)]
+                         + [(5, r, 0) for r in range(1, 4)])
+def test_rotation_idxmode_encode_decode_exact(mode, rot, idxm):
+    """Every rotation/idxMode variant must decode to exactly the
+    reconstruction the encoder scored (the err array is computed in the
+    ORIGINAL channel space, so equality proves the decoder un-rotates and
+    un-swaps the index arrays correctly)."""
+    px = _blockify(procedural_texture(32, seed=6, kind="foliage"))
+    packed, err = C._encode_mode(px, mode, rot=rot, idxm=idxm)
+    dec = C._decode_mode(packed, mode)
+    mse = ((dec.astype(np.int64) - px.astype(np.int64)) ** 2).sum(axis=(1, 2))
+    np.testing.assert_array_equal(mse, err)
+    # header fields round-trip: rotation bits sit right after the mode field
+    r = C._BitReader(packed)
+    r.get(mode + 1)
+    np.testing.assert_array_equal(r.get(2), rot)
+    if mode == 4:
+        np.testing.assert_array_equal(r.get(1), idxm)
+
+
+def test_rotation_is_channel_swap():
+    """Patching the rotation field of a rot=0 block must decode to the
+    channel-swapped pixels of the unpatched block (decoder-only property,
+    independent of the encoder's rotation search)."""
+    px = _blockify(procedural_texture(16, seed=8, kind="foliage"))
+    packed, _ = C._encode_mode(px, 5)
+    base = C._decode_mode(packed, 5)
+    for rot, ch in ((1, 0), (2, 1), (3, 2)):
+        patched = packed.copy()
+        patched[:, 0] |= rot << 6  # mode-5 field is 6 bits, rotation next
+        got = C._decode_mode(patched, 5)
+        want = base.copy()
+        want[..., [ch, 3]] = want[..., [3, ch]]
+        np.testing.assert_array_equal(got, want)
+
+
 def test_partition_anchor_consistency():
     """Encoder-eligible partitions place the subset-1 anchor inside subset 1
     and pixel 0 inside subset 0 (the spec-table invariant)."""
