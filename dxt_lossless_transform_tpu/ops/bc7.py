@@ -507,11 +507,41 @@ def _auto_device_ok(estimator, n: int) -> bool:
             and _planes_pallas_ok(lanes.bucket_size(n)))
 
 
+def ltu_identity_guard(data, out, settings, candidates):
+    """Selection policy v5 for the mode-sort formats: a zstd-1 confirmation of
+    the LTU winner against the untouched payload.
+
+    The LTU coverage scorer ranks the transform LAYOUTS against each other
+    well, but on realistic mode-mixed BC7/BC6H streams it overrates the
+    absolute gain of mode sorting -- the corpus study measured the pure-LTU
+    pick at -0.7% vs zstd-16 on real-encoder BC7 containers (identity wins 59%
+    of files there; the reference's own BC7 asset gains 0%). Two native zstd-1
+    calls (winner + payload, batched through the pthread driver) flip such
+    picks back to identity, lifting the shipped medium-preset result to +0.49%
+    (BC7) / +2.25% (BC6H) on the same corpus. Applied only when the candidate
+    set contains the identity layout; zstd estimators rank identity directly
+    and never need it."""
+    ident = next((s for s in candidates
+                  if not s.sort_by_mode and not s.split_byte_planes), None)
+    if ident is None or settings == ident or len(out) == 0:
+        return out, settings
+    from ..estimate.zstd import ZstdEstimation
+
+    sizes = ZstdEstimation(1).estimate_batch([out, data])
+    if sizes[0] < sizes[1]:
+        return out, settings
+    return data, ident
+
+
 def _transform_auto(data, estimator, candidates, fmt: str, transform_fn):
     """Shared BC7/BC6H auto-search driver."""
+    from ..estimate.ltu import LtuEstimation
+
     cand = tuple(candidates)
     if len(data) == 0:
         return b"", cand[-1]
+    guard = (ltu_identity_guard if isinstance(estimator, LtuEstimation)
+             else (lambda d, o, s, c: (o, s)))
     n = len(data) // BLOCK_SIZE
     if _auto_device_ok(estimator, n):
         from ..estimate.ltu import DEFAULT_OFFSETS
@@ -523,10 +553,12 @@ def _transform_auto(data, estimator, candidates, fmt: str, transform_fn):
         key = tuple((s.sort_by_mode, s.split_byte_planes) for s in cand)
         row, valid, best = _auto_device(flat, jnp.uint32(n), key,
                                         DEFAULT_OFFSETS, row_len, fmt, True)
-        return np.asarray(row).tobytes()[:int(valid)], cand[int(best)]
+        out, settings = (np.asarray(row).tobytes()[:int(valid)],
+                         cand[int(best)])
+        return guard(data, out, settings, cand)
     rows = [transform_fn(data, s) for s in cand]
     best = int(np.argmin(estimator.estimate_batch(rows)))
-    return rows[best], cand[best]
+    return guard(data, rows[best], cand[best], cand)
 
 
 def transform_bc7_auto(data, estimator, use_all_decorrelation_modes: bool = False,

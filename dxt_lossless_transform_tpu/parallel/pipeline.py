@@ -717,6 +717,8 @@ class ModeSortBatchProcessor:
         return self._steps[bucket]
 
     def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:
+        from ..ops.bc7 import ltu_identity_guard
+
         order: List[Optional[BatchResult]] = [None] * len(payloads)
         by_bucket: dict = {}
         for i, data in enumerate(payloads):
@@ -751,9 +753,13 @@ class ModeSortBatchProcessor:
                 winner, valid, best = jax.device_get(self._step(bucket)(
                     jnp.asarray(flats), jnp.asarray(n_valids)))
                 for row, idx in enumerate(chunk):
-                    order[idx] = BatchResult(
-                        idx, winner[row].tobytes()[:int(valid[row])],
-                        self.settings[int(best[row])])
+                    # same zstd-1 identity confirmation as the per-file auto
+                    # (ops/bc7.py:ltu_identity_guard) -- batched and per-file
+                    # picks must stay identical
+                    out, settings = ltu_identity_guard(
+                        payloads[idx], winner[row].tobytes()[:int(valid[row])],
+                        self.settings[int(best[row])], self.settings)
+                    order[idx] = BatchResult(idx, out, settings)
         return [r for r in order if r is not None]
 
 

@@ -122,6 +122,34 @@ def test_auto_prefers_identity_on_noise():
     assert out == data
 
 
+def test_ltu_auto_identity_guard_postcondition():
+    """Under the LTU estimator the shipped result is never worse than identity
+    by the zstd-1 confirmation (ops/bc7.py:ltu_identity_guard): whenever a
+    transform is shipped, its zstd-1 size strictly beats the raw payload's."""
+    from dxt_lossless_transform_tpu.estimate import LtuEstimation
+    from dxt_lossless_transform_tpu.estimate.zstd import ZstdEstimation as Z
+    from dxt_lossless_transform_tpu.utils.corpus import build_bc7_dds_corpus
+
+    est, z1 = LtuEstimation(), Z(1)
+    ident = Bc7TransformSettings(False, False)
+    flipped = shipped_transform = 0
+    for entry in build_bc7_dds_corpus(6, sizes=(64, 128)):
+        payload = entry[1][0x94:]
+        out, picked = ops_bc7.transform_bc7_auto(payload, est)
+        if picked == ident:
+            assert out == payload
+            # the guard only ever flips TO identity; a flip means the raw
+            # LTU argmin preferred a transform that zstd-1 refuted
+            raw = [ops_bc7.transform(payload, s) for s in ALL_SETTINGS]
+            if int(np.argmin(est.estimate_batch(raw))) != ALL_SETTINGS.index(ident):
+                flipped += 1
+        else:
+            shipped_transform += 1
+            assert z1.estimate(out) < z1.estimate(payload)
+            assert ops_bc7.untransform(out, picked) == payload
+    assert flipped + shipped_transform > 0  # the guard actually engaged
+
+
 def test_auto_prefers_transform_on_structured():
     # Synthetic mode-6-like blocks with smoothly varying endpoint bytes and noisy
     # index bytes: the plane split should win under the estimator.
