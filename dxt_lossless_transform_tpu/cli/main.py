@@ -58,17 +58,21 @@ def make_preset_bundle(preset: str) -> TransformBundle:
     if preset == "low":
         return TransformBundle.default_all()
     if preset == "medium":
-        est = LtuEstimation()
+        est = est_ms = LtuEstimation()
         ultra = False
-    elif preset == "optimal":
+    elif preset in ("optimal", "max"):
         est = ZstdEstimation(1)
-        ultra = False
-    elif preset == "max":
-        est = ZstdEstimation(1)
-        ultra = True
+        # The mode-sort formats score FULL candidate streams, and zstd-1's
+        # ranking is measurably wrong there: on the real-encoder BC6H corpus a
+        # level-1 argmin ships -0.36% vs zstd-16 while level 6 ships +0.90%
+        # (BC7: +0.54% -> +0.70%); level-1 cannot see the long-range structure
+        # mode grouping creates (CORPUS_REPORT.md). BC1-BC5 estimate cheap
+        # endpoint regions where level 1 ranks correctly and stays fastest.
+        est_ms = ZstdEstimation(6)
+        ultra = preset == "max"
     else:
         raise ValueError(f"unknown preset {preset!r}")
-    mk = (lambda cls: cls.new_ultra(est) if ultra else cls(est))
+    mk = (lambda cls, e=est: cls.new_ultra(e) if ultra else cls(e))
     mkrgb = (lambda layout: RgbAutoTransformBuilder.new_ultra(layout, est) if ultra
              else RgbAutoTransformBuilder(layout, est))
     return TransformBundle(bc1=mk(Bc1AutoTransformBuilder),
@@ -76,8 +80,8 @@ def make_preset_bundle(preset: str) -> TransformBundle:
                            bc3=mk(Bc3AutoTransformBuilder),
                            bc4=mk(Bc4AutoTransformBuilder),
                            bc5=mk(Bc5AutoTransformBuilder),
-                           bc7=mk(Bc7AutoTransformBuilder),
-                           bc6h=mk(Bc6hAutoTransformBuilder),
+                           bc7=mk(Bc7AutoTransformBuilder, est_ms),
+                           bc6h=mk(Bc6hAutoTransformBuilder, est_ms),
                            rgba8888=mkrgb("rgba8888"),
                            bgra8888=mkrgb("bgra8888"),
                            bgr888=mkrgb("bgr888"))

@@ -14,8 +14,10 @@ set of fast production encoders (bc7enc's default is modes 1+6; RDO variants
 add 4/5/7). Modes 4/5 search all four rotations and mode 4 both idxModes. Per
 block, every enabled variant is encoded and the least-squared-error one wins,
 so mode statistics emerge from content exactly as with a real encoder.
-BC6H: mode 11 (one region, 10.10 endpoints, 4-bit indices), the fast-preset
-choice of production HDR encoders; encoding treats non-negative half-float bit
+BC6H: the one-region family, modes 11-14 (10.10 / 11.9 / 12.8 / 16.4
+delta-compressed endpoints, 4-bit indices), selected per block by least error
+-- flat blocks land in mode 14, smooth gradients in 12/13, wide ranges in 11,
+like production HDR encoders; encoding treats non-negative half-float bit
 patterns as monotone integers (range fit + nearest-palette), which is the
 standard cheap-BC6H trick.
 
@@ -572,36 +574,22 @@ def _decode_mode(blocks: np.ndarray, mode: int) -> np.ndarray:
     return out
 
 
-# --- BC6H (mode 11, unsigned) ---------------------------------------------------------
+# --- BC6H (one-region modes 11-14, unsigned) ------------------------------------------
+# Header value (5 LSBs of byte 0) -> (endpoint base bits, signed delta bits or
+# None). Modes 12-14 delta-compress the second endpoint against the first --
+# the spec's one-region family (11: 10.10, 12: 11.9, 13: 12.8, 14: 16.4).
+# Per-block least-error selection over the family gives real first-byte mode
+# statistics (flat blocks land in 14, smooth in 12/13, wide-range in 11).
+# Simplification vs the full spec (documented; the decoder below is the
+# oracle): base/delta fields are stored contiguously LSB-first without the
+# spec's per-bit reversal quirks, and endpoints dequantize by left-shift.
 
-def encode_bc6h(rgb16: np.ndarray) -> bytes:
-    """Encode an (H, W, 3) float16 (non-negative) image to BC6H mode-11 blocks.
+_BC6H_MODES = {3: (10, None), 7: (11, 9), 11: (12, 8), 15: (16, 4)}
 
-    Half-float bit patterns of non-negative values are monotone integers, so
-    range fit + nearest-palette runs directly on the raw u16 lanes quantized to
-    the mode's 10-bit endpoints (the standard fast-encoder shortcut)."""
-    from .encode import _blockify
 
-    raw = np.ascontiguousarray(rgb16).view(np.uint16)
-    pixels = _blockify(raw.reshape(rgb16.shape)).astype(np.int64)  # (N,16,3)
-    n = len(pixels)
-    lo, hi = pixels.min(axis=1), pixels.max(axis=1)
-    qlo, qhi = lo >> 6, hi >> 6  # 16 -> 10 bit
-    dlo, dhi = qlo << 6, qhi << 6
-    pal = _interp(dlo[:, None, :], dhi[:, None, :],
-                  np.broadcast_to(_W4, (n, 16)))  # (N,16pal,3)
-    dist = ((pixels[:, :, None, :] - pal[:, None, :, :]) ** 2).sum(-1)
-    idx = dist.argmin(-1)
-    flip = ((idx[:, 0] >> 3) & 1).astype(bool)
-    idx = np.where(flip[:, None], 15 - idx, idx)
-    qlo2 = np.where(flip[:, None], qhi, qlo)
-    qhi2 = np.where(flip[:, None], qlo, qhi)
-    w = _BitWriter(n)
-    w.put(np.full(n, 3), 5)  # mode 11 header
-    for ch in range(3):
-        w.put(qlo2[:, ch], 10)
-    for ch in range(3):
-        w.put(qhi2[:, ch], 10)
+def _bc6h_pack_indices(w, idx):
+    """16 x 4-bit indices, anchor pixel 0 compressed to 3 bits (63 bits)."""
+    n = len(idx)
     pos = np.full(n, w.pos, np.int64)
     for pix in range(16):
         width = 3 if pix == 0 else 4
@@ -614,32 +602,114 @@ def encode_bc6h(rgb16: np.ndarray) -> bytes:
             np.bitwise_or.at(w.out, (np.arange(n), byte),
                              (bit << off).astype(np.uint8))
             pos += np.asarray(sel, np.int64)
-    return w.out.tobytes()
+
+
+def _encode_bc6h_mode(pixels, hv: int):
+    """Encode every block with one one-region mode; returns (packed, err)."""
+    bw, dw = _BC6H_MODES[hv]
+    s = 16 - bw
+    n = len(pixels)
+    lo, hi = pixels.min(axis=1), pixels.max(axis=1)
+    qlo, qhi = lo >> s, hi >> s
+    if dw is not None:
+        # symmetric clamp so the delta fits in EITHER orientation after the
+        # anchor flip (sacrifices the extra negative two's-complement value)
+        dmax = (1 << (dw - 1)) - 1
+        qhi = qlo + np.minimum(qhi - qlo, dmax)
+    dlo, dhi = qlo << s, qhi << s
+    pal = _interp(dlo[:, None, :], dhi[:, None, :],
+                  np.broadcast_to(_W4, (n, 16)))  # (N,16pal,3)
+    dist = ((pixels[:, :, None, :] - pal[:, None, :, :]) ** 2).sum(-1)
+    idx = dist.argmin(-1)
+    recon = pal[np.arange(n)[:, None], idx]
+    err = ((pixels - recon) ** 2).sum(axis=(1, 2))
+    flip = ((idx[:, 0] >> 3) & 1).astype(bool)  # anchor MSB must be 0
+    idx = np.where(flip[:, None], 15 - idx, idx)
+    base = np.where(flip[:, None], qhi, qlo)
+    other = np.where(flip[:, None], qlo, qhi)
+    w = _BitWriter(n)
+    w.put(np.full(n, hv), 5)
+    for ch in range(3):
+        w.put(base[:, ch], bw)
+    if dw is None:
+        for ch in range(3):
+            w.put(other[:, ch], bw)
+    else:
+        delta = (other - base) & ((1 << dw) - 1)  # two's complement, fits
+        for ch in range(3):
+            w.put(delta[:, ch], dw)
+    _bc6h_pack_indices(w, idx)
+    return w.out, err
+
+
+def encode_bc6h(rgb16: np.ndarray, modes=None) -> bytes:
+    """Encode an (H, W, 3) float16 (non-negative) image to BC6H blocks.
+
+    Half-float bit patterns of non-negative values are monotone integers, so
+    range fit + nearest-palette runs directly on the raw u16 lanes quantized to
+    each mode's endpoint precision (the standard fast-encoder shortcut). Per
+    block the least-error mode of the one-region family (11-14) wins, so mode
+    statistics emerge from content like production HDR encoders."""
+    from .encode import _blockify
+
+    raw = np.ascontiguousarray(rgb16).view(np.uint16)
+    pixels = _blockify(raw.reshape(rgb16.shape)).astype(np.int64)  # (N,16,3)
+    # tightest-delta-first: argmin keeps the FIRST minimum, so ties (e.g. flat
+    # blocks, exactly representable everywhere) land in the highest-precision
+    # mode, the way production encoders iterate
+    hvs = tuple(modes) if modes is not None else (15, 11, 7, 3)
+    packed, errs = [], []
+    for hv in hvs:
+        p, e = _encode_bc6h_mode(pixels, hv)
+        packed.append(p)
+        errs.append(e)
+    best = np.stack(errs).argmin(axis=0)
+    return np.stack(packed)[best, np.arange(len(pixels))].tobytes()
 
 
 def decode_bc6h(data: bytes) -> np.ndarray:
-    """Decode mode-11 BC6H blocks -> (N, 16, 3) uint16 half-float bit lanes."""
+    """Decode one-region BC6H blocks (modes 11-14) -> (N, 16, 3) uint16
+    half-float bit lanes. Blocks are grouped by mode and decoded vectorized."""
     blocks = np.frombuffer(data, np.uint8).reshape(-1, 16)
-    n = len(blocks)
-    r = _BitReader(blocks)
-    header = r.get(5)
-    if not (header == 3).all():
-        raise ValueError("decode_bc6h handles mode-11 blocks only")
-    lo = np.stack([r.get(10) for _ in range(3)], axis=1) << 6
-    hi = np.stack([r.get(10) for _ in range(3)], axis=1) << 6
-    pos = np.full(n, r.pos, np.int64)
-    idx = np.zeros((n, 16), np.int64)
-    for pix in range(16):
-        width = 3 if pix == 0 else 4
-        vals = np.zeros(n, np.int64)
-        for b in range(4):
-            sel = b < np.full(n, width)
-            byte, off = np.divmod(pos, 8)
-            byte = np.where(sel, byte, 0)
-            bit = (blocks[np.arange(n), byte].astype(np.int64) >> off) & 1
-            vals |= (bit & sel) << b
-            pos += np.asarray(sel, np.int64)
-        idx[:, pix] = vals
-    w = _W4[idx]
-    px = _interp(lo[:, None, :], hi[:, None, :], w)
-    return px.astype(np.uint16)
+    n_all = len(blocks)
+    header_all = blocks[:, 0] & 0x1F
+    known = np.isin(header_all, list(_BC6H_MODES))
+    if not known.all():
+        bad = sorted(set(header_all[~known].tolist()))
+        raise ValueError(f"decode_bc6h handles one-region modes 11-14 only "
+                         f"(header values {sorted(_BC6H_MODES)}); got {bad}")
+    out = np.zeros((n_all, 16, 3), np.uint16)
+    for hv, (bw, dw) in _BC6H_MODES.items():
+        rows = np.nonzero(header_all == hv)[0]
+        if not len(rows):
+            continue
+        grp = blocks[rows]
+        n = len(grp)
+        s = 16 - bw
+        r = _BitReader(grp)
+        r.get(5)
+        base = np.stack([r.get(bw) for _ in range(3)], axis=1)
+        if dw is None:
+            other = np.stack([r.get(bw) for _ in range(3)], axis=1)
+        else:
+            raw_d = np.stack([r.get(dw) for _ in range(3)], axis=1)
+            sign = 1 << (dw - 1)
+            delta = (raw_d ^ sign) - sign  # sign-extend two's complement
+            other = (base + delta) & ((1 << bw) - 1)
+        lo, hi = base << s, other << s
+        pos = np.full(n, r.pos, np.int64)
+        idx = np.zeros((n, 16), np.int64)
+        for pix in range(16):
+            width = 3 if pix == 0 else 4
+            vals = np.zeros(n, np.int64)
+            for b in range(4):
+                sel = b < np.full(n, width)
+                byte, off = np.divmod(pos, 8)
+                byte = np.where(sel, byte, 0)
+                bit = (grp[np.arange(n), byte].astype(np.int64) >> off) & 1
+                vals |= (bit & sel) << b
+                pos += np.asarray(sel, np.int64)
+            idx[:, pix] = vals
+        w = _W4[idx]
+        out[rows] = _interp(lo[:, None, :], hi[:, None, :], w).astype(np.uint16)
+    return out

@@ -303,8 +303,8 @@ def build_bc7_dds_corpus(n_files: int, sizes=(128, 256), seed0: int = 52000,
 
 def build_bc6h_dds_corpus(n_files: int, sizes=(128, 256), seed0: int = 63000):
     """Real-encoder BC6H corpus: realistic textures HDR-ified (gamma-decode +
-    per-file exposure scale into float16) and encoded with the mode-11 BC6H
-    encoder; yields (name, DX10 DDS bytes)."""
+    per-file exposure scale into float16) and encoded with the one-region
+    (modes 11-14) least-error BC6H encoder; yields (name, DX10 DDS bytes)."""
     from . import testgen
     from .bc7codec import encode_bc6h
 

@@ -251,9 +251,12 @@ def bc7_real_encoder_study(n_files: int, level: int):
     est = LtuEstimation()
 
     def leg(files, cand, oracle_transform, auto_fn):
-        wins = Counter()
+        from dxt_lossless_transform_tpu.estimate import ZstdEstimation
+
+        est_opt = ZstdEstimation(6)  # the optimal/max presets' mode-sort
+        wins = Counter()             # estimator (cli/main.py:make_preset_bundle)
         auto_picks = Counter()
-        plain = best_total = auto_total = 0
+        plain = best_total = auto_total = opt_total = 0
         auto_exact = 0
         modes = Counter()
         n = 0
@@ -277,9 +280,11 @@ def bc7_real_encoder_study(n_files: int, level: int):
             a_size = _zstd_sizes([out], level)[0]
             auto_picks[str(picked)] += 1
             auto_exact += int(a_size <= best)
+            opt_out, _ = auto_fn(payload, est_opt)
             plain += p
             best_total += best
             auto_total += a_size  # what the medium preset actually ships
+            opt_total += _zstd_sizes([opt_out], level)[0]  # the optimal preset
             n += 1
         out = {
             "files": n,
@@ -287,6 +292,8 @@ def bc7_real_encoder_study(n_files: int, level: int):
             "auto_ltu_zstd": auto_total,
             "best_reduction_pct": round(100.0 * (1 - best_total / plain), 2),
             "auto_reduction_pct": round(100.0 * (1 - auto_total / plain), 2),
+            "optimal_preset_reduction_pct":
+                round(100.0 * (1 - opt_total / plain), 2),
             "win_distribution": dict(wins),
             "identity_pick_rate_pct": round(100.0 * wins["identity"] / n, 1),
             "auto_pick_distribution": dict(auto_picks),

@@ -132,13 +132,43 @@ def test_bc6h_roundtrip():
     rgb = (np.abs(rng.standard_normal((32, 32, 3))) * 4).astype(np.float16)
     data = C.encode_bc6h(rgb)
     assert len(data) == (32 * 32 // 16) * 16
-    # every block is mode 11 (5-bit header value 3)
+    # every block carries a one-region mode header (11-14)
     b0 = np.frombuffer(data, np.uint8)[::16]
-    assert ((b0 & 0x1F) == 3).all()
+    assert np.isin(b0 & 0x1F, (3, 7, 11, 15)).all()
     dec = C.decode_bc6h(data)
     src = _blockify(rgb.view(np.uint16).reshape(32, 32, 3)).astype(np.int64)
     err = np.abs(dec.astype(np.int64) - src)
     assert err.max() < 1 << 13  # within 10-bit quantization of the u16 lanes
+
+
+@pytest.mark.parametrize("hv", [3, 7, 11, 15])
+def test_bc6h_mode_encode_decode_exact(hv):
+    """Each one-region mode decodes to exactly the reconstruction the encoder
+    scored (bit-level packing proof for the delta-endpoint forms too)."""
+    rng = np.random.default_rng(hv)
+    rgb = (np.abs(rng.standard_normal((32, 32, 3))) * 4).astype(np.float16)
+    px = _blockify(rgb.view(np.uint16).reshape(32, 32, 3)).astype(np.int64)
+    packed, err = C._encode_bc6h_mode(px, hv)
+    assert ((packed[:, 0] & 0x1F) == hv).all()
+    dec = C.decode_bc6h(packed.tobytes())
+    mse = ((dec.astype(np.int64) - px) ** 2).sum(axis=(1, 2))
+    np.testing.assert_array_equal(mse, err)
+
+
+def test_bc6h_mode_statistics_content_driven():
+    """Flat content lands in the tight-delta modes, busy content in mode 11 --
+    first-byte statistics emerge from content, which is what makes the BC6H
+    corpus evidence real-encoder grade."""
+    flat = np.full((16, 16, 3), 1.5, np.float16)
+    noisy = (np.abs(np.random.default_rng(9).standard_normal((32, 32, 3)))
+             * 64).astype(np.float16)
+    hv_flat = set((np.frombuffer(C.encode_bc6h(flat), np.uint8)[::16]
+                   & 0x1F).tolist())
+    hv_noisy = set((np.frombuffer(C.encode_bc6h(noisy), np.uint8)[::16]
+                    & 0x1F).tolist())
+    assert hv_flat == {15}, hv_flat  # exact 16.4 representation, zero error
+    assert 3 in hv_noisy, hv_noisy   # wide ranges need the 10.10 form
+    assert hv_flat != hv_noisy
 
 
 def test_corpus_builders_container_roundtrip():
