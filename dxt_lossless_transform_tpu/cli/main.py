@@ -6,9 +6,12 @@ directory trees with the four presets, plus ``debug-*`` subcommands.
 
 Presets (``commands/transform/mod.rs:113-151``):
   low     -- manual default settings, no estimation (fastest)
-  medium  -- auto-search with the device LTU estimator
-  optimal -- auto-search with the zstd level-1 estimator
-  max     -- zstd level-1 estimator, all decorrelation modes (ultra)
+  medium  -- auto-search with the device LTU estimator (+ zstd-1 identity
+             confirmation on the mode-sort formats, ops/bc7.py)
+  optimal -- auto-search with the zstd level-1 estimator (level 6 for
+             BC7/BC6H, whose full-stream ranking level 1 gets wrong --
+             see make_preset_bundle)
+  max     -- same estimators, all decorrelation modes (ultra)
 """
 
 from __future__ import annotations

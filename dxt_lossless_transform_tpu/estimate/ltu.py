@@ -58,17 +58,9 @@ WEIGHT_SCALE = 24
 #
 # (G[N] - sum G[hist_c] ~= 8 * entropy_bytes by the log-sum identity; the
 # per-term rounding must match everywhere, hence the shared table.)
-ENTROPY_CAP = 65536
-
-
-def _make_g_table() -> np.ndarray:
-    g = np.zeros(ENTROPY_CAP + 1, np.int64)
-    n = np.arange(2, ENTROPY_CAP + 1, dtype=np.float64)
-    g[2:] = np.floor(n * np.log2(n) + 0.5).astype(np.int64)
-    return g
-
-
-G_TABLE = _make_g_table()
+from .gtable import ENTROPY_CAP, G_TABLE, _make_g_table  # noqa: F401 -- the
+# table lives in a jax-free module so the native loader can install it without
+# importing this (jax-importing) module; re-exported here for the twins/tests
 
 
 def _entropy_term_np(data: np.ndarray, valid_len: int = None) -> int:

@@ -514,23 +514,42 @@ def ltu_identity_guard(data, out, settings, candidates):
     The LTU coverage scorer ranks the transform LAYOUTS against each other
     well, but on realistic mode-mixed BC7/BC6H streams it overrates the
     absolute gain of mode sorting -- the corpus study measured the pure-LTU
-    pick at -0.7% vs zstd-16 on real-encoder BC7 containers (identity wins 59%
-    of files there; the reference's own BC7 asset gains 0%). Two native zstd-1
-    calls (winner + payload, batched through the pthread driver) flip such
-    picks back to identity, lifting the shipped medium-preset result to +0.49%
-    (BC7) / +2.25% (BC6H) on the same corpus. Applied only when the candidate
-    set contains the identity layout; zstd estimators rank identity directly
-    and never need it."""
+    pick at -0.70% (BC7) / -1.05% (BC6H) vs zstd-16 on real-encoder
+    containers (identity wins 56-59% of files there; the reference's own BC7
+    asset gains 0%). Two native zstd-1 calls (winner + payload, batched
+    through the pthread driver) flip such picks back to identity, lifting the
+    shipped medium-preset result to +0.49% (BC7) / +0.00% (BC6H -- BC6H's
+    mode-grouping win only materializes at high zstd levels NO cheap signal
+    can see, so the guard degrades to never-lose there; the optimal preset's
+    level-6 estimator recovers +1.02%, CORPUS_REPORT.md). Applied only when
+    the candidate set contains the identity layout; zstd estimators rank
+    identity directly and never need it."""
+    return ltu_identity_guard_batch([data], [out], [settings], candidates)[0]
+
+
+def ltu_identity_guard_batch(datas, outs, settings_list, candidates):
+    """Batch form of :func:`ltu_identity_guard`: all (winner, payload) pairs
+    needing confirmation go through ONE pthread ``estimate_batch`` call (the
+    per-file form delegates here, so batched and per-file picks are identical
+    by construction). Returns ``[(shipped bytes, shipped settings), ...]``."""
     ident = next((s for s in candidates
                   if not s.sort_by_mode and not s.split_byte_planes), None)
-    if ident is None or settings == ident or len(out) == 0:
-        return out, settings
+    results = [(o, s) for o, s in zip(outs, settings_list)]
+    if ident is None:
+        return results
+    need = [i for i, (o, s) in enumerate(results) if s != ident and len(o)]
+    if not need:
+        return results
     from ..estimate.zstd import ZstdEstimation
 
-    sizes = ZstdEstimation(1).estimate_batch([out, data])
-    if sizes[0] < sizes[1]:
-        return out, settings
-    return data, ident
+    bufs = []
+    for i in need:
+        bufs += [outs[i], datas[i]]
+    sizes = ZstdEstimation(1).estimate_batch(bufs)
+    for j, i in enumerate(need):
+        if not (sizes[2 * j] < sizes[2 * j + 1]):
+            results[i] = (datas[i], ident)
+    return results
 
 
 def _transform_auto(data, estimator, candidates, fmt: str, transform_fn):

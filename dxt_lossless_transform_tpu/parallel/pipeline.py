@@ -717,7 +717,7 @@ class ModeSortBatchProcessor:
         return self._steps[bucket]
 
     def process(self, payloads: Sequence[bytes]) -> List[BatchResult]:
-        from ..ops.bc7 import ltu_identity_guard
+        from ..ops.bc7 import ltu_identity_guard_batch
 
         order: List[Optional[BatchResult]] = [None] * len(payloads)
         by_bucket: dict = {}
@@ -752,14 +752,19 @@ class ModeSortBatchProcessor:
                     n_valids[row] = len(w) // 4
                 winner, valid, best = jax.device_get(self._step(bucket)(
                     jnp.asarray(flats), jnp.asarray(n_valids)))
+                # same zstd-1 identity confirmation as the per-file auto, ONE
+                # pthread estimate_batch call for the whole chunk (batched and
+                # per-file picks identical: the per-file guard delegates to
+                # this batch form)
+                shipped = ltu_identity_guard_batch(
+                    [payloads[i] for i in chunk],
+                    [winner[row].tobytes()[:int(valid[row])]
+                     for row in range(len(chunk))],
+                    [self.settings[int(best[row])]
+                     for row in range(len(chunk))],
+                    self.settings)
                 for row, idx in enumerate(chunk):
-                    # same zstd-1 identity confirmation as the per-file auto
-                    # (ops/bc7.py:ltu_identity_guard) -- batched and per-file
-                    # picks must stay identical
-                    out, settings = ltu_identity_guard(
-                        payloads[idx], winner[row].tobytes()[:int(valid[row])],
-                        self.settings[int(best[row])], self.settings)
-                    order[idx] = BatchResult(idx, out, settings)
+                    order[idx] = BatchResult(idx, *shipped[row])
         return [r for r in order if r is not None]
 
 
