@@ -592,9 +592,11 @@ def main():
                 f"## {title} real-encoder corpus ({r['files']} DX10 DDS files, "
                 "utils/bc7codec multi-mode least-error encoder)", "",
                 f"Brute-force best candidate: {r['best_reduction_pct']:+.2f}% "
-                f"vs plain; auto (LTU, identity kept when it loses): "
-                f"{r['auto_reduction_pct']:+.2f}%; auto matches best on "
-                f"{r['auto_matches_best_pct']}% of files.",
+                "vs plain; shipped medium preset (LTU + zstd-1 identity "
+                f"confirmation): {r['auto_reduction_pct']:+.2f}%; optimal "
+                "preset (zstd-6 mode-sort estimator): "
+                f"{r.get('optimal_preset_reduction_pct', 0.0):+.2f}%; auto "
+                f"matches best on {r['auto_matches_best_pct']}% of files.",
                 f"Per-candidate win distribution: {r['win_distribution']}.",
                 f"Identity pick rate: {r['identity_pick_rate_pct']}% -- real "
                 "encoder output is the hard case (the reference's own BC7 "

@@ -271,18 +271,40 @@ def test_fuzz_endian_sim_transform_invariant(data, variant, split):
     assert back_be == data
 
 
-@given(st.integers(0, 2**32 - 1), st.sampled_from([1, 3, 4, 5, 6, 7]))
-@hyp_settings(max_examples=25, deadline=None)
-def test_fuzz_bc7_codec_mode_exactness(seed, mode):
-    """Random pixel blocks, every implemented BC7 mode: the packed bits must
-    decode to exactly the reconstruction the encoder scored."""
+@given(st.integers(0, 2**32 - 1), st.sampled_from([1, 3, 4, 5, 6, 7]),
+       st.integers(0, 3), st.integers(0, 1))
+@hyp_settings(max_examples=40, deadline=None)
+def test_fuzz_bc7_codec_mode_exactness(seed, mode, rot, idxm):
+    """Random pixel blocks, every implemented BC7 mode x rotation x idxMode:
+    the packed bits must decode to exactly the reconstruction the encoder
+    scored (err is computed in the original channel space, so equality proves
+    the decoder un-rotates and un-swaps the index arrays too)."""
     import dxt_lossless_transform_tpu.utils.bc7codec as C
 
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, (8, 16, 4), np.uint8)
     if mode in (1, 3):
         px[..., 3] = 255
-    packed, err = C._encode_mode(px, mode)
+    if mode not in (4, 5):
+        rot = 0
+    if mode != 4:
+        idxm = 0
+    packed, err = C._encode_mode(px, mode, rot=rot, idxm=idxm)
     dec = C._decode_mode(packed, mode)
     mse = ((dec.astype(np.int64) - px.astype(np.int64)) ** 2).sum(axis=(1, 2))
+    np.testing.assert_array_equal(mse, err)
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from([3, 7, 11, 15]))
+@hyp_settings(max_examples=25, deadline=None)
+def test_fuzz_bc6h_codec_mode_exactness(seed, hv):
+    """Random half-float blocks, every one-region BC6H mode (incl. the
+    delta-endpoint forms): packed bits decode to the scored reconstruction."""
+    import dxt_lossless_transform_tpu.utils.bc7codec as C
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 0x7C00, (8, 16, 3), np.int64)  # finite half range
+    packed, err = C._encode_bc6h_mode(px, hv)
+    dec = C.decode_bc6h(packed.tobytes())
+    mse = ((dec.astype(np.int64) - px) ** 2).sum(axis=(1, 2))
     np.testing.assert_array_equal(mse, err)
