@@ -516,7 +516,18 @@ def main():
     ap.add_argument("--level", type=int, default=16)
     ap.add_argument("--legacy", action="store_true",
                     help="round-2 value-noise corpus instead of the realistic one")
+    ap.add_argument("--render-only", action="store_true",
+                    help="re-render CORPUS_REPORT.md from the existing JSON "
+                         "(after renderer edits; no measurement)")
     args = ap.parse_args()
+
+    if args.render_only:
+        with open("CORPUS_REPORT.json") as f:
+            report = json.load(f)
+        with open("CORPUS_REPORT.md", "w") as f:
+            f.write(render_report(report))
+        _log("re-rendered CORPUS_REPORT.md from CORPUS_REPORT.json")
+        return
 
     images = build_corpus(args.files, realistic=not args.legacy)
     desc = (f"{args.files} mixed-family textures per format (photo/normal/flat/"
@@ -539,7 +550,12 @@ def main():
 
     with open("CORPUS_REPORT.json", "w") as f:
         json.dump(report, f, indent=2)
+    with open("CORPUS_REPORT.md", "w") as f:
+        f.write(render_report(report))
+    _log("wrote CORPUS_REPORT.{json,md}")
 
+
+def render_report(report) -> str:
     lines = ["# Corpus study: estimator selection quality + compression ratios",
              "",
              f"Corpus: {report['corpus']}; final compressor {report['final_compressor']}.",
@@ -606,6 +622,37 @@ def main():
                 lines += ["Encoder mode distribution (%): "
                           f"{r['encoder_mode_distribution_pct']}."]
             lines += [""]
+            if key == "bc7":
+                lines += [
+                    "Selection policy v5 (ops/bc7.py:ltu_identity_guard): the "
+                    "pure-LTU argmin measured -0.70% on this corpus -- the "
+                    "coverage scorer ranks transform layouts against each "
+                    "other well but overrates the absolute gain of mode "
+                    "sorting on mode-mixed streams, and a relative identity "
+                    "margin cannot fix it (swept 0..12%: never better than "
+                    "-0.67%). Two native zstd-1 calls (winner + payload) "
+                    "confirm the winner actually beats identity; refuted "
+                    "picks ship identity. Applied only under the LTU "
+                    "estimator (zstd estimators rank identity directly), in "
+                    "both the per-file auto and the batched "
+                    "ModeSortBatchProcessor (one pthread estimate_batch per "
+                    "chunk).", ""]
+            else:
+                lines += [
+                    "The encoder covers the one-region family (10.10 / 11.9 "
+                    "/ 12.8 / 16.4 delta-endpoint modes 11-14, least-error "
+                    "per block), so first-byte mode statistics are "
+                    "content-driven and mode sorting has real grouping work.",
+                    "Estimator-level finding (why the zstd presets use level "
+                    "6 for the mode-sort formats, "
+                    "cli/main.py:make_preset_bundle): BC6H's mode-grouping "
+                    "win only materializes at high compression levels -- "
+                    "zstd-16 says a transform wins on 11/25 files, zstd-1 on "
+                    "only 3/25 -- so BOTH cheap signals (LTU coverage, "
+                    "level-1 argmin at -0.36%) misrank here. Level sweep of "
+                    "the estimator argmin: 1: -0.36%, 3: -0.21%, 6: +0.90%, "
+                    "12: +1.02%. Medium's LTU+zstd-1 guard degrades "
+                    "gracefully to never-lose.", ""]
     lines += [
         "## LTU scorer tuning, round 5 (ltu_tune_v6.log; 100 files/format)", "",
         "Per-format offset ladders (denser / short / u16-lane-biased) and "
@@ -668,9 +715,7 @@ def main():
                   "property of its 8.5 GiB Skyrim corpus (large, "
                   "professionally-authored textures), not of the algorithm "
                   "alone -- its own shipped asset gains ~4%.", ""]
-    with open("CORPUS_REPORT.md", "w") as f:
-        f.write("\n".join(lines))
-    _log("wrote CORPUS_REPORT.{json,md}")
+    return "\n".join(lines)
 
 
 if __name__ == "__main__":
