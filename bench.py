@@ -34,6 +34,8 @@ under test; single-trial means would report the co-tenant, not the kernel. The
 in BENCH_DETAILS.json.
 """
 
+import contextlib
+import io
 import json
 import os
 import signal
@@ -488,8 +490,10 @@ def main():
                 for rep in range(reps):  # best-of-N damps warmup jitter
                     out = os.path.join(root, f"{label}{rep}")
                     t0 = time.perf_counter()
-                    rc = cli_main(["transform", src, out, "--preset", preset,
-                                   flag])
+                    with contextlib.redirect_stdout(io.StringIO()):
+                        # bench stdout stays exactly one JSON line
+                        rc = cli_main(["transform", src, out, "--preset",
+                                       preset, flag])
                     dt = time.perf_counter() - t0
                     if rc == 0 and (best is None or dt < best):
                         best = dt
@@ -507,7 +511,8 @@ def main():
                 for rep in range(2):
                     out = os.path.join(root, f"{label}{rep}")
                     t0 = time.perf_counter()
-                    rc = cli_main(["untransform", tsrc, out, flag])
+                    with contextlib.redirect_stdout(io.StringIO()):
+                        rc = cli_main(["untransform", tsrc, out, flag])
                     dt = time.perf_counter() - t0
                     if rc == 0 and (best is None or dt < best):
                         best = dt
